@@ -1,0 +1,45 @@
+"""Pipeline configuration.
+
+Semantic knobs mirror the reference's ``CRE Model/config.yaml`` (cited
+per-field) so parity tests exercise the same thresholds; execution knobs
+(partitions, Arrow batch caps, salting) are ours — the reference is a
+single-process GPU stack with no distribution surface.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    # --- semantic knobs (reference config.yaml) ---
+    max_seq_len: int = 200          # config.yaml:101
+    max_span_width: int = 80        # config.yaml:102
+    max_top_k_spans: int = 30       # config.yaml:135
+    max_top_k_rels: int = 200       # config.yaml:136
+    predict_thd: float = 0.3        # config.yaml:75  (sigmoid threshold, tagger + heads)
+    overlap_thd: float = 0.8        # config.yaml:139 (NMS IoU suppression)
+    loose_tol: float = 0.15         # config.yaml:81-84 (loose matching tolerance)
+    loose_width_limit: int = 8      # config.yaml:83
+    rel_thd: float = 0.5            # decode threshold for the causal head (predictor.py:138-155 semantics)
+    span_thd: float = 0.0           # binary span-filter keep threshold (layers_filtering.py single-logit > 0)
+    hidden_dim: int = 16            # stand-in model width (reference: 768; see model/core.py)
+
+    # --- entity linking (our addition per north_rule; no reference analogue) ---
+    minhash_hashes: int = 8
+    minhash_band_size: int = 2
+    shingle_size: int = 3           # char shingles of the normalized mention
+    link_jaccard_thd: float = 0.6
+    cc_max_iters: int = 20
+
+    # --- execution knobs (ours) ---
+    shuffle_partitions: int = 32
+    arrow_max_records: int = 512    # size-capped Arrow batches (input_hint)
+    salt_buckets: int = 8           # hot-domain salting
+    table_format: str = "parquet"   # 'iceberg' on a real cluster; parquet in sandbox
+
+    extra: dict = field(default_factory=dict)
+
+
+DEFAULT_CONFIG = PipelineConfig()

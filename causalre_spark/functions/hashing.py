@@ -1,0 +1,55 @@
+"""Portable deterministic hashing.
+
+Every hash that crosses the Spark <-> DuckDB oracle boundary (minhash,
+simhash, dedup keys, deterministic tie-break scores) is derived from
+``md5()`` hex digits through SQL that evaluates identically in Spark SQL
+and DuckDB: ``md5`` returns the same lowercase hex in both engines, and
+the hex->bigint conversion is spelled with ``instr``/``substring``
+arithmetic that both engines share. The Python twin ``md5_long`` is used
+by the single-process oracle (causalre_spark/oracle) and inside NumPy
+UDF code so all three worlds agree bit-for-bit.
+
+Why not engine-native ``hash()``: Spark's Murmur3 and DuckDB's hash
+differ, which would make cross-engine value-hash comparison impossible.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+HEX_DIGITS = "0123456789abcdef"
+
+# 12 hex chars = 48 bits: fits comfortably in BIGINT in both engines and
+# is exactly representable as a float64 (< 2^53), so even a lossy
+# double-precision comparison path cannot disagree.
+DEFAULT_NHEX = 12
+
+
+def md5_long(s: str, nhex: int = DEFAULT_NHEX) -> int:
+    """Python twin of :func:`md5_long_sql` — first `nhex` hex chars of md5."""
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:nhex], 16)
+
+
+def md5_long_sql(expr: str, nhex: int = DEFAULT_NHEX) -> str:
+    """SQL expression: md5(expr) first `nhex` hex chars as BIGINT.
+
+    Valid, and identical in result, in Spark SQL and DuckDB. ``expr``
+    must be a string-typed SQL expression.
+    """
+    h = f"md5({expr})"
+    terms = []
+    for i in range(1, nhex + 1):
+        digit = f"(instr('{HEX_DIGITS}', substring({h}, {i}, 1)) - 1)"
+        shift = 16 ** (nhex - i)
+        terms.append(f"{digit} * CAST({shift} AS BIGINT)" if shift > 1 else digit)
+    return "(" + " + ".join(terms) + ")"
+
+
+def minhash_sql(expr: str, seed: int, nhex: int = DEFAULT_NHEX) -> str:
+    """SQL for one seeded hash family member: md5_long(seed || '#' || expr)."""
+    return md5_long_sql(f"concat('{seed}#', {expr})", nhex=nhex)
+
+
+def minhash_long(s: str, seed: int, nhex: int = DEFAULT_NHEX) -> int:
+    """Python twin of :func:`minhash_sql`."""
+    return md5_long(f"{seed}#{s}", nhex=nhex)

@@ -1,0 +1,180 @@
+"""Entity linking & canonicalization (north_rule addition; SURVEY §2.11).
+
+No reference analogue — the reference emits raw span surface forms
+(predictor.py:63-113); at web scale the same real-world entity surfaces
+with many variants, so triples must be keyed by canonical entity ids.
+
+Design (all DataFrame algebra, zero Python UDFs):
+  1. normalize mention surface (portable SQL twin of functions.text.normalize)
+  2. char-k shingles, relationally (transform+sequence+substring, exploded)
+  3. MinHash signatures: one groupBy with n_hashes min() aggregates over
+     md5-derived portable hash families (functions.hashing)
+  4. LSH banding: band keys -> self-equi-join -> candidate pairs
+     (hash join on band key; the classic band trick keeps this linear-ish
+     instead of the quadratic all-pairs join)
+  5. exact Jaccard verification on collected shingle arrays
+  6. connected components: iterative min-label propagation with
+     localCheckpoint() lineage cuts (GraphFrames-style; near-dup clusters
+     have tiny diameter so few iterations; cc_max_iters bounds worst case)
+  7. canonical id = min md5_long(form) in component (deterministic);
+     canonical surface = the form carrying that minimum
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from causalre_spark.config import DEFAULT_CONFIG, PipelineConfig
+from causalre_spark.functions.hashing import md5_long_sql, minhash_sql
+from causalre_spark.functions.text import NORMALIZE_SQL
+
+
+def normalized_forms(mentions: DataFrame, text_col: str = "text") -> DataFrame:
+    """Distinct normalized mention forms."""
+    return (
+        mentions.select(F.expr(NORMALIZE_SQL.format(x=text_col)).alias("form"))
+        .filter(F.col("form") != "")
+        .distinct()
+    )
+
+
+def form_shingles(forms: DataFrame, k: int) -> DataFrame:
+    """(form, shingle) pairs — char k-shingles; short forms shingle to
+    themselves (matches functions.text.char_shingles)."""
+    return forms.select(
+        "form",
+        F.explode(
+            F.expr(
+                f"array_distinct(transform(sequence(1, greatest(1, length(form) - {k} + 1)),"
+                f" i -> substring(form, i, {k})))"
+            )
+        ).alias("shingle"),
+    )
+
+
+def minhash_signatures(shingles: DataFrame, n_hashes: int) -> DataFrame:
+    """form -> h0..h{n-1} minhash signature (one shuffle)."""
+    aggs = [
+        F.min(F.expr(minhash_sql("shingle", seed))).alias(f"h{seed}")
+        for seed in range(n_hashes)
+    ]
+    return shingles.groupBy("form").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, n_hashes: int, band_size: int
+) -> DataFrame:
+    """LSH banding -> distinct candidate pairs (form_a < form_b)."""
+    n_bands = n_hashes // band_size
+    banded = None
+    for b in range(n_bands):
+        cols = [F.col(f"h{b * band_size + j}") for j in range(band_size)]
+        part = sigs.select(
+            "form",
+            F.lit(b).alias("band"),
+            F.concat_ws("|", *[c.cast("string") for c in cols]).alias("bkey"),
+        )
+        banded = part if banded is None else banded.unionByName(part)
+    a = banded.select("band", "bkey", F.col("form").alias("form_a"))
+    bb = banded.select("band", "bkey", F.col("form").alias("form_b"))
+    return (
+        a.join(bb, ["band", "bkey"])
+        .filter(F.col("form_a") < F.col("form_b"))
+        .select("form_a", "form_b")
+        .distinct()
+    )
+
+
+def verify_jaccard(
+    pairs: DataFrame, shingles: DataFrame, thd: float
+) -> DataFrame:
+    """Exact Jaccard on collected shingle arrays; keeps edges >= thd."""
+    sets = shingles.groupBy("form").agg(F.collect_set("shingle").alias("sh"))
+    return (
+        pairs.join(sets.withColumnRenamed("form", "form_a")
+                        .withColumnRenamed("sh", "sh_a"), "form_a")
+        .join(sets.withColumnRenamed("form", "form_b")
+                  .withColumnRenamed("sh", "sh_b"), "form_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= thd)
+        .select("form_a", "form_b", "jaccard")
+    )
+
+
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, max_iters: int = 20
+) -> DataFrame:
+    """Min-label propagation over (form_a, form_b) edges.
+
+    Returns (form, component) where component = min md5_long(form) over
+    the component. Checkpoints every iteration to cut lineage (SURVEY
+    §4 item 3); converges in O(cluster diameter) rounds.
+    """
+    labels = nodes.select(
+        "form", F.expr(md5_long_sql("form")).alias("component")
+    ).localCheckpoint()
+    sym = edges.select("form_a", "form_b").unionByName(
+        edges.select(F.col("form_b").alias("form_a"), F.col("form_a").alias("form_b"))
+    ).localCheckpoint()
+    for _ in range(max_iters):
+        neighbor_min = (
+            sym.join(labels.withColumnRenamed("form", "form_b")
+                           .withColumnRenamed("component", "nbr_component"), "form_b")
+            .groupBy(F.col("form_a").alias("form"))
+            .agg(F.min("nbr_component").alias("nbr_component"))
+        )
+        updated = (
+            labels.join(neighbor_min, "form", "left")
+            .select(
+                "form",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_component"), F.col("component")),
+                ).alias("new_component"),
+                F.col("component"),
+            )
+        ).localCheckpoint()
+        n_changed = updated.filter(F.col("new_component") != F.col("component")).count()
+        labels = updated.select("form", F.col("new_component").alias("component"))
+        if n_changed == 0:
+            break
+    return labels
+
+
+def canonical_entities(labels: DataFrame) -> DataFrame:
+    """(form, canonical_id, canonical_form): canonical = the form whose
+    md5_long equals the component minimum (deterministic; tie-broken by
+    form for the astronomically-unlikely 48-bit collision)."""
+    with_h = labels.withColumn("fh", F.expr(md5_long_sql("form")))
+    w = Window.partitionBy("component").orderBy(F.col("fh").asc(), F.col("form").asc())
+    canon = (
+        with_h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("component"), F.col("form").alias("canonical_form"))
+    )
+    return (
+        labels.join(canon, "component")
+        .select(
+            "form",
+            F.col("component").alias("canonical_id"),
+            "canonical_form",
+        )
+    )
+
+
+def link_mentions(
+    mentions: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG, text_col: str = "text"
+) -> DataFrame:
+    """Full linking stage: mentions -> (form, canonical_id, canonical_form)."""
+    forms = normalized_forms(mentions, text_col)
+    sh = form_shingles(forms, cfg.shingle_size)
+    sigs = minhash_signatures(sh, cfg.minhash_hashes)
+    cands = lsh_candidate_pairs(sigs, cfg.minhash_hashes, cfg.minhash_band_size)
+    edges = verify_jaccard(cands, sh, cfg.link_jaccard_thd)
+    labels = connected_components(forms, edges, cfg.cc_max_iters)
+    return canonical_entities(labels)

@@ -1,0 +1,96 @@
+"""Span-level relational operators (SURVEY §2.5 T1/T3/T4, §2.2 P1/P4).
+
+Everything here is DataFrame algebra except greedy NMS, which is
+inherently sequential per document (reference model.py:637-721) and runs
+as applyInPandas over ≤ max_top_k_spans rows per group.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from causalre_spark.config import DEFAULT_CONFIG, PipelineConfig
+
+
+def topk_spans(spans: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """T1: binary-filter threshold + windowed top-k per document.
+
+    Reference: model.py:203-211 calc_top_k + :236-312 prune/filter. The
+    reference's old->new positional index remapping (merge_maps,
+    model.py:214-233) is deleted by design: rows keep natural keys
+    (url, start, end). Deterministic total order: score desc, start, end.
+    """
+    w = Window.partitionBy("url").orderBy(
+        F.col("filter_score").desc(), F.col("start").asc(), F.col("end").asc()
+    )
+    return (
+        spans.filter(F.col("filter_score") >= F.lit(cfg.span_thd))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= cfg.max_top_k_spans)
+        .drop("rn")
+    )
+
+
+def dedup_spans_max_score(spans: DataFrame) -> DataFrame:
+    """T3: unique (url,start,end) keeping max score
+    (layers_token_tagging.py:91-102 merge of tagger + teacher-forced)."""
+    return spans.groupBy("url", "start", "end").agg(
+        F.max("tag_score").alias("tag_score"),
+        F.max("filter_score").alias("filter_score"),
+    )
+
+
+def _iou_pd(s1, e1, s2, e2) -> float:
+    inter = max(0, min(e1, e2) - max(s1, s2))
+    union = (e1 - s1) + (e2 - s2) - inter
+    return inter / union if union else 0.0
+
+
+def nms_spans(spans: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """T4: greedy IoU suppression per document, longer-span preference
+    (model.py:637-721, overlap_thd config.yaml:139).
+
+    Order: filter_score desc, width desc, start, end — fixed so
+    distributed execution is reproducible (SURVEY §7.3). Each group holds
+    ≤ max_top_k_spans rows, so the Python loop is O(k²) tiny.
+    """
+    thd = cfg.overlap_thd
+    out_schema = spans.schema
+
+    def _nms(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            by=["filter_score", "width", "start", "end"],
+            ascending=[False, False, True, True],
+            kind="mergesort",
+        )
+        kept: list[tuple[int, int]] = []
+        keep_mask = []
+        for s, e in zip(pdf["start"], pdf["end"]):
+            ok = all(_iou_pd(s, e, ks, ke) < thd for ks, ke in kept)
+            keep_mask.append(ok)
+            if ok:
+                kept.append((s, e))
+        return pdf[keep_mask].drop(columns=["width"])
+
+    with_width = spans.withColumn("width", F.col("end") - F.col("start"))
+    return (
+        with_width.groupBy("url")
+        .applyInPandas(_nms, schema=out_schema)
+    )
+
+
+def span_text(spans: DataFrame, docs: DataFrame) -> DataFrame:
+    """F1: materialize span surface text relationally:
+    concat_ws(' ', slice(tokens, start+1, end-start)) (predictor.py:82)."""
+    return (
+        spans.join(docs.select("url", "tokens"), "url")
+        .withColumn(
+            "text",
+            F.concat_ws(
+                " ", F.slice(F.col("tokens"), F.col("start") + 1, F.col("end") - F.col("start"))
+            ),
+        )
+        .drop("tokens")
+    )

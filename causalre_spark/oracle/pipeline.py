@@ -1,0 +1,166 @@
+"""Single-process golden oracle for the end-to-end pipeline.
+
+Implements the reference's inference stage order (model.py:728-1134:
+encode -> tagger -> top-k spans -> span filter -> top-k -> pair gen ->
+rel scorer -> top-k rels -> decode -> NMS -> hanging-rel prune) plus our
+north_rule additions (entity linking, canonicalization, triple dedup) as
+plain Python loops. It shares ONLY the frozen model math
+(causalre_spark.model.core) and scalar text helpers with the Spark
+pipeline — every relational step (top-k, joins, dedup, LSH banding,
+connected components) is re-derived independently here, so a
+Spark-vs-oracle match validates the distributed algebra.
+
+Deterministic tie-break orders (must match operators/*.py exactly):
+  top-k spans : (-filter_score, start, end)
+  NMS order   : (-filter_score, -(width), start, end); keep if max IoU
+                with any kept span < overlap_thd (model.py:637-721
+                longer-span preference)
+  top-k rels  : (-rel_score, h_start, h_end, t_start, t_end)
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from causalre_spark.config import DEFAULT_CONFIG, PipelineConfig
+from causalre_spark.extract import extract_text, tokenize
+from causalre_spark.functions.hashing import md5_long
+from causalre_spark.functions.text import char_shingles, jaccard, minhash_signature, normalize
+from causalre_spark.model import core
+
+
+def iou(s1: int, e1: int, s2: int, e2: int) -> float:
+    inter = max(0, min(e1, e2) - max(s1, s2))
+    union = (e1 - s1) + (e2 - s2) - inter
+    return inter / union if union else 0.0
+
+
+def doc_spans(tokens: list[str], cfg: PipelineConfig) -> list[dict]:
+    """Tagger decode -> span filter -> top-k -> NMS for one document."""
+    reps = core.encode(tokens, cfg)
+    b, e = core.tagger_logits(tokens, reps, cfg)
+    cands = core.decode_spans(b, e, cfg)
+    scored = [
+        {"start": s, "end": t, "tag_score": sc,
+         "filter_score": core.span_filter_score(tokens, reps, s, t, cfg)}
+        for (s, t, sc) in cands
+    ]
+    scored = [r for r in scored if r["filter_score"] >= cfg.span_thd]
+    scored.sort(key=lambda r: (-r["filter_score"], r["start"], r["end"]))
+    topk = scored[: cfg.max_top_k_spans]
+    # greedy NMS, longer-span preference
+    order = sorted(topk, key=lambda r: (-r["filter_score"], -(r["end"] - r["start"]),
+                                        r["start"], r["end"]))
+    kept: list[dict] = []
+    for r in order:
+        if all(iou(r["start"], r["end"], k["start"], k["end"]) < cfg.overlap_thd
+               for k in kept):
+            kept.append(r)
+    kept.sort(key=lambda r: (r["start"], r["end"]))
+    return kept
+
+
+def doc_relations(tokens: list[str], spans: list[dict], cfg: PipelineConfig) -> list[dict]:
+    """Pair cartesian (head != tail) -> rel score -> top-k -> threshold."""
+    reps = core.encode(tokens, cfg)
+    pairs = []
+    for h in spans:
+        for t in spans:
+            if (h["start"], h["end"]) == (t["start"], t["end"]):
+                continue
+            sc = core.rel_score(tokens, reps, (h["start"], h["end"]),
+                                (t["start"], t["end"]), cfg)
+            pairs.append({"h_start": h["start"], "h_end": h["end"],
+                          "t_start": t["start"], "t_end": t["end"], "rel_score": sc})
+    pairs.sort(key=lambda r: (-r["rel_score"], r["h_start"], r["h_end"],
+                              r["t_start"], r["t_end"]))
+    pairs = pairs[: cfg.max_top_k_rels]
+    thd = core.logit(cfg.rel_thd) if cfg.rel_thd != 0.5 else 0.0
+    return [p for p in pairs if p["rel_score"] >= thd]
+
+
+def link_entities(mentions: list[str], cfg: PipelineConfig) -> dict[str, tuple[int, str]]:
+    """normalized form -> (canonical_id, canonical_form) via MinHash-LSH
+    blocking + connected components (min-label propagation)."""
+    forms = sorted({normalize(m) for m in mentions if normalize(m)})
+    sh = {f: char_shingles(f, cfg.shingle_size) for f in forms}
+    sig = {f: minhash_signature(sh[f], cfg.minhash_hashes) for f in forms}
+    n_bands = cfg.minhash_hashes // cfg.minhash_band_size
+    buckets: dict[tuple, list[str]] = defaultdict(list)
+    for f in forms:
+        for band in range(n_bands):
+            lo = band * cfg.minhash_band_size
+            key = (band, tuple(sig[f][lo : lo + cfg.minhash_band_size]))
+            buckets[key].append(f)
+    adj: dict[str, set[str]] = defaultdict(set)
+    for members in buckets.values():
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                a, b = members[i], members[j]
+                if jaccard(sh[a], sh[b]) >= cfg.link_jaccard_thd:
+                    adj[a].add(b)
+                    adj[b].add(a)
+    # connected components: min md5_long label propagation to fixpoint
+    label = {f: md5_long(f) for f in forms}
+    changed = True
+    while changed:
+        changed = False
+        for f in forms:
+            m = min([label[f]] + [label[g] for g in adj[f]])
+            if m < label[f]:
+                label[f] = m
+                changed = True
+    by_label: dict[int, list[str]] = defaultdict(list)
+    for f in forms:
+        by_label[label[f]].append(f)
+    out: dict[str, tuple[int, str]] = {}
+    for lab, members in by_label.items():
+        canon = min(members, key=lambda f: (md5_long(f), f))
+        for f in members:
+            out[f] = (lab, canon)
+    return out
+
+
+def oracle_pipeline(pages: list[dict], cfg: PipelineConfig = DEFAULT_CONFIG) -> dict:
+    """pages (input_hint schema rows) -> {'spans', 'relations', 'triples'}."""
+    all_spans, all_rels, mention_texts = [], [], []
+    for pg in pages:
+        if pg["lang"] != "en":
+            continue
+        text = extract_text(pg["html"])
+        assert text == pg["text"], f"extraction not byte-identical for {pg['url']}"
+        tokens = tokenize(text)
+        spans = doc_spans(tokens, cfg)
+        for s in spans:
+            s2 = dict(s)
+            s2["url"] = pg["url"]
+            s2["text"] = " ".join(tokens[s["start"] : s["end"]])
+            all_spans.append(s2)
+            mention_texts.append(s2["text"])
+        span_text = {(s["start"], s["end"]): " ".join(tokens[s["start"] : s["end"]])
+                     for s in spans}
+        for r in doc_relations(tokens, spans, cfg):
+            r2 = dict(r)
+            r2["url"] = pg["url"]
+            r2["h_text"] = span_text[(r["h_start"], r["h_end"])]
+            r2["t_text"] = span_text[(r["t_start"], r["t_end"])]
+            all_rels.append(r2)
+    canon = link_entities(mention_texts, cfg)
+    triple_map: dict[tuple[int, int], dict] = {}
+    for r in all_rels:
+        hn, tn = normalize(r["h_text"]), normalize(r["t_text"])
+        if hn not in canon or tn not in canon:
+            continue
+        (hid, hform), (tid, tform) = canon[hn], canon[tn]
+        if hid == tid:
+            continue  # self-loop after canonicalization
+        key = (hid, tid)
+        t = triple_map.setdefault(
+            key, {"cause_id": hid, "cause": hform, "predicate": "CAUSES",
+                  "effect_id": tid, "effect": tform,
+                  "n_evidence": 0, "max_score": float("-inf")})
+        t["n_evidence"] += 1
+        t["max_score"] = max(t["max_score"], r["rel_score"])
+    triples = sorted(triple_map.values(), key=lambda t: (t["cause_id"], t["effect_id"]))
+    return {"spans": all_spans, "relations": all_rels, "triples": triples,
+            "canon": canon}

@@ -1,0 +1,43 @@
+"""SparkSession factory tuned for this pipeline.
+
+Local-mode defaults match the sandbox (local[32], 128 GiB); on a real
+cluster the same builder is driven by spark-submit confs instead. AQE is
+on for skew-join splitting and post-shuffle coalescing; Arrow batches
+are size-capped so encoder UDF inner loops stay dense (input_hint).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+from causalre_spark.config import DEFAULT_CONFIG, PipelineConfig
+
+
+def get_spark(
+    app: str = "causalre_spark",
+    cores: int | None = None,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    b = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(max(cfg.shuffle_partitions, cores)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(cfg.arrow_max_records))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.python.worker.reuse", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
