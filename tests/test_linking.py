@@ -1,0 +1,35 @@
+"""Entity linking: Spark relational LSH+CC vs oracle, and cluster semantics."""
+
+from causalre_spark.config import DEFAULT_CONFIG
+from causalre_spark.operators.linking import link_mentions
+from causalre_spark.oracle.pipeline import link_entities
+
+MENTIONS = [
+    "heavy rain", "Heavy Rain", "heavy rains", "heavy  rain!",
+    "severe flooding", "Severe Flooding", "severe floodings",
+    "budget cuts", "the policy change", "policy change",
+    "fish stock collapse", "completely unrelated phrase",
+]
+
+
+def test_spark_matches_oracle(spark):
+    cfg = DEFAULT_CONFIG
+    df = spark.createDataFrame([(m,) for m in MENTIONS], "text string")
+    got = {r["form"]: (r["canonical_id"], r["canonical_form"])
+           for r in link_mentions(df, cfg).collect()}
+    want = link_entities(MENTIONS, cfg)
+    assert got == want
+
+
+def test_variants_cluster_together():
+    canon = link_entities(MENTIONS, DEFAULT_CONFIG)
+    assert canon["heavy rain"] == canon["heavy rains"]
+    assert canon["severe flooding"] == canon["severe floodings"]
+    assert canon["heavy rain"] != canon["severe flooding"]
+    assert canon["completely unrelated phrase"][1] == "completely unrelated phrase"
+
+
+def test_canonicalization_idempotent():
+    c1 = link_entities(MENTIONS, DEFAULT_CONFIG)
+    c2 = link_entities(MENTIONS + MENTIONS, DEFAULT_CONFIG)
+    assert c1 == c2

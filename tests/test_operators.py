@@ -1,0 +1,84 @@
+"""Relational operator unit tests vs hand-computed expectations."""
+
+from pyspark.sql import Row
+
+from causalre_spark.config import PipelineConfig
+from causalre_spark.operators import relations, spans
+
+
+def _spans_df(spark, rows):
+    return spark.createDataFrame(
+        [Row(url=u, start=s, end=e, tag_score=float(ts), filter_score=float(fs))
+         for (u, s, e, ts, fs) in rows],
+        "url string, start int, end int, tag_score float, filter_score float",
+    )
+
+
+def test_topk_threshold_and_order(spark):
+    cfg = PipelineConfig(max_top_k_spans=2, span_thd=0.0)
+    df = _spans_df(spark, [
+        ("u1", 0, 2, 1.0, 3.0),
+        ("u1", 1, 3, 1.0, 5.0),
+        ("u1", 4, 6, 1.0, 4.0),
+        ("u1", 7, 8, 1.0, -1.0),   # below threshold
+        ("u2", 0, 1, 1.0, 1.0),
+    ])
+    got = {(r.url, r.start, r.end) for r in spans.topk_spans(df, cfg).collect()}
+    assert got == {("u1", 1, 3), ("u1", 4, 6), ("u2", 0, 1)}
+
+
+def test_topk_tiebreak_deterministic(spark):
+    cfg = PipelineConfig(max_top_k_spans=1)
+    df = _spans_df(spark, [("u", 5, 6, 0.0, 2.0), ("u", 1, 2, 0.0, 2.0)])
+    got = [(r.start, r.end) for r in spans.topk_spans(df, cfg).collect()]
+    assert got == [(1, 2)]  # equal score -> smaller start wins
+
+
+def test_nms_longer_span_preference(spark):
+    cfg = PipelineConfig(overlap_thd=0.8)
+    # same score: [0,10) vs [0,9) IoU=0.9 -> longer kept; [20,22) disjoint
+    df = _spans_df(spark, [
+        ("u", 0, 10, 0.0, 1.0),
+        ("u", 0, 9, 0.0, 1.0),
+        ("u", 20, 22, 0.0, 1.0),
+    ])
+    got = {(r.start, r.end) for r in spans.nms_spans(df, cfg).collect()}
+    assert got == {(0, 10), (20, 22)}
+
+
+def test_nms_low_overlap_survives(spark):
+    cfg = PipelineConfig(overlap_thd=0.8)
+    df = _spans_df(spark, [("u", 0, 10, 0.0, 2.0), ("u", 5, 15, 0.0, 1.0)])
+    got = {(r.start, r.end) for r in spans.nms_spans(df, cfg).collect()}
+    assert got == {(0, 10), (5, 15)}  # IoU = 5/15 < 0.8
+
+
+def test_dedup_spans_max_score(spark):
+    df = _spans_df(spark, [("u", 0, 2, 1.0, 3.0), ("u", 0, 2, 9.0, 1.0)])
+    r = spans.dedup_spans_max_score(df).collect()[0]
+    assert (r.tag_score, r.filter_score) == (9.0, 3.0)
+
+
+def test_gen_pairs_no_diagonal(spark):
+    df = _spans_df(spark, [("u", 0, 2, 0.0, 0.0), ("u", 3, 5, 0.0, 0.0),
+                           ("v", 1, 2, 0.0, 0.0)])
+    got = {(r.url, r.h_start, r.t_start) for r in relations.gen_pairs(df).collect()}
+    assert got == {("u", 0, 3), ("u", 3, 0)}  # v has 1 span -> no pairs
+
+
+def test_prune_hanging_rels(spark):
+    rels = spark.createDataFrame(
+        [("u", 0, 2, 3, 5, 1.0), ("u", 0, 2, 9, 11, 1.0)],
+        "url string, h_start int, h_end int, t_start int, t_end int, rel_score float",
+    )
+    kept = _spans_df(spark, [("u", 0, 2, 0.0, 0.0), ("u", 3, 5, 0.0, 0.0)])
+    got = [(r.t_start, r.t_end) for r in
+           relations.prune_hanging_rels(rels, kept).collect()]
+    assert got == [(3, 5)]
+
+
+def test_span_text_slice(spark):
+    docs = spark.createDataFrame(
+        [("u", ["heavy", "rain", "caused", "floods"])], "url string, tokens array<string>")
+    sp = _spans_df(spark, [("u", 0, 2, 0.0, 0.0)])
+    assert spans.span_text(sp, docs).collect()[0]["text"] == "heavy rain"
