@@ -1,0 +1,122 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Exact, MinHash-LSH, SimHash, and n-gram-Jaccard dedup over a document
+table — all pure DataFrame algebra on portable md5-derived hashes
+(functions.hashing), so each has an exact DuckDB oracle.
+
+Scale notes: every stage shuffles on content-derived keys (hash groups,
+LSH band keys, simhash blocks) — uniform by construction, no key skew.
+The LSH band join is the classic linear-ish alternative to the O(n²)
+all-pairs similarity join; the simhash block join bounds candidate pairs
+to same-block collisions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from causalre_spark.functions.hashing import md5_long_sql, minhash_sql
+from causalre_spark.functions.text import NORMALIZE_SQL
+
+
+def exact_dedup_keepers(docs: DataFrame, key_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup by md5 of the normalized key: one keeper (min id) per
+    content group + group size. (A8 at corpus scale.)"""
+    norm = NORMALIZE_SQL.format(x=key_col)
+    return (
+        docs.withColumn("content_key", F.expr(md5_long_sql(norm)))
+        .groupBy("content_key")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def word_shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """(id, shingle) distinct word n-grams of the normalized text."""
+    norm = NORMALIZE_SQL.format(x=text_col)
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.expr(
+                f"array_distinct(transform(sequence(1, greatest(1, size(split({norm}, ' ')) - {n - 1})),"
+                f" i -> concat_ws(' ', slice(split({norm}, ' '), i, {n}))))"
+            )
+        ).alias("shingle"),
+    )
+
+
+def minhash_lsh_pairs(
+    shingles: DataFrame, n_hashes: int, band_size: int
+) -> DataFrame:
+    """Candidate near-dup id pairs (id_a < id_b) via MinHash-LSH banding."""
+    aggs = [F.min(F.expr(minhash_sql("shingle", s))).alias(f"h{s}")
+            for s in range(n_hashes)]
+    sigs = shingles.groupBy("id").agg(*aggs)
+    n_bands = n_hashes // band_size
+    banded = None
+    for b in range(n_bands):
+        cols = [F.col(f"h{b * band_size + j}").cast("string")
+                for j in range(band_size)]
+        part = sigs.select("id", F.lit(b).alias("band"),
+                           F.concat_ws("|", *cols).alias("bkey"))
+        banded = part if banded is None else banded.unionByName(part)
+    a = banded.select("band", "bkey", F.col("id").alias("id_a"))
+    b2 = banded.select("band", "bkey", F.col("id").alias("id_b"))
+    return (a.join(b2, ["band", "bkey"]).filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+
+
+def jaccard_verify(pairs: DataFrame, shingles: DataFrame, thd: float) -> DataFrame:
+    """Exact n-gram Jaccard on candidate pairs (explode-join formulation —
+    no array collection, scales to large shingle sets)."""
+    counts = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    shared = (
+        pairs.join(shingles.withColumnRenamed("id", "id_a"), "id_a")
+        .join(shingles.withColumnRenamed("id", "id_b")
+              .withColumnRenamed("shingle", "shingle_b"), "id_b")
+        .filter(F.col("shingle") == F.col("shingle_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shared.join(counts.withColumnRenamed("id", "id_a")
+                    .withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(counts.withColumnRenamed("id", "id_b")
+              .withColumnRenamed("n_sh", "n_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_shared") /
+                    (F.col("n_a") + F.col("n_b") - F.col("n_shared")), 4),
+        )
+        .filter(F.col("jaccard") >= thd)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash16(docs: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """16-bit SimHash over word token md5 hashes — per-bit majority vote,
+    built entirely from relational aggregates (explode + sum + case)."""
+    norm = NORMALIZE_SQL.format(x=text_col)
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.expr(f"split({norm}, ' ')")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    h = toks.withColumn("th", F.expr(md5_long_sql("tok")))
+    bit_aggs = [
+        F.sum(
+            F.when(F.expr(f"(th div {1 << b}) % 2 = 1"), 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(16)
+    ]
+    votes = h.groupBy("id").agg(*bit_aggs)
+    sim = None
+    for b in range(16):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return votes.select("id", sim.cast("long").alias("simhash"))

@@ -1,0 +1,114 @@
+"""Embedding similarity search (training-data pipeline ops).
+
+Brute-force cosine top-k is the exactness baseline; the sign-LSH
+bucketed variant is the scale path (bucket on hyperplane sign bits ->
+candidate set shrinks by ~2^n_bits; at 100 TB the bucket join replaces
+the all-pairs cross join).
+
+All arithmetic is JVM-side (aggregate/zip_with over array<float>) — no
+Python UDFs in the hot path. Cosines are rounded before ranking so the
+Spark and DuckDB float-summation orders cannot flip the result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)),"
+        f" cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+
+
+def _norm(a: str) -> str:
+    return f"sqrt({_dot(a, a)})"
+
+
+def cosine_topk(
+    emb: DataFrame, query_id: int, k: int, id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k rows by cosine similarity to the row with id = query_id.
+
+    The 1-row query side is broadcast — no shuffle of the big side.
+    Deterministic order: rounded cosine desc, id asc.
+    """
+    q = emb.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("qvec"))
+    joined = emb.filter(F.col(id_col) != query_id).join(F.broadcast(q))
+    scored = joined.select(
+        F.col(id_col),
+        F.round(
+            F.expr(_dot(vec_col, "qvec"))
+            / (F.expr(_norm(vec_col)) * F.expr(_norm("qvec"))),
+            4,
+        ).alias("cosine"),
+    )
+    w = Window.orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(id_col, "cosine", F.col("rn").cast("long").alias("rank"))
+    )
+
+
+def lsh_sign_buckets(
+    emb: DataFrame, n_bits: int = 8, id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-LSH bucket id from the first n_bits dimensions' signs.
+
+    (Axis-aligned hyperplanes — deterministic and portable; random
+    hyperplanes would need a broadcast projection matrix, same plan
+    shape.) Returns (id, bucket)."""
+    terms = [
+        f"(case when element_at({vec_col}, {d + 1}) > 0 then {1 << d} else 0 end)"
+        for d in range(n_bits)
+    ]
+    return emb.select(
+        F.col(id_col),
+        F.expr(" + ".join(terms)).cast("long").alias("bucket"),
+    )
+
+
+def lsh_bucket_stats(emb: DataFrame, n_bits: int = 8,
+                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Bucket occupancy histogram (the ANN index's balance diagnostic)."""
+    return (
+        lsh_sign_buckets(emb, n_bits, id_col, vec_col)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+
+
+def ann_topk_bucketed(
+    emb: DataFrame, query_id: int, k: int, n_bits: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: search only the query's sign-LSH bucket.
+
+    The scale path for ANN: candidates = same-bucket rows (equi-join on
+    bucket, ~n/2^n_bits of the data) instead of a full scan."""
+    b = lsh_sign_buckets(emb, n_bits, id_col, vec_col)
+    with_b = emb.join(b, id_col)
+    qb = with_b.filter(F.col(id_col) == query_id).select(
+        F.col("bucket"), F.col(vec_col).alias("qvec"))
+    cands = with_b.join(F.broadcast(qb), "bucket").filter(
+        F.col(id_col) != query_id)
+    scored = cands.select(
+        F.col(id_col),
+        F.round(
+            F.expr(_dot(vec_col, "qvec"))
+            / (F.expr(_norm(vec_col)) * F.expr(_norm("qvec"))),
+            4,
+        ).alias("cosine"),
+    )
+    w = Window.orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(id_col, "cosine", F.col("rn").cast("long").alias("rank"))
+    )

@@ -1,0 +1,1009 @@
+"""Driver-contract query registry: every SURVEY.md §2 operator (plus the
+training-data-pipeline additions) as a (Spark builder, DuckDB oracle SQL)
+pair over the driver's testdata tables.
+
+Design rules that make the value-hash comparison exact:
+  - every cross-engine hash is the portable md5-derived bigint
+    (functions.hashing.md5_long_sql — same text evaluates in both engines)
+  - every float output is round()ed (4-6 dp) on both sides, BEFORE any
+    ranking that depends on it, so FP summation order can't flip results
+  - every integer output is cast to BIGINT on both sides
+  - every window order and tie-break is total (no nondeterminism)
+
+Oracle SQL is DuckDB dialect (regexp_replace needs the 'g' flag,
+string_split vs split, list ops) — dialects differ, values must not.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from causalre_spark.config import DEFAULT_CONFIG
+from causalre_spark.functions.hashing import md5_long_sql, minhash_sql
+from causalre_spark.functions.text import NORMALIZE_SQL
+from causalre_spark.functions.text_duck import NORMALIZE_SQL_DUCK
+from causalre_spark.operators import dedup, similarity, textstats
+
+# --------------------------------------------------------------------------
+# shared fragments
+# --------------------------------------------------------------------------
+
+# portable deterministic per-span score (identical text in both engines)
+SCORE = md5_long_sql("concat_ws(':', doc_id, s, e)")
+SCORE2 = md5_long_sql("concat_ws(':', 'alt', doc_id, s, e)")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _lattice(spark: SparkSession, sf_dir: str, L: int, W: int) -> DataFrame:
+    """P4: the dense span lattice, relationally (explode x explode), with
+    P1 validity as a WHERE clause (masks become filters, SURVEY §2.2)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .withColumn("len", F.least(F.size("toks"), F.lit(L)))
+        .filter(F.col("len") > 0)
+        .withColumn("s", F.explode(F.expr("sequence(0, len - 1)")))
+        .withColumn("w", F.explode(F.expr(f"sequence(1, {W})")))
+        .filter(F.col("s") + F.col("w") <= F.col("len"))
+        .select(
+            "doc_id",
+            F.col("s").cast("long").alias("s"),
+            (F.col("s") + F.col("w")).cast("long").alias("e"),
+        )
+    )
+
+
+def _duck_lattice(L: int, W: int) -> str:
+    return f"""
+toks AS (SELECT doc_id, least(len(string_split(text, ' ')), {L}) AS len
+         FROM documents WHERE len(string_split(text, ' ')) > 0),
+starts AS (SELECT doc_id, len, unnest(generate_series(0, len - 1)) AS s FROM toks),
+lat AS (SELECT doc_id, CAST(s AS BIGINT) AS s, CAST(s + w AS BIGINT) AS e
+        FROM (SELECT doc_id, len, s, unnest(generate_series(1, {W})) AS w
+              FROM starts) q
+        WHERE s + w <= len)
+"""
+
+
+def _scored_lattice(spark, sf_dir, L, W) -> DataFrame:
+    return _lattice(spark, sf_dir, L, W).withColumn("score", F.expr(SCORE))
+
+
+def _duck_scored(L, W) -> str:
+    return (
+        _duck_lattice(L, W)
+        + f", scored AS (SELECT doc_id, s, e, {SCORE} AS score FROM lat)"
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.2 projections / filters / lattice
+# --------------------------------------------------------------------------
+
+def q_p1_valid_span_counts(spark, sf_dir):
+    return (
+        _lattice(spark, sf_dir, 40, 6)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_spans"))
+    )
+
+
+SQL_P1 = f"""
+WITH {_duck_lattice(40, 6)}
+SELECT doc_id, count(*) AS n_spans FROM lat GROUP BY doc_id
+"""
+
+# --------------------------------------------------------------------------
+# §2.5 top-k / dedup-max  (T1, T3)
+# --------------------------------------------------------------------------
+
+def q_t1_topk_spans(spark, sf_dir):
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("s").asc(), F.col("e").asc())
+    return (
+        _scored_lattice(spark, sf_dir, 40, 6)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", F.col("s").alias("start"), F.col("e").alias("end"), "score")
+    )
+
+
+SQL_T1 = f"""
+WITH {_duck_scored(40, 6)}
+SELECT doc_id, s AS start, e AS "end", score
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, s, e) AS rn
+      FROM scored) q
+WHERE rn <= 5
+"""
+
+
+def q_t3_dedup_max(spark, sf_dir):
+    lat = _lattice(spark, sf_dir, 20, 3)
+    a = lat.withColumn("score", F.expr(SCORE))
+    b = lat.withColumn("score", F.expr(SCORE2))
+    return (
+        a.unionByName(b)
+        .groupBy("doc_id", F.col("s").alias("start"), F.col("e").alias("end"))
+        .agg(F.max("score").alias("max_score"))
+    )
+
+
+SQL_T3 = f"""
+WITH {_duck_lattice(20, 3)},
+u AS (SELECT doc_id, s, e, {SCORE} AS score FROM lat
+      UNION ALL
+      SELECT doc_id, s, e, {SCORE2} AS score FROM lat)
+SELECT doc_id, s AS start, e AS "end", max(score) AS max_score
+FROM u GROUP BY doc_id, s, e
+"""
+
+# --------------------------------------------------------------------------
+# §2.3 joins (J1 pair-gen, T5 hanging prune)
+# --------------------------------------------------------------------------
+
+def _top3(spark, sf_dir) -> DataFrame:
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("s").asc(), F.col("e").asc())
+    return (
+        _scored_lattice(spark, sf_dir, 30, 5)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "s", "e", "score")
+    )
+
+
+DUCK_TOP3 = f"""
+{_duck_scored(30, 5)},
+top3 AS (SELECT doc_id, s, e, score
+         FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                       ORDER BY score DESC, s, e) AS rn FROM scored) q
+         WHERE rn <= 3)
+"""
+
+
+def q_j1_pair_gen(spark, sf_dir):
+    sp = _top3(spark, sf_dir)
+    h = sp.select("doc_id", F.col("s").alias("h_start"), F.col("e").alias("h_end"))
+    t = sp.select("doc_id", F.col("s").alias("t_start"), F.col("e").alias("t_end"))
+    return h.join(t, "doc_id").filter(
+        (F.col("h_start") != F.col("t_start")) | (F.col("h_end") != F.col("t_end"))
+    )
+
+
+SQL_J1 = f"""
+WITH {DUCK_TOP3}
+SELECT a.doc_id, a.s AS h_start, a.e AS h_end, b.s AS t_start, b.e AS t_end
+FROM top3 a JOIN top3 b ON a.doc_id = b.doc_id
+WHERE a.s != b.s OR a.e != b.e
+"""
+
+
+def q_t5_hanging_prune(spark, sf_dir):
+    sp = _top3(spark, sf_dir)
+    kept = sp.filter(F.col("score") % 2 == 0).select("doc_id", "s", "e")
+    pairs = q_j1_pair_gen(spark, sf_dir)
+    pairs = pairs.join(
+        kept.withColumnRenamed("s", "h_start").withColumnRenamed("e", "h_end"),
+        ["doc_id", "h_start", "h_end"], "left_semi")
+    return pairs.join(
+        kept.withColumnRenamed("s", "t_start").withColumnRenamed("e", "t_end"),
+        ["doc_id", "t_start", "t_end"], "left_semi")
+
+
+SQL_T5 = f"""
+WITH {DUCK_TOP3},
+kept AS (SELECT doc_id, s, e FROM top3 WHERE score % 2 = 0),
+pairs AS (SELECT a.doc_id, a.s AS h_start, a.e AS h_end, b.s AS t_start, b.e AS t_end
+          FROM top3 a JOIN top3 b ON a.doc_id = b.doc_id
+          WHERE a.s != b.s OR a.e != b.e)
+SELECT p.* FROM pairs p
+WHERE EXISTS (SELECT 1 FROM kept k WHERE k.doc_id = p.doc_id
+              AND k.s = p.h_start AND k.e = p.h_end)
+  AND EXISTS (SELECT 1 FROM kept k WHERE k.doc_id = p.doc_id
+              AND k.s = p.t_start AND k.e = p.t_end)
+"""
+
+# --------------------------------------------------------------------------
+# §2.4 aggregations / metrics (A1 strict micro-PRF, A2 loose, A6 stats)
+# --------------------------------------------------------------------------
+
+def q_a1_micro_prf(spark, sf_dir):
+    lat = _scored_lattice(spark, sf_dir, 30, 4)
+    gold = lat.filter(F.col("score") % 3 == 0).select("doc_id", "s", "e")
+    pred = lat.filter(F.col("score") % 2 == 0).select("doc_id", "s", "e")
+    tp = gold.join(pred, ["doc_id", "s", "e"]).count()
+    fp = pred.join(gold, ["doc_id", "s", "e"], "left_anti").count()
+    fn = gold.join(pred, ["doc_id", "s", "e"], "left_anti").count()
+    prec = tp / max(tp + fp, 1)
+    rec = tp / max(tp + fn, 1)
+    f1 = 2 * prec * rec / max(prec + rec, 1e-12)
+    return spark.createDataFrame(
+        [(tp, fp, fn, round(prec, 6), round(rec, 6), round(f1, 6))],
+        "tp long, fp long, fn long, precision double, recall double, f1 double",
+    )
+
+
+SQL_A1 = f"""
+WITH {_duck_scored(30, 4)},
+gold AS (SELECT doc_id, s, e FROM scored WHERE score % 3 = 0),
+pred AS (SELECT doc_id, s, e FROM scored WHERE score % 2 = 0),
+c AS (SELECT
+  (SELECT count(*) FROM gold JOIN pred USING (doc_id, s, e)) AS tp,
+  (SELECT count(*) FROM pred WHERE NOT EXISTS
+     (SELECT 1 FROM gold g WHERE g.doc_id = pred.doc_id AND g.s = pred.s AND g.e = pred.e)) AS fp,
+  (SELECT count(*) FROM gold WHERE NOT EXISTS
+     (SELECT 1 FROM pred p WHERE p.doc_id = gold.doc_id AND p.s = gold.s AND p.e = gold.e)) AS fn)
+SELECT tp, fp, fn,
+       round(tp / greatest(tp + fp, 1), 6) AS precision,
+       round(tp / greatest(tp + fn, 1), 6) AS recall,
+       round(2.0 * (tp / greatest(tp + fp, 1)) * (tp / greatest(tp + fn, 1))
+             / greatest(tp / greatest(tp + fp, 1) + tp / greatest(tp + fn, 1), 1e-12), 6) AS f1
+FROM c
+"""
+
+
+def q_a2_loose_match(spark, sf_dir):
+    """A2 loose matching as a band join (|Δstart|<=1, |Δend|<=1 in-doc).
+    Set semantics (gold matched iff ANY pred within tolerance) — the
+    reference's greedy 1-to-1 first-match (metrics.py:38-45) is covered
+    by the NMS-style sequential op; set semantics keeps the op purely
+    relational."""
+    lat = _scored_lattice(spark, sf_dir, 20, 3)
+    gold = lat.filter(F.col("score") % 5 == 0).select("doc_id", "s", "e")
+    pred = lat.filter(F.col("score") % 4 == 0).select(
+        "doc_id", F.col("s").alias("ps"), F.col("e").alias("pe"))
+    matched = (
+        gold.join(pred, "doc_id")
+        .filter((F.abs(F.col("s") - F.col("ps")) <= 1)
+                & (F.abs(F.col("e") - F.col("pe")) <= 1))
+        .select("doc_id", "s", "e").distinct()
+    )
+    n_gold = gold.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_gold"))
+    n_tp = matched.groupBy("doc_id").agg(F.count(F.lit(1)).alias("loose_tp"))
+    return n_gold.join(n_tp, "doc_id", "left").select(
+        "doc_id", "n_gold", F.coalesce("loose_tp", F.lit(0)).alias("loose_tp"))
+
+
+SQL_A2 = f"""
+WITH {_duck_scored(20, 3)},
+gold AS (SELECT doc_id, s, e FROM scored WHERE score % 5 = 0),
+pred AS (SELECT doc_id, s AS ps, e AS pe FROM scored WHERE score % 4 = 0),
+matched AS (SELECT DISTINCT g.doc_id, g.s, g.e
+            FROM gold g JOIN pred p ON g.doc_id = p.doc_id
+            AND abs(g.s - p.ps) <= 1 AND abs(g.e - p.pe) <= 1)
+SELECT g.doc_id, count(*) AS n_gold,
+       coalesce(max(m.loose_tp), 0) AS loose_tp
+FROM gold g LEFT JOIN (SELECT doc_id, count(*) AS loose_tp
+                       FROM matched GROUP BY doc_id) m USING (doc_id)
+GROUP BY g.doc_id
+"""
+
+
+def q_a6_corpus_stats(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("lang", F.size(F.split("text", " ")).cast("long").alias("n_tokens"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+            F.round(F.stddev_samp("n_tokens"), 4).alias("sd_tokens"),
+        )
+    )
+
+
+SQL_A6 = """
+SELECT lang, count(*) AS n_docs,
+       max(CAST(len(string_split(text, ' ')) AS BIGINT)) AS max_tokens,
+       round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
+       round(stddev_samp(len(string_split(text, ' '))), 4) AS sd_tokens
+FROM documents GROUP BY lang
+"""
+
+
+def q_a8_triple_dedup(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "source",
+            F.element_at(F.split("text", " "), 1).alias("cause"),
+            F.element_at(F.split("text", " "), -1).alias("effect"),
+        )
+        .distinct()
+    )
+
+
+SQL_A8 = """
+SELECT DISTINCT source,
+       string_split(text, ' ')[1] AS cause,
+       string_split(text, ' ')[-1] AS effect
+FROM documents
+"""
+
+
+def q_u1_set_ops(spark, sf_dir):
+    lat = _scored_lattice(spark, sf_dir, 30, 4)
+    gold = lat.filter(F.col("score") % 3 == 0).select("doc_id", "s", "e")
+    pred = lat.filter(F.col("score") % 2 == 0).select("doc_id", "s", "e")
+    return spark.createDataFrame(
+        [(gold.intersect(pred).count(),
+          gold.exceptAll(pred).count(),
+          pred.exceptAll(gold).count())],
+        "n_intersect long, n_only_gold long, n_only_pred long",
+    )
+
+
+SQL_U1 = f"""
+WITH {_duck_scored(30, 4)},
+gold AS (SELECT doc_id, s, e FROM scored WHERE score % 3 = 0),
+pred AS (SELECT doc_id, s, e FROM scored WHERE score % 2 = 0)
+SELECT
+  (SELECT count(*) FROM (SELECT * FROM gold INTERSECT SELECT * FROM pred)) AS n_intersect,
+  (SELECT count(*) FROM (SELECT * FROM gold EXCEPT ALL SELECT * FROM pred)) AS n_only_gold,
+  (SELECT count(*) FROM (SELECT * FROM pred EXCEPT ALL SELECT * FROM gold)) AS n_only_pred
+"""
+
+# --------------------------------------------------------------------------
+# §2.7 scalar functions (F1 span text, F2 IoU)
+# --------------------------------------------------------------------------
+
+def q_f1_span_text(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(F.split("text", " "), 4, 3)).alias("span_text"),
+    )
+
+
+SQL_F1 = """
+SELECT doc_id, array_to_string(string_split(text, ' ')[4:6], ' ') AS span_text
+FROM documents
+"""
+
+
+def q_f2_iou_pairs(spark, sf_dir):
+    sp = (
+        _scored_lattice(spark, sf_dir, 16, 4)
+        .filter(F.col("score") % 4 == 0)
+        .select("doc_id", "s", "e")
+    )
+    a = sp.select("doc_id", F.col("s").alias("a_start"), F.col("e").alias("a_end"))
+    b = sp.select("doc_id", F.col("s").alias("b_start"), F.col("e").alias("b_end"))
+    inter = F.greatest(
+        F.lit(0),
+        F.least("a_end", "b_end") - F.greatest("a_start", "b_start"))
+    union = (F.col("a_end") - F.col("a_start")) + (F.col("b_end") - F.col("b_start")) - inter
+    return (
+        a.join(b, "doc_id")
+        .filter((F.col("a_start") < F.col("b_start"))
+                | ((F.col("a_start") == F.col("b_start")) & (F.col("a_end") < F.col("b_end"))))
+        .withColumn("iou", F.round(inter / union, 4))
+        .filter(F.col("iou") >= 0.5)
+    )
+
+
+SQL_F2 = f"""
+WITH {_duck_scored(16, 4)},
+sp AS (SELECT doc_id, s, e FROM scored WHERE score % 4 = 0)
+SELECT a.doc_id, a.s AS a_start, a.e AS a_end, b.s AS b_start, b.e AS b_end,
+       round(greatest(0, least(a.e, b.e) - greatest(a.s, b.s))
+             / ((a.e - a.s) + (b.e - b.s)
+                - greatest(0, least(a.e, b.e) - greatest(a.s, b.s))), 4) AS iou
+FROM sp a JOIN sp b ON a.doc_id = b.doc_id
+WHERE (a.s < b.s OR (a.s = b.s AND a.e < b.e))
+  AND round(greatest(0, least(a.e, b.e) - greatest(a.s, b.s))
+            / ((a.e - a.s) + (b.e - b.s)
+               - greatest(0, least(a.e, b.e) - greatest(a.s, b.s))), 4) >= 0.5
+"""
+
+# --------------------------------------------------------------------------
+# dedup family (training-data ops)
+# --------------------------------------------------------------------------
+
+PREFIX_KEY = "concat_ws(' ', slice(split(text, ' '), 1, 3))"
+
+
+def q_dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup_keepers(
+        _t(spark, sf_dir, "documents"), key_col=PREFIX_KEY)
+
+
+SQL_DEDUP_EXACT = f"""
+WITH keyed AS (
+  SELECT doc_id,
+         {md5_long_sql(NORMALIZE_SQL_DUCK.format(x="array_to_string(string_split(text, ' ')[1:3], ' ')"))} AS content_key
+  FROM documents)
+SELECT content_key, min(doc_id) AS keeper_id, count(*) AS n_dups
+FROM keyed GROUP BY content_key
+"""
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    sh = dedup.word_shingles(docs, n=3)
+    pairs = dedup.minhash_lsh_pairs(sh, n_hashes=6, band_size=2)
+    return dedup.jaccard_verify(pairs, sh, thd=0.3)
+
+
+def _duck_minhash_cte(n: int, n_hashes: int, band_size: int) -> str:
+    norm = NORMALIZE_SQL_DUCK.format(x="text")
+    mins = ", ".join(
+        f"min({minhash_sql('shingle', s)}) AS h{s}" for s in range(n_hashes))
+    bands = "\nUNION ALL\n".join(
+        f"SELECT id, {b} AS band, concat_ws('|', h{b * band_size}, h{b * band_size + 1}) AS bkey FROM sigs"
+        for b in range(n_hashes // band_size))
+    return f"""
+norm AS (SELECT doc_id AS id, string_split({norm}, ' ') AS toks FROM documents),
+sh AS (SELECT DISTINCT id,
+              array_to_string(toks[i:i+{n - 1}], ' ') AS shingle
+       FROM (SELECT id, toks,
+                    unnest(generate_series(1, greatest(1, len(toks) - {n - 1}))) AS i
+             FROM norm) q),
+sigs AS (SELECT id, {mins} FROM sh GROUP BY id),
+banded AS ({bands}),
+cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey
+         WHERE a.id < b.id),
+counts AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+shared AS (SELECT c.id_a, c.id_b, count(*) AS n_shared
+           FROM cand c JOIN sh x ON x.id = c.id_a
+                        JOIN sh y ON y.id = c.id_b AND y.shingle = x.shingle
+           GROUP BY c.id_a, c.id_b)
+"""
+
+
+SQL_DEDUP_MINHASH = f"""
+WITH {_duck_minhash_cte(3, 6, 2)}
+SELECT s.id_a, s.id_b,
+       round(s.n_shared / (ca.n_sh + cb.n_sh - s.n_shared), 4) AS jaccard
+FROM shared s
+JOIN counts ca ON ca.id = s.id_a
+JOIN counts cb ON cb.id = s.id_b
+WHERE round(s.n_shared / (ca.n_sh + cb.n_sh - s.n_shared), 4) >= 0.3
+"""
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return dedup.simhash16(_t(spark, sf_dir, "documents"))
+
+
+def _duck_simhash() -> str:
+    norm = NORMALIZE_SQL_DUCK.format(x="text")
+    th = md5_long_sql("tok")
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (th >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(16))
+    sim = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16))
+    return f"""
+WITH toks AS (SELECT doc_id AS id, unnest(string_split({norm}, ' ')) AS tok
+              FROM documents),
+h AS (SELECT id, {th} AS th FROM toks WHERE tok != ''),
+votes AS (SELECT id, {bit_sums} FROM h GROUP BY id)
+SELECT id, CAST({sim} AS BIGINT) AS simhash FROM votes
+"""
+
+
+SQL_DEDUP_SIMHASH = _duck_simhash()
+
+# --------------------------------------------------------------------------
+# text stats family
+# --------------------------------------------------------------------------
+
+def q_text_quality(spark, sf_dir):
+    return textstats.quality_scores(_t(spark, sf_dir, "documents"))
+
+
+_DUCK_NORM_TOKS = f"string_split({NORMALIZE_SQL_DUCK.format(x='text')}, ' ')"
+
+SQL_TEXT_QUALITY = f"""
+WITH base AS (
+  SELECT doc_id, text, {_DUCK_NORM_TOKS} AS toks,
+         {NORMALIZE_SQL_DUCK.format(x='text')} AS norm
+  FROM documents),
+feat AS (
+  SELECT doc_id,
+    CAST(len(toks) AS BIGINT) AS n_tokens,
+    round((length(norm) - (len(toks) - 1)) * 1.0 / greatest(len(toks), 1), 4) AS avg_token_len,
+    round((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+          * 1.0 / greatest(length(text), 1), 4) AS punct_ratio,
+    round(len(list_filter(toks, t -> list_contains(
+          ['the','a','of','to','and','in','is','was'], t)))
+          * 1.0 / greatest(len(toks), 1), 4) AS stopword_ratio
+  FROM base)
+SELECT *, round((CASE WHEN n_tokens >= 10 THEN 0.4 ELSE 0.0 END)
+                + (1 - punct_ratio) * 0.3
+                + least(stopword_ratio * 3, 1.0) * 0.3, 4) AS quality_score
+FROM feat
+"""
+
+
+def q_text_token_stats(spark, sf_dir):
+    return textstats.token_stats_by_group(_t(spark, sf_dir, "documents"))
+
+
+SQL_TEXT_TOKEN_STATS = f"""
+WITH base AS (SELECT source, {_DUCK_NORM_TOKS} AS toks FROM documents),
+per_doc AS (SELECT source, CAST(len(toks) AS BIGINT) AS n_tokens, toks FROM base),
+agg AS (SELECT source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               max(n_tokens) AS max_tokens, round(avg(n_tokens), 4) AS avg_tokens
+        FROM per_doc GROUP BY source),
+vocab AS (SELECT source, count(DISTINCT tok) AS vocab_size
+          FROM (SELECT source, unnest(toks) AS tok FROM per_doc) q
+          GROUP BY source)
+SELECT a.source, a.n_docs, a.total_tokens, a.max_tokens, a.avg_tokens, v.vocab_size
+FROM agg a JOIN vocab v USING (source)
+"""
+
+
+def q_text_langid(spark, sf_dir):
+    return textstats.lang_scores(_t(spark, sf_dir, "documents"))
+
+
+def _duck_langid() -> str:
+    score_cols, langs = [], sorted(textstats.LANG_MARKERS)
+    for lang in langs:
+        arr = "[" + ",".join(f"'{m}'" for m in textstats.LANG_MARKERS[lang]) + "]"
+        score_cols.append(
+            f"CAST(len(list_filter(toks, t -> list_contains({arr}, t))) AS BIGINT) AS score_{lang}")
+    best = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN score_{lang} = {best} THEN '{lang}'" for lang in langs) + " END"
+    return f"""
+WITH base AS (SELECT doc_id, {_DUCK_NORM_TOKS} AS toks FROM documents),
+scored AS (SELECT doc_id, {", ".join(score_cols)} FROM base)
+SELECT *, {case} AS predicted_lang FROM scored
+"""
+
+
+SQL_TEXT_LANGID = _duck_langid()
+
+
+def q_text_fingerprint(spark, sf_dir):
+    return textstats.fingerprints(_t(spark, sf_dir, "documents"))
+
+
+SQL_TEXT_FINGERPRINT = f"""
+SELECT doc_id,
+       {md5_long_sql(f"array_to_string(list_sort(list_distinct({_DUCK_NORM_TOKS})), ' ')")} AS fingerprint
+FROM documents
+"""
+
+# --------------------------------------------------------------------------
+# similarity family (embeddings)
+# --------------------------------------------------------------------------
+
+def q_sim_cosine_topk(spark, sf_dir):
+    return similarity.cosine_topk(_t(spark, sf_dir, "embeddings"), query_id=0, k=20)
+
+
+_DUCK_COS = """
+WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+pairs AS (SELECT e.vec_id, e.embedding, q.qvec FROM embeddings e, q
+          WHERE e.vec_id != 0),
+terms AS (SELECT vec_id,
+                 sum(embedding[i] * qvec[i]) AS dot,
+                 sum(embedding[i] * embedding[i]) AS na,
+                 sum(qvec[i] * qvec[i]) AS nb
+          FROM (SELECT vec_id, embedding, qvec,
+                       unnest(generate_series(1, len(embedding))) AS i
+                FROM pairs) t
+          GROUP BY vec_id),
+scored AS (SELECT vec_id, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cosine
+           FROM terms)
+"""
+
+SQL_SIM_COSINE_TOPK = f"""
+{_DUCK_COS}
+SELECT vec_id, cosine, CAST(rn AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (ORDER BY cosine DESC, vec_id) AS rn FROM scored) r
+WHERE rn <= 20
+"""
+
+
+def q_ann_lsh_buckets(spark, sf_dir):
+    return similarity.lsh_bucket_stats(_t(spark, sf_dir, "embeddings"), n_bits=6)
+
+
+SQL_ANN_LSH_BUCKETS = f"""
+SELECT CAST({" + ".join(f"(CASE WHEN embedding[{d + 1}] > 0 THEN {1 << d} ELSE 0 END)" for d in range(6))} AS BIGINT) AS bucket,
+       count(*) AS n_vectors
+FROM embeddings GROUP BY 1
+"""
+
+
+def q_ann_topk_bucketed(spark, sf_dir):
+    return similarity.ann_topk_bucketed(
+        _t(spark, sf_dir, "embeddings"), query_id=0, k=10, n_bits=4)
+
+
+_BUCKET4 = " + ".join(
+    f"(CASE WHEN embedding[{d + 1}] > 0 THEN {1 << d} ELSE 0 END)" for d in range(4))
+
+SQL_ANN_TOPK_BUCKETED = f"""
+WITH b AS (SELECT vec_id, embedding, CAST({_BUCKET4} AS BIGINT) AS bucket FROM embeddings),
+q AS (SELECT bucket, embedding AS qvec FROM b WHERE vec_id = 0),
+cand AS (SELECT x.vec_id, x.embedding, q.qvec FROM b x JOIN q ON x.bucket = q.bucket
+         WHERE x.vec_id != 0),
+terms AS (SELECT vec_id, sum(embedding[i] * qvec[i]) AS dot,
+                 sum(embedding[i] * embedding[i]) AS na, sum(qvec[i] * qvec[i]) AS nb
+          FROM (SELECT vec_id, embedding, qvec,
+                       unnest(generate_series(1, len(embedding))) AS i FROM cand) t
+          GROUP BY vec_id),
+scored AS (SELECT vec_id, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cosine FROM terms)
+SELECT vec_id, cosine, CAST(rn AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (ORDER BY cosine DESC, vec_id) AS rn FROM scored) r
+WHERE rn <= 10
+"""
+
+# --------------------------------------------------------------------------
+# entity-linking relational pieces + connected components
+# --------------------------------------------------------------------------
+
+FORM_EXPR = "concat_ws(' ', slice(split(text, ' '), 1, 4))"
+_DUCK_FORM = NORMALIZE_SQL_DUCK.format(
+    x="array_to_string(string_split(text, ' ')[1:4], ' ')")
+
+
+def q_link_minhash_sigs(spark, sf_dir):
+    from causalre_spark.operators.linking import form_shingles, minhash_signatures, normalized_forms
+
+    forms = normalized_forms(
+        _t(spark, sf_dir, "documents").select(F.expr(FORM_EXPR).alias("text")))
+    return minhash_signatures(form_shingles(forms, 3), 4)
+
+
+SQL_LINK_MINHASH_SIGS = f"""
+WITH forms AS (SELECT DISTINCT {_DUCK_FORM} AS form FROM documents
+               WHERE {_DUCK_FORM} != ''),
+sh AS (SELECT DISTINCT form, substring(form, i, 3) AS shingle
+       FROM (SELECT form, unnest(generate_series(1, greatest(1, length(form) - 2))) AS i
+             FROM forms) q)
+SELECT form, {", ".join(f"min({minhash_sql('shingle', s)}) AS h{s}" for s in range(4))}
+FROM sh GROUP BY form
+"""
+
+
+def q_link_lsh_pairs(spark, sf_dir):
+    from causalre_spark.operators.linking import form_shingles, lsh_candidate_pairs, minhash_signatures, normalized_forms
+
+    forms = normalized_forms(
+        _t(spark, sf_dir, "documents").select(F.expr(FORM_EXPR).alias("text")))
+    sigs = minhash_signatures(form_shingles(forms, 3), 4)
+    return lsh_candidate_pairs(sigs, 4, 2)
+
+
+SQL_LINK_LSH_PAIRS = f"""
+WITH forms AS (SELECT DISTINCT {_DUCK_FORM} AS form FROM documents
+               WHERE {_DUCK_FORM} != ''),
+sh AS (SELECT DISTINCT form, substring(form, i, 3) AS shingle
+       FROM (SELECT form, unnest(generate_series(1, greatest(1, length(form) - 2))) AS i
+             FROM forms) q),
+sigs AS (SELECT form, {", ".join(f"min({minhash_sql('shingle', s)}) AS h{s}" for s in range(4))}
+         FROM sh GROUP BY form),
+banded AS (SELECT form, 0 AS band, concat_ws('|', h0, h1) AS bkey FROM sigs
+           UNION ALL
+           SELECT form, 1 AS band, concat_ws('|', h2, h3) AS bkey FROM sigs)
+SELECT DISTINCT a.form AS form_a, b.form AS form_b
+FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey
+WHERE a.form < b.form
+"""
+
+
+def q_cc_components(spark, sf_dir):
+    """Connected components over a doc graph (edges: doc -> min doc of
+    its (lang, first-token) group and of its (source, first-token)
+    group; overlapping groups merge into multi-hop components)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source",
+        F.element_at(F.split("text", " "), 1).alias("tok1"))
+    e1 = docs.join(
+        docs.groupBy("lang", "tok1").agg(F.min("doc_id").alias("dst")),
+        ["lang", "tok1"]).select(F.col("doc_id").alias("src"), "dst")
+    e2 = docs.join(
+        docs.groupBy("source", "tok1").agg(F.min("doc_id").alias("dst")),
+        ["source", "tok1"]).select(F.col("doc_id").alias("src"), "dst")
+    edges = e1.unionByName(e2).filter(F.col("src") != F.col("dst")).distinct()
+    # iterative min-label propagation (same loop as linking.connected_components,
+    # over numeric ids)
+    labels = docs.select("doc_id", F.col("doc_id").alias("component")).localCheckpoint()
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    for _ in range(15):
+        nbr = (
+            sym.join(labels.withColumnRenamed("doc_id", "dst")
+                     .withColumnRenamed("component", "nbr"), "dst")
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("nbr").alias("nbr"))
+        )
+        upd = (
+            labels.join(nbr, "doc_id", "left")
+            .select("doc_id",
+                    F.least("component", F.coalesce("nbr", "component")).alias("new_component"),
+                    "component")
+        ).localCheckpoint()
+        changed = upd.filter(F.col("new_component") != F.col("component")).count()
+        labels = upd.select("doc_id", F.col("new_component").alias("component"))
+        if changed == 0:
+            break
+    return labels
+
+
+SQL_CC_COMPONENTS = """
+WITH RECURSIVE docs AS (SELECT doc_id, lang, source, string_split(text, ' ')[1] AS tok1
+              FROM documents),
+e1 AS (SELECT d.doc_id AS src, m.dst
+       FROM docs d JOIN (SELECT lang, tok1, min(doc_id) AS dst
+                         FROM docs GROUP BY lang, tok1) m
+       ON d.lang = m.lang AND d.tok1 = m.tok1),
+e2 AS (SELECT d.doc_id AS src, m.dst
+       FROM docs d JOIN (SELECT source, tok1, min(doc_id) AS dst
+                         FROM docs GROUP BY source, tok1) m
+       ON d.source = m.source AND d.tok1 = m.tok1),
+edges AS (SELECT DISTINCT src, dst FROM (SELECT * FROM e1 UNION ALL SELECT * FROM e2) u
+          WHERE src != dst),
+sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+reach(a, b) AS (
+    SELECT src, dst FROM sym
+    UNION
+    SELECT reach.a, s.dst FROM reach JOIN sym s ON reach.b = s.src)
+SELECT d.doc_id, least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS component
+FROM docs d LEFT JOIN reach r ON r.a = d.doc_id
+GROUP BY d.doc_id
+"""
+
+# --------------------------------------------------------------------------
+# classic relational + events (engine breadth)
+# --------------------------------------------------------------------------
+
+def q_tpch_q1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_segment_revenue(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+SQL_TPCH_SEGMENT_REVENUE = """
+SELECT c_mktsegment,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(DISTINCT o_orderkey) AS n_orders
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_events_sessionize(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.col("ts").cast("timestamp").cast("long").alias("epoch"))
+    w = Window.partitionBy("user_id").orderBy("epoch", "event_id")
+    return (
+        ev.withColumn("prev", F.lag("epoch").over(w))
+        .withColumn(
+            "new_session",
+            F.when(F.col("prev").isNull() | (F.col("epoch") - F.col("prev") > 1800), 1)
+            .otherwise(0),
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum("new_session").alias("n_sessions"))
+    )
+
+
+SQL_EVENTS_SESSIONIZE = """
+WITH ev AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch
+            FROM events),
+lagged AS (SELECT user_id, epoch,
+                  lag(epoch) OVER (PARTITION BY user_id ORDER BY epoch, event_id) AS prev
+           FROM ev)
+SELECT user_id, count(*) AS n_events,
+       CAST(sum(CASE WHEN prev IS NULL OR epoch - prev > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+FROM lagged GROUP BY user_id
+"""
+
+
+def q_events_tumbling(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn(
+            "hour_start",
+            (F.floor(F.col("ts").cast("timestamp").cast("long") / 3600) * 3600).cast("long"))
+        .groupBy("event_type", "hour_start")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.avg("value"), 4).alias("avg_value"))
+    )
+
+
+SQL_EVENTS_TUMBLING = """
+SELECT event_type,
+       CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS hour_start,
+       count(*) AS n_events, round(avg(value), 4) AS avg_value
+FROM events GROUP BY event_type, hour_start
+"""
+
+
+def q_events_json_extract(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k", F.regexp_extract("props", "([0-9]+)", 1).cast("long"))
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_EVENTS_JSON_EXTRACT = """
+SELECT event_type, CAST(sum(CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+       count(*) AS n
+FROM events GROUP BY event_type
+"""
+
+# --------------------------------------------------------------------------
+# UDF-backed pipeline queries (no SQL oracle — driver rows-only check;
+# golden correctness is the pytest oracle-parity suite)
+# --------------------------------------------------------------------------
+
+def _pages_from_documents(spark, sf_dir) -> DataFrame:
+    """Adapt the driver's documents table to the input_hint page schema
+    (html synthesized around text — extraction invariant still holds)."""
+    return _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("https://"), F.col("source"),
+                 F.lit(".example.org/doc/"), F.col("doc_id")).alias("url"),
+        F.lit("2025-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.encode(F.concat(F.lit("<html><body><p>"), F.col("text"),
+                          F.lit("</p></body></html>")), "utf-8").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+
+
+def q_pipeline_spans(spark, sf_dir):
+    from causalre_spark.model.udfs import DOCS_SCHEMA, make_score_spans_udf
+    from causalre_spark.operators.spans import nms_spans, span_text, topk_spans
+    from causalre_spark.pipeline import _extract_verify_udf
+
+    pages = _pages_from_documents(spark, sf_dir)
+    docs = pages.filter(F.col("lang") == "en").select(
+        "url", "html", F.col("text").alias("expected_text")
+    ).mapInPandas(_extract_verify_udf, schema=DOCS_SCHEMA + ", text_ok boolean")
+    docs = docs.drop("text_ok")
+    cands = docs.select("url", "tokens").mapInPandas(
+        make_score_spans_udf(DEFAULT_CONFIG),
+        schema="url string, start int, end int, tag_score float, filter_score float")
+    kept = nms_spans(topk_spans(cands, DEFAULT_CONFIG), DEFAULT_CONFIG)
+    return span_text(kept, docs).select(
+        "url", F.col("start").cast("long").alias("start"),
+        F.col("end").cast("long").alias("end"),
+        F.round("filter_score", 4).alias("filter_score"), "text")
+
+
+def q_causal_triples(spark, sf_dir):
+    from causalre_spark.pipeline import run_pipeline
+
+    pages = _pages_from_documents(spark, sf_dir)
+    return run_pipeline(spark, pages, verify_extraction=False)["triples"]
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # span algebra (SURVEY §2.2/2.3/2.5)
+    "p1_valid_span_counts": q_p1_valid_span_counts,
+    "t1_topk_spans": q_t1_topk_spans,
+    "t3_dedup_max": q_t3_dedup_max,
+    "j1_pair_gen": q_j1_pair_gen,
+    "t5_hanging_prune": q_t5_hanging_prune,
+    # metrics / aggs (§2.4, §2.6)
+    "a1_micro_prf": q_a1_micro_prf,
+    "a2_loose_match": q_a2_loose_match,
+    "a6_corpus_stats": q_a6_corpus_stats,
+    "a8_triple_dedup": q_a8_triple_dedup,
+    "u1_set_ops": q_u1_set_ops,
+    # scalar fns (§2.7)
+    "f1_span_text": q_f1_span_text,
+    "f2_iou_pairs": q_f2_iou_pairs,
+    # dedup family (training-data ops)
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    # text analysis family
+    "text_quality": q_text_quality,
+    "text_token_stats": q_text_token_stats,
+    "text_langid": q_text_langid,
+    "text_fingerprint": q_text_fingerprint,
+    # similarity family
+    "sim_cosine_topk": q_sim_cosine_topk,
+    "ann_lsh_buckets": q_ann_lsh_buckets,
+    "ann_topk_bucketed": q_ann_topk_bucketed,
+    # entity linking pieces + CC
+    "link_minhash_sigs": q_link_minhash_sigs,
+    "link_lsh_pairs": q_link_lsh_pairs,
+    "cc_components": q_cc_components,
+    # classic relational + events
+    "tpch_q1": q_tpch_q1,
+    "tpch_segment_revenue": q_tpch_segment_revenue,
+    "events_sessionize": q_events_sessionize,
+    "events_tumbling": q_events_tumbling,
+    "events_json_extract": q_events_json_extract,
+    # UDF pipeline (rows-only)
+    "pipeline_spans": q_pipeline_spans,
+    "causal_triples": q_causal_triples,
+}
+
+ORACLES: dict[str, str] = {
+    "p1_valid_span_counts": SQL_P1,
+    "t1_topk_spans": SQL_T1,
+    "t3_dedup_max": SQL_T3,
+    "j1_pair_gen": SQL_J1,
+    "t5_hanging_prune": SQL_T5,
+    "a1_micro_prf": SQL_A1,
+    "a2_loose_match": SQL_A2,
+    "a6_corpus_stats": SQL_A6,
+    "a8_triple_dedup": SQL_A8,
+    "u1_set_ops": SQL_U1,
+    "f1_span_text": SQL_F1,
+    "f2_iou_pairs": SQL_F2,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
+    "dedup_simhash": SQL_DEDUP_SIMHASH,
+    "text_quality": SQL_TEXT_QUALITY,
+    "text_token_stats": SQL_TEXT_TOKEN_STATS,
+    "text_langid": SQL_TEXT_LANGID,
+    "text_fingerprint": SQL_TEXT_FINGERPRINT,
+    "sim_cosine_topk": SQL_SIM_COSINE_TOPK,
+    "ann_lsh_buckets": SQL_ANN_LSH_BUCKETS,
+    "ann_topk_bucketed": SQL_ANN_TOPK_BUCKETED,
+    "link_minhash_sigs": SQL_LINK_MINHASH_SIGS,
+    "link_lsh_pairs": SQL_LINK_LSH_PAIRS,
+    "cc_components": SQL_CC_COMPONENTS,
+    "tpch_q1": SQL_TPCH_Q1,
+    "tpch_segment_revenue": SQL_TPCH_SEGMENT_REVENUE,
+    "events_sessionize": SQL_EVENTS_SESSIONIZE,
+    "events_tumbling": SQL_EVENTS_TUMBLING,
+    "events_json_extract": SQL_EVENTS_JSON_EXTRACT,
+}
