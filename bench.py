@@ -1,0 +1,188 @@
+"""Benchmark harness.
+
+Default mode (what the round driver runs):
+  - times the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
+    on local[$SPARK_GRAFT_CPUS]
+  - runs the same causal-KG pipeline job at two parallelism levels
+    (local[8] and local[32] via subprocesses — the sandbox stand-in for
+    N vs 4N executors, per BASELINE.md) on the same pre-materialized
+    synthetic corpus and reports docs/sec + scaling efficiency
+  - writes BENCH/BASELINE.md and prints ONE JSON line.
+
+Child mode (--scaling-run): measures one parallelism level and prints
+its JSON (used by the parent via subprocess).
+
+Set SPARK_GRAFT_BENCH_PAGES / SPARK_GRAFT_SKIP_SCALING to tune.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+CORPUS_DIR = "/tmp/causalre_bench_corpus"
+
+HEADLINE = [
+    "t1_topk_spans",        # windowed top-k over the exploded span lattice
+    "dedup_minhash_lsh",    # MinHash-LSH band join + jaccard verify
+    "dedup_simhash",        # bit-vote aggregation
+    "sim_cosine_topk",      # brute-force cosine top-k
+    "cc_components",        # iterative connected components
+    "text_quality",         # codegen'd text featurization
+    "tpch_q1",              # classic agg
+    "events_sessionize",    # lag-window sessionization
+    "pipeline_spans",       # UDF extraction + top-k + NMS + span text
+    "causal_triples",       # full pipeline incl. linking + triples
+]
+
+
+def _materialize_corpus(spark, n_pages: int, partitions: int) -> str:
+    from causalre_spark.sources.corpus import synth_pages_df
+
+    path = f"{CORPUS_DIR}_{n_pages}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        synth_pages_df(spark, n_pages, partitions=partitions) \
+            .write.mode("overwrite").parquet(path)
+    return path
+
+
+def run_headline(sf_dir: str, cores: int) -> dict:
+    from causalre_spark.plans.entry_queries import QUERIES
+    from causalre_spark.session import get_spark
+
+    spark = get_spark(app="bench", cores=cores)
+    times = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        df = QUERIES[name](spark, sf_dir)
+        n = df.count()
+        times[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {n} rows in {times[name]}s", file=sys.stderr)
+    spark.stop()
+    return times
+
+
+def scaling_run(cores: int, corpus_path: str) -> dict:
+    """One parallelism level: full pages->triples pipeline throughput."""
+    from causalre_spark.pipeline import run_pipeline
+    from causalre_spark.session import get_spark
+
+    spark = get_spark(app=f"bench_scale_{cores}", cores=cores,
+                      extra_conf={"spark.sql.shuffle.partitions": str(cores)})
+    pages = spark.read.parquet(corpus_path).persist()
+    # force a full materialization so the timed section excludes disk I/O
+    # (parquet count() alone is metadata-only)
+    pages.agg({"html": "count"}).collect()
+    n_pages = pages.count()
+    t0 = time.time()
+    res = run_pipeline(spark, pages, verify_extraction=False)
+    n_triples = res["triples"].count()
+    secs = time.time() - t0
+    spark.stop()
+    return {
+        "cores": cores,
+        "n_pages": n_pages,
+        "n_triples": n_triples,
+        "secs": round(secs, 2),
+        "docs_per_sec": round(n_pages / secs, 2),
+        "triples_per_sec": round(n_triples / secs, 2),
+    }
+
+
+def _child(cores: int, corpus_path: str) -> dict:
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--scaling-run",
+         "--cores", str(cores), "--corpus", corpus_path],
+        capture_output=True, text=True, cwd=REPO, timeout=3600,
+        env={**os.environ, "PYTHONPATH": REPO},
+    )
+    if out.returncode != 0:
+        print(out.stderr[-3000:], file=sys.stderr)
+        raise RuntimeError(f"scaling child (cores={cores}) failed")
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def write_baseline_md(scale_lo: dict, scale_hi: dict, eff: float,
+                      times: dict, sf_dir: str) -> None:
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(
+            "# BENCH baseline — measured throughput & scaling\n\n"
+            "Full causal-KG pipeline (pages -> extract -> spans -> NMS -> "
+            "pairs -> relations -> linking -> triples) on the deterministic "
+            "synthetic corpus, same input at two parallelism levels "
+            "(local[N] threads stand in for executors — no real cluster in "
+            "the sandbox, per BASELINE.md).\n\n"
+            "| cores | pages | triples | secs | docs/sec | triples/sec |\n"
+            "|---|---|---|---|---|---|\n"
+        )
+        for s in (scale_lo, scale_hi):
+            f.write(f"| {s['cores']} | {s['n_pages']} | {s['n_triples']} | "
+                    f"{s['secs']} | {s['docs_per_sec']} | {s['triples_per_sec']} |\n")
+        f.write(
+            f"\n**Scaling efficiency ({scale_lo['cores']} -> {scale_hi['cores']} "
+            f"cores, {scale_hi['cores'] // scale_lo['cores']}x):** "
+            f"(T_lo/T_hi)/{scale_hi['cores'] // scale_lo['cores']} = **{eff:.3f}** "
+            f"(target >= 0.8)\n\n"
+            f"## Headline operator times ({sf_dir}, local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}])\n\n"
+            "| query | secs |\n|---|---|\n"
+        )
+        for k, v in times.items():
+            f.write(f"| {k} | {v} |\n")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling-run", action="store_true")
+    ap.add_argument("--cores", type=int, default=8)
+    ap.add_argument("--corpus", type=str, default="")
+    args = ap.parse_args()
+
+    if args.scaling_run:
+        print(json.dumps(scaling_run(args.cores, args.corpus)))
+        return
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    times = run_headline(sf_dir, cores)
+
+    result = {
+        "metric": "headline operator suite wall-clock",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+
+    if not os.environ.get("SPARK_GRAFT_SKIP_SCALING"):
+        n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "200000"))
+        from causalre_spark.session import get_spark
+
+        spark = get_spark(app="bench_gen", cores=cores)
+        corpus = _materialize_corpus(spark, n_pages, partitions=64)
+        spark.stop()
+        # 4 vs 16 cores: this VM exposes 32 logical but ~16 effective
+        # physical cores (32 concurrent CPU-bound procs run at ~0.6x) —
+        # the N-vs-4N comparison must fit inside real cores on both legs
+        lo = _child(int(os.environ.get("SPARK_GRAFT_SCALE_LO", "4")), corpus)
+        hi = _child(int(os.environ.get("SPARK_GRAFT_SCALE_HI", "16")), corpus)
+        eff = (lo["secs"] / hi["secs"]) / (hi["cores"] / lo["cores"])
+        result["scaling"] = {
+            "low": lo, "high": hi, "efficiency": round(eff, 3),
+        }
+        write_baseline_md(lo, hi, eff, times, sf_dir)
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -24,19 +24,20 @@ class PipelineConfig:
     loose_width_limit: int = 8      # config.yaml:83
     rel_thd: float = 0.5            # decode threshold for the causal head (predictor.py:138-155 semantics)
     span_thd: float = 0.0           # binary span-filter keep threshold (layers_filtering.py single-logit > 0)
-    hidden_dim: int = 16            # stand-in model width (reference: 768; see model/core.py)
+    hidden_dim: int = 192           # stand-in model width sized so compute/IO ratio is representative (reference: 768; see model/core.py)
 
     # --- entity linking (our addition per north_rule; no reference analogue) ---
     minhash_hashes: int = 8
-    minhash_band_size: int = 2
+    minhash_band_size: int = 4      # 2 bands; collision P = sim^4 keeps buckets small
     shingle_size: int = 3           # char shingles of the normalized mention
-    link_jaccard_thd: float = 0.6
+    link_jaccard_thd: float = 0.8
     cc_max_iters: int = 20
 
     # --- execution knobs (ours) ---
     shuffle_partitions: int = 32
     arrow_max_records: int = 512    # size-capped Arrow batches (input_hint)
     salt_buckets: int = 8           # hot-domain salting
+    salt_input: bool = False        # opt-in salted repartition before the UDF stage
     table_format: str = "parquet"   # 'iceberg' on a real cluster; parquet in sandbox
 
     extra: dict = field(default_factory=dict)

@@ -45,9 +45,22 @@ def md5_long_sql(expr: str, nhex: int = DEFAULT_NHEX) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def md5_long_sql_spark(expr: str, nhex: int = DEFAULT_NHEX) -> str:
+    """Spark-only twin of :func:`md5_long_sql` — identical VALUE, one md5
+    evaluation via conv() (Spark has conv; DuckDB does not, so oracles
+    keep the instr expansion — the engines only need equal values, and
+    the oracle runs once on small data)."""
+    return f"cast(conv(substring(md5({expr}), 1, {nhex}), 16, 10) as bigint)"
+
+
 def minhash_sql(expr: str, seed: int, nhex: int = DEFAULT_NHEX) -> str:
     """SQL for one seeded hash family member: md5_long(seed || '#' || expr)."""
     return md5_long_sql(f"concat('{seed}#', {expr})", nhex=nhex)
+
+
+def minhash_sql_spark(expr: str, seed: int, nhex: int = DEFAULT_NHEX) -> str:
+    """Spark-only twin of :func:`minhash_sql` (single md5 via conv)."""
+    return md5_long_sql_spark(f"concat('{seed}#', {expr})", nhex=nhex)
 
 
 def minhash_long(s: str, seed: int, nhex: int = DEFAULT_NHEX) -> int:

@@ -11,19 +11,37 @@ import re
 
 from causalre_spark.functions.hashing import md5_long, minhash_long
 
-_NORM_RE = re.compile(r"[^a-z0-9 ]+")
-_WS_RE = re.compile(r" +")
+# Normalization v2 (FROZEN): lowercase; ASCII punctuation -> space;
+# collapse space runs; trim. Non-ASCII characters pass through
+# unchanged. Implemented with translate + split/filter/join because
+# Spark's regexp_replace costs ~50-100x more per row than translate in
+# whole-stage codegen — at 10^12 mention instances the regexp variant
+# IS the pipeline bottleneck.
+PUNCT = "".join(chr(c) for c in range(33, 127) if not chr(c).isalnum())
+_SPACES = " " * len(PUNCT)
+_TRANS = str.maketrans(PUNCT, _SPACES)
 
-# SQL twin (identical in Spark SQL & DuckDB):
-#   trim(regexp_replace(regexp_replace(lower(x), '[^a-z0-9 ]+', ' '), ' +', ' '))
+
+def _sql_quote(s: str, backslash_escapes: bool) -> str:
+    out = s.replace("'", "''")
+    if backslash_escapes:
+        out = out.replace("\\", "\\\\")
+    return "'" + out + "'"
+
+
+# Spark SQL twin (backslash IS an escape char in Spark string literals).
+# Braces inside the punctuation literal are doubled so these templates
+# remain str.format-safe ({x} is the only live placeholder).
 NORMALIZE_SQL = (
-    "trim(regexp_replace(regexp_replace(lower({x}), '[^a-z0-9 ]+', ' '), ' +', ' '))"
+    "concat_ws(' ', filter(split(translate(lower({x}), "
+    + _sql_quote(PUNCT, backslash_escapes=True).replace("{", "{{").replace("}", "}}")
+    + f", '{_SPACES}'), ' '), s -> s != ''))"
 )
 
 
 def normalize(s: str) -> str:
     """Canonical surface form: lowercase, punctuation -> space, collapse."""
-    return _WS_RE.sub(" ", _NORM_RE.sub(" ", s.lower())).strip()
+    return " ".join(t for t in s.lower().translate(_TRANS).split(" ") if t)
 
 
 def char_shingles(s: str, k: int = 3) -> set[str]:

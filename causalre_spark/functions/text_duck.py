@@ -1,11 +1,15 @@
 """DuckDB-dialect twins of the portable SQL fragments.
 
-DuckDB's regexp_replace replaces only the first match unless passed the
-'g' flag, while Spark SQL always replaces globally — so the normalize
-expression needs a dialect twin (same output, different spelling).
+DuckDB string literals do NOT treat backslash as an escape (unlike
+Spark SQL), so the punctuation set is quoted differently; the computed
+values are identical across Spark SQL / DuckDB / Python
+(functions.text.normalize).
 """
 
+from causalre_spark.functions.text import PUNCT, _SPACES, _sql_quote
+
 NORMALIZE_SQL_DUCK = (
-    "trim(regexp_replace(regexp_replace(lower({x}), '[^a-z0-9 ]+', ' ', 'g'),"
-    " ' +', ' ', 'g'))"
+    "coalesce(array_to_string(list_filter(string_split(translate(lower({x}), "
+    + _sql_quote(PUNCT, backslash_escapes=False).replace("{", "{{").replace("}", "}}")
+    + f", '{_SPACES}'), ' '), s -> s != ''), ' '), '')"
 )

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from causalre_spark.functions.hashing import md5_long_sql, minhash_sql
+from causalre_spark.functions.hashing import md5_long_sql_spark, minhash_sql_spark
 from causalre_spark.functions.text import NORMALIZE_SQL
 
 
@@ -26,7 +26,7 @@ def exact_dedup_keepers(docs: DataFrame, key_col: str = "text",
     content group + group size. (A8 at corpus scale.)"""
     norm = NORMALIZE_SQL.format(x=key_col)
     return (
-        docs.withColumn("content_key", F.expr(md5_long_sql(norm)))
+        docs.withColumn("content_key", F.expr(md5_long_sql_spark(norm)))
         .groupBy("content_key")
         .agg(
             F.min(id_col).alias("keeper_id"),
@@ -54,7 +54,7 @@ def minhash_lsh_pairs(
     shingles: DataFrame, n_hashes: int, band_size: int
 ) -> DataFrame:
     """Candidate near-dup id pairs (id_a < id_b) via MinHash-LSH banding."""
-    aggs = [F.min(F.expr(minhash_sql("shingle", s))).alias(f"h{s}")
+    aggs = [F.min(F.expr(minhash_sql_spark("shingle", s))).alias(f"h{s}")
             for s in range(n_hashes)]
     sigs = shingles.groupBy("id").agg(*aggs)
     n_bands = n_hashes // band_size
@@ -107,7 +107,7 @@ def simhash16(docs: DataFrame, id_col: str = "doc_id",
         F.col(id_col).alias("id"),
         F.explode(F.expr(f"split({norm}, ' ')")).alias("tok"),
     ).filter(F.col("tok") != "")
-    h = toks.withColumn("th", F.expr(md5_long_sql("tok")))
+    h = toks.withColumn("th", F.expr(md5_long_sql_spark("tok")))
     bit_aggs = [
         F.sum(
             F.when(F.expr(f"(th div {1 << b}) % 2 = 1"), 1).otherwise(-1)

@@ -26,16 +26,33 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from causalre_spark.config import DEFAULT_CONFIG, PipelineConfig
-from causalre_spark.functions.hashing import md5_long_sql, minhash_sql
+from causalre_spark.functions.hashing import md5_long_sql_spark, minhash_sql_spark
 from causalre_spark.functions.text import NORMALIZE_SQL
 
 
 def normalized_forms(mentions: DataFrame, text_col: str = "text") -> DataFrame:
-    """Distinct normalized mention forms."""
+    """Distinct normalized mention forms.
+
+    Distinct-first: dedupe the raw surface strings (cheap hash agg)
+    BEFORE the regexp normalization, which is ~100x more expensive per
+    row — raw-distinct mentions are orders of magnitude fewer than
+    mention instances at any corpus size."""
     return (
-        mentions.select(F.expr(NORMALIZE_SQL.format(x=text_col)).alias("form"))
+        mentions.select(F.col(text_col).alias("_raw")).distinct()
+        .select(F.expr(NORMALIZE_SQL.format(x="_raw")).alias("form"))
         .filter(F.col("form") != "")
         .distinct()
+    )
+
+
+def mention_form_map(mentions: DataFrame, text_col: str = "text") -> DataFrame:
+    """(raw text -> normalized form) dictionary over distinct raw
+    mentions — broadcast-join this instead of re-normalizing per
+    instance row."""
+    return (
+        mentions.select(F.col(text_col).alias("text")).distinct()
+        .withColumn("form", F.expr(NORMALIZE_SQL.format(x="text")))
+        .filter(F.col("form") != "")
     )
 
 
@@ -56,41 +73,56 @@ def form_shingles(forms: DataFrame, k: int) -> DataFrame:
 def minhash_signatures(shingles: DataFrame, n_hashes: int) -> DataFrame:
     """form -> h0..h{n-1} minhash signature (one shuffle)."""
     aggs = [
-        F.min(F.expr(minhash_sql("shingle", seed))).alias(f"h{seed}")
+        F.min(F.expr(minhash_sql_spark("shingle", seed))).alias(f"h{seed}")
         for seed in range(n_hashes)
     ]
     return shingles.groupBy("form").agg(*aggs)
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, n_hashes: int, band_size: int
+    sigs: DataFrame, n_hashes: int, band_size: int, dedup: bool = True
 ) -> DataFrame:
-    """LSH banding -> distinct candidate pairs (form_a < form_b)."""
+    """LSH banding -> distinct candidate pairs (form_a < form_b).
+
+    Bands are emitted with one explode projection (not an n_bands-way
+    union) so the plan stays a single scan -> explode -> self-join."""
     n_bands = n_hashes // band_size
-    banded = None
-    for b in range(n_bands):
-        cols = [F.col(f"h{b * band_size + j}") for j in range(band_size)]
-        part = sigs.select(
-            "form",
+    band_structs = F.array(*[
+        F.struct(
             F.lit(b).alias("band"),
-            F.concat_ws("|", *[c.cast("string") for c in cols]).alias("bkey"),
+            F.concat_ws("|", *[F.col(f"h{b * band_size + j}").cast("string")
+                               for j in range(band_size)]).alias("bkey"),
         )
-        banded = part if banded is None else banded.unionByName(part)
+        for b in range(n_bands)
+    ])
+    banded = sigs.select("form", F.explode(band_structs).alias("bk")).select(
+        "form", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
     a = banded.select("band", "bkey", F.col("form").alias("form_a"))
     bb = banded.select("band", "bkey", F.col("form").alias("form_b"))
-    return (
+    out = (
         a.join(bb, ["band", "bkey"])
         .filter(F.col("form_a") < F.col("form_b"))
         .select("form_a", "form_b")
-        .distinct()
     )
+    # cross-band duplicates are harmless to downstream verification (it
+    # re-distincts) — dedup here only when the caller consumes raw pairs
+    return out.distinct() if dedup else out
 
 
 def verify_jaccard(
-    pairs: DataFrame, shingles: DataFrame, thd: float
+    pairs: DataFrame, shingles: DataFrame, thd: float,
+    broadcast_max_forms: int = 2_000_000, n_forms: int | None = None,
 ) -> DataFrame:
-    """Exact Jaccard on collected shingle arrays; keeps edges >= thd."""
+    """Exact Jaccard on collected shingle arrays; keeps edges >= thd.
+
+    When the form dictionary is small enough, both lookup sides are
+    broadcast so the (much larger) candidate-pair stream never shuffles —
+    the join is map-side and the array intersect/union runs in codegen.
+    Beyond the threshold it degrades to a shuffle join automatically.
+    Pass n_forms when already known to avoid an extra count job."""
     sets = shingles.groupBy("form").agg(F.collect_set("shingle").alias("sh"))
+    if (n_forms if n_forms is not None else sets.count()) <= broadcast_max_forms:
+        sets = F.broadcast(sets.persist())
     return (
         pairs.join(sets.withColumnRenamed("form", "form_a")
                         .withColumnRenamed("sh", "sh_a"), "form_a")
@@ -103,24 +135,42 @@ def verify_jaccard(
         )
         .filter(F.col("jaccard") >= thd)
         .select("form_a", "form_b", "jaccard")
+        .distinct()
     )
 
 
 def connected_components(
-    nodes: DataFrame, edges: DataFrame, max_iters: int = 20
+    nodes: DataFrame, edges: DataFrame, max_iters: int = 20,
+    rows_per_partition: int = 10_000, n_nodes: int | None = None,
 ) -> DataFrame:
     """Min-label propagation over (form_a, form_b) edges.
 
     Returns (form, component) where component = min md5_long(form) over
-    the component. Checkpoints every iteration to cut lineage (SURVEY
-    §4 item 3); converges in O(cluster diameter) rounds.
+    the component. Every iteration eagerly localCheckpoints (a lazy
+    chain would reference `labels` twice per round and duplicate the
+    whole upstream plan exponentially) — the checkpointed leaf keeps
+    each round to one small job. Partition count is sized from the node
+    count so a small mention graph doesn't pay wide-shuffle task
+    overhead while a 10^9-node graph still spreads (SURVEY §4 item 3).
+    Converges in O(component diameter) rounds, bounded by max_iters.
     """
-    labels = nodes.select(
-        "form", F.expr(md5_long_sql("form")).alias("component")
-    ).localCheckpoint()
-    sym = edges.select("form_a", "form_b").unionByName(
-        edges.select(F.col("form_b").alias("form_a"), F.col("form_a").alias("form_b"))
-    ).localCheckpoint()
+    if n_nodes is None:
+        n_nodes = nodes.count()
+    spark = nodes.sparkSession
+    max_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    parts = max(1, min(max_parts, n_nodes // rows_per_partition + 1))
+    labels = (
+        nodes.select("form", F.expr(md5_long_sql_spark("form")).alias("component"))
+        .repartition(parts, "form")
+        .localCheckpoint()
+    )
+    sym = (
+        edges.select("form_a", "form_b")
+        .unionByName(edges.select(F.col("form_b").alias("form_a"),
+                                  F.col("form_a").alias("form_b")))
+        .repartition(parts, "form_b")
+        .localCheckpoint()
+    )
     for _ in range(max_iters):
         neighbor_min = (
             sym.join(labels.withColumnRenamed("form", "form_b")
@@ -138,6 +188,7 @@ def connected_components(
                 ).alias("new_component"),
                 F.col("component"),
             )
+            .repartition(parts, "form")
         ).localCheckpoint()
         n_changed = updated.filter(F.col("new_component") != F.col("component")).count()
         labels = updated.select("form", F.col("new_component").alias("component"))
@@ -150,7 +201,7 @@ def canonical_entities(labels: DataFrame) -> DataFrame:
     """(form, canonical_id, canonical_form): canonical = the form whose
     md5_long equals the component minimum (deterministic; tie-broken by
     form for the astronomically-unlikely 48-bit collision)."""
-    with_h = labels.withColumn("fh", F.expr(md5_long_sql("form")))
+    with_h = labels.withColumn("fh", F.expr(md5_long_sql_spark("form")))
     w = Window.partitionBy("component").orderBy(F.col("fh").asc(), F.col("form").asc())
     canon = (
         with_h.withColumn("rn", F.row_number().over(w))
@@ -170,11 +221,18 @@ def canonical_entities(labels: DataFrame) -> DataFrame:
 def link_mentions(
     mentions: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG, text_col: str = "text"
 ) -> DataFrame:
-    """Full linking stage: mentions -> (form, canonical_id, canonical_form)."""
-    forms = normalized_forms(mentions, text_col)
-    sh = form_shingles(forms, cfg.shingle_size)
+    """Full linking stage: mentions -> (form, canonical_id, canonical_form).
+
+    forms/shingles are persisted: the distinct over the (much larger)
+    mention table must run once, not once per downstream consumer —
+    shingles alone is referenced three times (signatures + both sides of
+    the jaccard verification)."""
+    forms = normalized_forms(mentions, text_col).persist()
+    n_forms = forms.count()  # single materialization/count, reused below
+    sh = form_shingles(forms, cfg.shingle_size).persist()
     sigs = minhash_signatures(sh, cfg.minhash_hashes)
-    cands = lsh_candidate_pairs(sigs, cfg.minhash_hashes, cfg.minhash_band_size)
-    edges = verify_jaccard(cands, sh, cfg.link_jaccard_thd)
-    labels = connected_components(forms, edges, cfg.cc_max_iters)
+    cands = lsh_candidate_pairs(sigs, cfg.minhash_hashes, cfg.minhash_band_size,
+                                dedup=False)
+    edges = verify_jaccard(cands, sh, cfg.link_jaccard_thd, n_forms=n_forms)
+    labels = connected_components(forms, edges, cfg.cc_max_iters, n_nodes=n_forms)
     return canonical_entities(labels)

@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from causalre_spark.functions.hashing import md5_long_sql
+from causalre_spark.functions.hashing import md5_long_sql_spark
 from causalre_spark.functions.text import NORMALIZE_SQL
 
 # tiny deterministic marker lists (n-gram-heuristic language ID)
@@ -107,5 +107,5 @@ def fingerprints(docs: DataFrame, id_col: str = "doc_id",
     )
     return docs.select(
         F.col(id_col),
-        F.expr(md5_long_sql(joined)).alias("fingerprint"),
+        F.expr(md5_long_sql_spark(joined)).alias("fingerprint"),
     )

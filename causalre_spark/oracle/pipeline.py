@@ -36,14 +36,22 @@ def iou(s1: int, e1: int, s2: int, e2: int) -> float:
 
 
 def doc_spans(tokens: list[str], cfg: PipelineConfig) -> list[dict]:
-    """Tagger decode -> span filter -> top-k -> NMS for one document."""
-    reps = core.encode(tokens, cfg)
-    b, e = core.tagger_logits(tokens, reps, cfg)
-    cands = core.decode_spans(b, e, cfg)
+    """Tagger decode -> span filter -> top-k -> NMS for one document.
+
+    Scores come from the shared batch primitives (model/batch.py — the
+    same functions the Spark UDFs call, so floats agree exactly); the
+    selection logic (threshold, top-k, NMS) is re-derived here with
+    independent Python loops."""
+    from causalre_spark.model import batch
+
+    enc = batch.DocEncoding(tokens, cfg)
+    b, e = batch.tagger_logits_batch(enc)
+    starts, ends, tag_scores = batch.decode_spans_batch(b, e, cfg)
+    fscores = batch.span_filter_scores_batch(enc, starts, ends)
     scored = [
-        {"start": s, "end": t, "tag_score": sc,
-         "filter_score": core.span_filter_score(tokens, reps, s, t, cfg)}
-        for (s, t, sc) in cands
+        {"start": int(s), "end": int(t), "tag_score": float(ts),
+         "filter_score": float(fs)}
+        for s, t, ts, fs in zip(starts, ends, tag_scores, fscores)
     ]
     scored = [r for r in scored if r["filter_score"] >= cfg.span_thd]
     scored.sort(key=lambda r: (-r["filter_score"], r["start"], r["end"]))
@@ -61,17 +69,32 @@ def doc_spans(tokens: list[str], cfg: PipelineConfig) -> list[dict]:
 
 
 def doc_relations(tokens: list[str], spans: list[dict], cfg: PipelineConfig) -> list[dict]:
-    """Pair cartesian (head != tail) -> rel score -> top-k -> threshold."""
-    reps = core.encode(tokens, cfg)
-    pairs = []
+    """Pair cartesian (head != tail) -> rel score -> top-k -> threshold.
+
+    Pair enumeration / top-k / threshold re-derived with loops; scores
+    from the shared batch primitive (one call over all pairs, matching
+    the UDF's shapes so float accumulation is identical)."""
+    import numpy as np
+
+    from causalre_spark.model import batch
+
+    enc = batch.DocEncoding(tokens, cfg)
+    keys = []
     for h in spans:
         for t in spans:
             if (h["start"], h["end"]) == (t["start"], t["end"]):
                 continue
-            sc = core.rel_score(tokens, reps, (h["start"], h["end"]),
-                                (t["start"], t["end"]), cfg)
-            pairs.append({"h_start": h["start"], "h_end": h["end"],
-                          "t_start": t["start"], "t_end": t["end"], "rel_score": sc})
+            keys.append((h["start"], h["end"], t["start"], t["end"]))
+    if keys:
+        arr = np.array(keys, dtype=np.int64)
+        scores = batch.rel_scores_batch(enc, arr[:, 0], arr[:, 1], arr[:, 2], arr[:, 3])
+    else:
+        scores = []
+    pairs = [
+        {"h_start": hs, "h_end": he, "t_start": ts, "t_end": te,
+         "rel_score": float(sc)}
+        for (hs, he, ts, te), sc in zip(keys, scores)
+    ]
     pairs.sort(key=lambda r: (-r["rel_score"], r["h_start"], r["h_end"],
                               r["t_start"], r["t_end"]))
     pairs = pairs[: cfg.max_top_k_rels]

@@ -1,25 +1,26 @@
 """End-to-end pages -> triples pipeline.
 
 Stage order mirrors the reference's inference forward pass
-(model.py:728-1134): extract/tokenize -> tagger+span filter (fused UDF)
--> windowed top-k -> NMS -> pair scoring (grouped UDF) -> top-k rels ->
-threshold -> hanging-rel prune -> [north_rule additions] entity linking
--> canonical triples -> partitioned write.
+(model.py:728-1134), with the per-document pruning cascade fused into a
+single Arrow UDF crossing (see model/udfs.py rationale) and all
+cross-document work as DataFrame algebra:
 
-Scale design notes (local[32] here; 1000-executor reasoning):
-  - pages are repartitioned by md5(url) before the UDF stages: hot
-    domains (Zipf skew) land evenly because the unit of work is the
-    document, not the domain; AQE skew-join handles residual join skew.
-  - docs (url, tokens) is persisted once and reused by three consumers
-    (span scoring, pair scoring, text materialization) — one extraction
-    pass, like the reference's shared encoder (model.py:39-44).
-  - every shuffle key is the document key; the top-k window, the NMS
-    group, and the pair-scoring group share partitioning, so Spark
-    reuses the exchange instead of re-shuffling.
-  - checkpointed stage boundaries (parquet/_SUCCESS) make the run
-    resumable: a rerun skips completed stages (north_rule resume).
-  - per-stage, per-partition lineage rows (stage, partition, rows) are
-    collected into a metrics table for audit (north_rule lineage).
+  pages --(filter lang, repartition md5(url))--> fused doc-extract UDF
+        --> spans / relations (explode)         [per-doc arrays -> rows]
+        --> entity linking (MinHash-LSH + CC)   [relational]
+        --> canonical triple aggregation        [relational]
+
+Scale design (local[32] here; reasoning at 1000 executors):
+  - repartition by md5(url): hot Zipf domains spread evenly because the
+    unit of work is the document; residual join skew is AQE's job.
+  - the fused UDF bounds per-doc output by k/k² (top-k inside), so the
+    exploded spans/rels tables are ~10-100x smaller than the candidate
+    sets — those never hit a shuffle.
+  - linking shuffles on content-derived keys (shingles, band keys,
+    component labels) — uniform by construction.
+  - checkpointed stage boundaries (parquet + _SUCCESS) give resume;
+    per-stage, per-partition lineage rows go to a metrics table
+    (north_rule).
 """
 
 from __future__ import annotations
@@ -30,16 +31,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from causalre_spark.config import DEFAULT_CONFIG, PipelineConfig
-from causalre_spark.functions.hashing import md5_long_sql
-from causalre_spark.functions.text import NORMALIZE_SQL
-from causalre_spark.model.udfs import (
-    DOCS_SCHEMA,
-    PAIRS_SCHEMA,
-    SPANS_SCHEMA,
-    make_score_pairs_udf,
-    make_score_spans_udf,
-)
-from causalre_spark.operators import linking, relations, spans
+from causalre_spark.functions.hashing import md5_long_sql_spark
+from causalre_spark.model.udfs import DOC_EXTRACT_SCHEMA, make_doc_extract_udf
+from causalre_spark.operators import linking
 
 
 class StageIO:
@@ -67,8 +61,6 @@ class StageIO:
         )
 
     def checkpoint(self, name: str, df_fn) -> DataFrame:
-        """Run df_fn() unless `name` is already materialized; return the
-        stage DataFrame (reading back from parquet when materialized)."""
         if self.workdir is None:
             return df_fn()
         path = self._path(name)
@@ -92,11 +84,10 @@ class StageIO:
     def write_metrics(self) -> None:
         if self.workdir is None or not self.metrics:
             return
-        pdf_schema = "stage string, partition int, rows long"
         (
             self.spark.createDataFrame(
                 [(m["stage"], m["partition"], m["rows"]) for m in self.metrics],
-                schema=pdf_schema,
+                schema="stage string, partition int, rows long",
             )
             .write.mode("overwrite")
             .parquet(self._path("_metrics"))
@@ -116,69 +107,68 @@ def run_pipeline(
 
     def _docs() -> DataFrame:
         eng = pages.filter(F.col("lang") == "en")
-        eng = eng.repartition(F.expr(f"pmod({md5_long_sql('url')}, {cfg.shuffle_partitions})"))
-        docs = eng.select("url", "html", F.col("text").alias("expected_text")).mapInPandas(
-            _extract_verify_udf, schema=DOCS_SCHEMA + ", text_ok boolean"
-        )
-        return docs
+        if cfg.salt_input:
+            # salted repartition for pathological input layouts (e.g. one
+            # giant file per hot domain). Deliberate tradeoff: an explicit
+            # repartition is user-specified partitioning, which AQE will
+            # NOT coalesce — so this is opt-in; by default the parquet
+            # scan's size-based splits (maxPartitionBytes) balance the
+            # UDF stage with zero shuffle.
+            eng = eng.repartition(
+                cfg.shuffle_partitions,
+                F.expr(f"pmod({md5_long_sql_spark('url')}, {cfg.salt_buckets * cfg.shuffle_partitions})"))
+        return eng.select("url", "html", F.col("text").alias("expected_text")) \
+            .mapInPandas(make_doc_extract_udf(cfg), schema=DOC_EXTRACT_SCHEMA)
 
     docs = io.checkpoint("docs", _docs)
     if verify_extraction:
         bad = docs.filter(~F.col("text_ok")).count()
         if bad:
             raise AssertionError(f"extraction not byte-identical for {bad} pages")
-    docs = docs.drop("text_ok").persist()
+    docs = docs.persist()
 
-    def _span_cands() -> DataFrame:
-        return docs.select("url", "tokens").mapInPandas(
-            make_score_spans_udf(cfg), schema=SPANS_SCHEMA
-        )
+    def _spans() -> DataFrame:
+        return docs.select("url", F.explode("spans").alias("sp")).select(
+            "url", "sp.start", "sp.end", "sp.tag_score", "sp.filter_score", "sp.text")
 
-    span_cands = io.checkpoint("span_candidates", _span_cands)
-
-    def _kept() -> DataFrame:
-        return spans.nms_spans(spans.topk_spans(span_cands, cfg), cfg)
-
-    kept = io.checkpoint("spans", _kept).persist()
-
-    def _pairs() -> DataFrame:
-        with_toks = kept.select("url", "start", "end").join(
-            docs.select("url", "tokens"), "url"
-        )
-        return with_toks.groupBy("url").applyInPandas(
-            make_score_pairs_udf(cfg), schema=PAIRS_SCHEMA
-        )
-
-    pairs = io.checkpoint("pair_scores", _pairs)
+    kept = io.checkpoint("spans", _spans).persist()
 
     def _rels() -> DataFrame:
-        r = relations.threshold_rels(relations.topk_rels(pairs, cfg), cfg)
-        r = relations.prune_hanging_rels(r, kept)
-        return relations.attach_pair_text(r, docs)
+        return docs.select("url", F.explode("rels").alias("r")).select(
+            "url", "r.h_start", "r.h_end", "r.t_start", "r.t_end",
+            "r.rel_score", "r.h_text", "r.t_text")
 
     rels = io.checkpoint("relations", _rels).persist()
 
     def _entities() -> DataFrame:
-        mentions = spans.span_text(kept, docs).select("text")
-        return linking.link_mentions(mentions, cfg)
+        return linking.link_mentions(kept.select("text"), cfg)
 
-    entities = io.checkpoint("entities", _entities)
+    # persisted: consumed twice (cause-side and effect-side broadcasts)
+    entities = io.checkpoint("entities", _entities).persist()
 
     def _triples() -> DataFrame:
         e = entities
-        with_h = rels.withColumn("h_form", F.expr(NORMALIZE_SQL.format(x="h_text")))
-        with_h = with_h.withColumn("t_form", F.expr(NORMALIZE_SQL.format(x="t_text")))
+        # raw surface -> canonical form via a broadcast dictionary over
+        # DISTINCT raw mentions (normalizing 2 regexps per relation row
+        # would dominate this stage; the dictionary is tiny by comparison)
+        fmap = linking.mention_form_map(kept.select("text")).persist()
+        with_forms = (
+            rels.join(F.broadcast(fmap.withColumnRenamed("text", "h_text")
+                                  .withColumnRenamed("form", "h_form")), "h_text")
+            .join(F.broadcast(fmap.withColumnRenamed("text", "t_text")
+                              .withColumnRenamed("form", "t_form")), "t_text")
+        )
         joined = (
-            with_h.join(
-                e.select(F.col("form").alias("h_form"),
+            with_forms.join(
+                F.broadcast(e.select(F.col("form").alias("h_form"),
                          F.col("canonical_id").alias("cause_id"),
-                         F.col("canonical_form").alias("cause")),
+                         F.col("canonical_form").alias("cause"))),
                 "h_form",
             )
             .join(
-                e.select(F.col("form").alias("t_form"),
+                F.broadcast(e.select(F.col("form").alias("t_form"),
                          F.col("canonical_id").alias("effect_id"),
-                         F.col("canonical_form").alias("effect")),
+                         F.col("canonical_form").alias("effect"))),
                 "t_form",
             )
             .filter(F.col("cause_id") != F.col("effect_id"))
@@ -208,10 +198,8 @@ def run_pipeline(
 
 
 def _extract_verify_udf(batches):
-    """pages(url, html, expected_text) -> docs + text_ok flag.
-
-    Extraction runs on html only; expected_text is used solely for the
-    byte-identical invariant flag (input_hint)."""
+    """pages(url, html, expected_text) -> docs rows + text_ok flag (staged
+    variant used by the operator-registry queries)."""
     import pandas as pd
 
     from causalre_spark.extract import extract_text, tokenize

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from causalre_spark.config import DEFAULT_CONFIG
-from causalre_spark.functions.hashing import md5_long_sql, minhash_sql
+from causalre_spark.functions.hashing import md5_long_sql, md5_long_sql_spark, minhash_sql
 from causalre_spark.functions.text import NORMALIZE_SQL
 from causalre_spark.functions.text_duck import NORMALIZE_SQL_DUCK
 from causalre_spark.operators import dedup, similarity, textstats
@@ -31,9 +31,13 @@ from causalre_spark.operators import dedup, similarity, textstats
 # shared fragments
 # --------------------------------------------------------------------------
 
-# portable deterministic per-span score (identical text in both engines)
-SCORE = md5_long_sql("concat_ws(':', doc_id, s, e)")
-SCORE2 = md5_long_sql("concat_ws(':', 'alt', doc_id, s, e)")
+# portable deterministic per-span score — equal VALUES in both engines;
+# the Spark spelling uses conv() (one md5), the DuckDB oracle spelling
+# expands hex digits via instr (DuckDB lacks conv)
+SCORE = md5_long_sql("concat_ws(':', doc_id, s, e)")          # duck oracle
+SCORE2 = md5_long_sql("concat_ws(':', 'alt', doc_id, s, e)")  # duck oracle
+SCORE_SPARK = md5_long_sql_spark("concat_ws(':', doc_id, s, e)")
+SCORE2_SPARK = md5_long_sql_spark("concat_ws(':', 'alt', doc_id, s, e)")
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -72,7 +76,7 @@ lat AS (SELECT doc_id, CAST(s AS BIGINT) AS s, CAST(s + w AS BIGINT) AS e
 
 
 def _scored_lattice(spark, sf_dir, L, W) -> DataFrame:
-    return _lattice(spark, sf_dir, L, W).withColumn("score", F.expr(SCORE))
+    return _lattice(spark, sf_dir, L, W).withColumn("score", F.expr(SCORE_SPARK))
 
 
 def _duck_scored(L, W) -> str:
@@ -125,8 +129,8 @@ WHERE rn <= 5
 
 def q_t3_dedup_max(spark, sf_dir):
     lat = _lattice(spark, sf_dir, 20, 3)
-    a = lat.withColumn("score", F.expr(SCORE))
-    b = lat.withColumn("score", F.expr(SCORE2))
+    a = lat.withColumn("score", F.expr(SCORE_SPARK))
+    b = lat.withColumn("score", F.expr(SCORE2_SPARK))
     return (
         a.unionByName(b)
         .groupBy("doc_id", F.col("s").alias("start"), F.col("e").alias("end"))

@@ -92,6 +92,31 @@ def _variant(phrase: str, key: str) -> str:
     return phrase
 
 
+# qualifier pool: mention diversity must scale with the corpus (real web
+# text has ~unbounded entity vocabularies); without this the entity graph
+# degenerates to a few dozen nodes and the linking stages measure nothing.
+# Qualifiers are distinct pseudo place-names (not serial numbers): char
+# shingle similarity between different places stays well below the
+# linking threshold, like real entity names.
+_SYL1 = ["ka", "po", "ren", "vi", "mo", "ta", "lu", "shi", "ber", "dan"]
+_SYL2 = ["gol", "mar", "ney", "ric", "sol", "tam", "ver", "win", "zor", "fel"]
+_SUFFIX = ["ville", "ton", "burg", "field", "port", "dale"]
+N_PLACES = len(_SYL1) * len(_SYL2) * len(_SUFFIX)  # 600
+
+
+def _place(k: int) -> str:
+    return (_SYL1[k % len(_SYL1)]
+            + _SYL2[(k // len(_SYL1)) % len(_SYL2)]
+            + _SUFFIX[(k // (len(_SYL1) * len(_SYL2))) % len(_SUFFIX)])
+
+
+def _qualified(phrase: str, key: str) -> str:
+    u = md5_long(key)
+    if u % 5 < 3:  # 60%: attach a place qualifier
+        return f"{phrase} in {_place(u % N_PLACES)}"
+    return phrase
+
+
 def gen_page(i: int) -> dict:
     """Pure function doc index -> page row."""
     url = f"https://{_domain(i)}/doc/{i}"
@@ -99,12 +124,15 @@ def gen_page(i: int) -> dict:
     if lang != "en":
         text = _NONEN[lang]
     else:
-        n_causal = 1 + md5_long(f"nc#{i}") % 3
-        n_filler = md5_long(f"nf#{i}") % 3
+        # realistic Common-Crawl-ish page length (~10 sentences, 100-250 tokens)
+        n_causal = 2 + md5_long(f"nc#{i}") % 4
+        n_filler = 3 + md5_long(f"nf#{i}") % 5
         sents = []
         for j in range(n_causal):
-            subj = _variant(_pick(SUBJECTS, f"s#{i}#{j}"), f"sv#{i}#{j}")
-            obj = _variant(_pick(OBJECTS, f"o#{i}#{j}"), f"ov#{i}#{j}")
+            subj = _qualified(_variant(_pick(SUBJECTS, f"s#{i}#{j}"), f"sv#{i}#{j}"),
+                              f"sq#{i}#{j}")
+            obj = _qualified(_variant(_pick(OBJECTS, f"o#{i}#{j}"), f"ov#{i}#{j}"),
+                             f"oq#{i}#{j}")
             trig = _pick(TRIGGERS, f"t#{i}#{j}")
             sents.append(f"{subj} {trig} {obj} .")
         for j in range(n_filler):
