@@ -17,6 +17,11 @@ class PipelineConfig:
     max_seq_len: int = 200          # config.yaml:101
     max_span_width: int = 80        # config.yaml:102
     max_top_k_spans: int = 30       # config.yaml:135
+    max_tagger_candidates: int = 512  # per-doc cap on decoded B/E candidates,
+                                      # ordered by tagger score — bounds the
+                                      # worst case (boundary-less text decodes
+                                      # O(L²) pairs); reference analogue:
+                                      # pruning cascade model.py:788-885
     max_top_k_rels: int = 200       # config.yaml:136
     predict_thd: float = 0.3        # config.yaml:75  (sigmoid threshold, tagger + heads)
     overlap_thd: float = 0.8        # config.yaml:139 (NMS IoU suppression)
@@ -32,6 +37,11 @@ class PipelineConfig:
     shingle_size: int = 3           # char shingles of the normalized mention
     link_jaccard_thd: float = 0.8
     cc_max_iters: int = 20
+    lsh_max_bucket: int = 200      # skip LSH buckets larger than this —
+                                    # the classic skew guard: a giant bucket
+                                    # is a non-discriminative hash collision
+                                    # (near-dup recall unaffected: true
+                                    # variants also collide in small buckets)
 
     # --- execution knobs (ours) ---
     shuffle_partitions: int = 32

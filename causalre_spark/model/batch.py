@@ -95,7 +95,16 @@ def decode_spans_batch(
     mask = (ee >= bb) & ((ee - bb) < cfg.max_span_width)
     bs, es = bb[mask], ee[mask]
     scores = ((b_logits[bs] + e_logits[es]) / 2.0).astype(np.float32)
-    return bs.astype(np.int64), es.astype(np.int64) + 1, scores
+    starts, ends = bs.astype(np.int64), es.astype(np.int64) + 1
+    # worst-case cap: keep the top candidates by tagger score before the
+    # (more expensive) span-filter stage — deterministic order
+    # (-tag_score, start, end), mirroring the reference's cheap-first
+    # pruning cascade (model.py:788-885)
+    cap = cfg.max_tagger_candidates
+    if cap and starts.shape[0] > cap:
+        order = np.lexsort((ends, starts, -scores))[:cap]
+        starts, ends, scores = starts[order], ends[order], scores[order]
+    return starts, ends, scores
 
 
 # head / context / tail / width+dist weight views (same frozen vector,

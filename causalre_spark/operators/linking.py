@@ -80,12 +80,16 @@ def minhash_signatures(shingles: DataFrame, n_hashes: int) -> DataFrame:
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, n_hashes: int, band_size: int, dedup: bool = True
+    sigs: DataFrame, n_hashes: int, band_size: int, dedup: bool = True,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """LSH banding -> distinct candidate pairs (form_a < form_b).
 
     Bands are emitted with one explode projection (not an n_bands-way
-    union) so the plan stays a single scan -> explode -> self-join."""
+    union) so the plan stays a single scan -> explode -> self-join.
+    max_bucket drops oversized buckets before the quadratic self-join —
+    the skew guard that keeps worst-case corpora (low-entropy text where
+    every form minhashes together) from exploding to O(n²) pairs."""
     n_bands = n_hashes // band_size
     band_structs = F.array(*[
         F.struct(
@@ -97,6 +101,11 @@ def lsh_candidate_pairs(
     ])
     banded = sigs.select("form", F.explode(band_structs).alias("bk")).select(
         "form", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+    if max_bucket:
+        sizes = banded.groupBy("band", "bkey").agg(F.count(F.lit(1)).alias("_n"))
+        banded = banded.join(
+            sizes.filter(F.col("_n") <= max_bucket).drop("_n"),
+            ["band", "bkey"], "left_semi")
     a = banded.select("band", "bkey", F.col("form").alias("form_a"))
     bb = banded.select("band", "bkey", F.col("form").alias("form_b"))
     out = (
@@ -232,7 +241,7 @@ def link_mentions(
     sh = form_shingles(forms, cfg.shingle_size).persist()
     sigs = minhash_signatures(sh, cfg.minhash_hashes)
     cands = lsh_candidate_pairs(sigs, cfg.minhash_hashes, cfg.minhash_band_size,
-                                dedup=False)
+                                dedup=False, max_bucket=cfg.lsh_max_bucket)
     edges = verify_jaccard(cands, sh, cfg.link_jaccard_thd, n_forms=n_forms)
     labels = connected_components(forms, edges, cfg.cc_max_iters, n_nodes=n_forms)
     return canonical_entities(labels)

@@ -117,6 +117,8 @@ def link_entities(mentions: list[str], cfg: PipelineConfig) -> dict[str, tuple[i
             buckets[key].append(f)
     adj: dict[str, set[str]] = defaultdict(set)
     for members in buckets.values():
+        if cfg.lsh_max_bucket and len(members) > cfg.lsh_max_bucket:
+            continue  # oversized-bucket skew guard (mirrors linking.py)
         for i in range(len(members)):
             for j in range(i + 1, len(members)):
                 a, b = members[i], members[j]

@@ -101,8 +101,14 @@ def run_pipeline(
     workdir: str | None = None,
     resume: bool = True,
     verify_extraction: bool = True,
+    timings: dict | None = None,
 ) -> dict[str, DataFrame]:
-    """Full pipeline; returns {'docs','spans','relations','entities','triples'}."""
+    """Full pipeline; returns {'docs','spans','relations','entities','triples'}.
+
+    With `timings`, the doc-extraction stage is materialized eagerly and
+    its wall time recorded under 'docs_secs' (bench decomposition)."""
+    import time as _time
+
     io = StageIO(spark, workdir, resume)
 
     def _docs() -> DataFrame:
@@ -126,6 +132,10 @@ def run_pipeline(
         if bad:
             raise AssertionError(f"extraction not byte-identical for {bad} pages")
     docs = docs.persist()
+    if timings is not None:
+        _t0 = _time.time()
+        timings["n_docs"] = docs.count()
+        timings["docs_secs"] = round(_time.time() - _t0, 2)
 
     def _spans() -> DataFrame:
         return docs.select("url", F.explode("spans").alias("sp")).select(
@@ -147,29 +157,27 @@ def run_pipeline(
     entities = io.checkpoint("entities", _entities).persist()
 
     def _triples() -> DataFrame:
-        e = entities
-        # raw surface -> canonical form via a broadcast dictionary over
-        # DISTINCT raw mentions (normalizing 2 regexps per relation row
-        # would dominate this stage; the dictionary is tiny by comparison)
-        fmap = linking.mention_form_map(kept.select("text")).persist()
-        with_forms = (
-            rels.join(F.broadcast(fmap.withColumnRenamed("text", "h_text")
-                                  .withColumnRenamed("form", "h_form")), "h_text")
-            .join(F.broadcast(fmap.withColumnRenamed("text", "t_text")
-                              .withColumnRenamed("form", "t_form")), "t_text")
+        # one broadcast dictionary: DISTINCT raw mention surface ->
+        # (canonical_id, canonical_form); the relation stream joins it
+        # map-side twice (head/tail) and never shuffles or re-normalizes
+        canon_map = (
+            linking.mention_form_map(kept.select("text"))
+            .join(entities, "form")
+            .select("text", "canonical_id", "canonical_form")
+            .persist()
         )
         joined = (
-            with_forms.join(
-                F.broadcast(e.select(F.col("form").alias("h_form"),
-                         F.col("canonical_id").alias("cause_id"),
-                         F.col("canonical_form").alias("cause"))),
-                "h_form",
+            rels.join(
+                F.broadcast(canon_map.withColumnRenamed("text", "h_text")
+                            .withColumnRenamed("canonical_id", "cause_id")
+                            .withColumnRenamed("canonical_form", "cause")),
+                "h_text",
             )
             .join(
-                F.broadcast(e.select(F.col("form").alias("t_form"),
-                         F.col("canonical_id").alias("effect_id"),
-                         F.col("canonical_form").alias("effect"))),
-                "t_form",
+                F.broadcast(canon_map.withColumnRenamed("text", "t_text")
+                            .withColumnRenamed("canonical_id", "effect_id")
+                            .withColumnRenamed("canonical_form", "effect")),
+                "t_text",
             )
             .filter(F.col("cause_id") != F.col("effect_id"))
         )

@@ -354,6 +354,154 @@ SELECT
   (SELECT count(*) FROM (SELECT * FROM pred EXCEPT ALL SELECT * FROM gold)) AS n_only_pred
 """
 
+def q_a3_lost_rels(spark, sf_dir):
+    """A3: per-doc count of gold relations whose endpoints were pruned
+    (rel_processor.py:96-114). Gold rels = consecutive gold spans."""
+    lat = _scored_lattice(spark, sf_dir, 20, 3)
+    gold = lat.filter(F.col("score") % 3 == 0)
+    w = Window.partitionBy("doc_id").orderBy("s", "e")
+    rels = (
+        gold.withColumn("t_s", F.lead("s").over(w))
+        .withColumn("t_e", F.lead("e").over(w))
+        .filter(F.col("t_s").isNotNull())
+        .select("doc_id", F.col("s").alias("h_s"), F.col("e").alias("h_e"),
+                "t_s", "t_e")
+    )
+    kept = lat.filter(F.col("score") % 2 == 0).select("doc_id", "s", "e")
+    h_ok = rels.join(
+        kept.withColumnRenamed("s", "h_s").withColumnRenamed("e", "h_e"),
+        ["doc_id", "h_s", "h_e"], "left_semi")
+    both_ok = h_ok.join(
+        kept.withColumnRenamed("s", "t_s").withColumnRenamed("e", "t_e"),
+        ["doc_id", "t_s", "t_e"], "left_semi")
+    n_all = rels.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_rels"))
+    n_ok = both_ok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_ok"))
+    return n_all.join(n_ok, "doc_id", "left").select(
+        "doc_id", "n_rels",
+        (F.col("n_rels") - F.coalesce(F.col("n_ok"), F.lit(0))).alias("n_lost"))
+
+
+SQL_A3 = f"""
+WITH {_duck_scored(20, 3)},
+gold AS (SELECT doc_id, s, e FROM scored WHERE score % 3 = 0),
+kept AS (SELECT doc_id, s, e FROM scored WHERE score % 2 = 0),
+rels AS (SELECT doc_id, s AS h_s, e AS h_e,
+                lead(s) OVER (PARTITION BY doc_id ORDER BY s, e) AS t_s,
+                lead(e) OVER (PARTITION BY doc_id ORDER BY s, e) AS t_e
+         FROM gold),
+r2 AS (SELECT * FROM rels WHERE t_s IS NOT NULL),
+ok AS (SELECT r.* FROM r2 r
+       WHERE EXISTS (SELECT 1 FROM kept k WHERE k.doc_id = r.doc_id
+                     AND k.s = r.h_s AND k.e = r.h_e)
+         AND EXISTS (SELECT 1 FROM kept k WHERE k.doc_id = r.doc_id
+                     AND k.s = r.t_s AND k.e = r.t_e))
+SELECT a.doc_id, a.n_rels, a.n_rels - coalesce(o.n_ok, 0) AS n_lost
+FROM (SELECT doc_id, count(*) AS n_rels FROM r2 GROUP BY doc_id) a
+LEFT JOIN (SELECT doc_id, count(*) AS n_ok FROM ok GROUP BY doc_id) o
+USING (doc_id)
+"""
+
+
+def q_a7_iou_binning(spark, sf_dir):
+    """A7: per-doc mean best-IoU of gold vs pred spans, bucketed
+    (process_preds.py:98-174)."""
+    lat = _scored_lattice(spark, sf_dir, 16, 4)
+    gold = lat.filter(F.col("score") % 5 == 0).select("doc_id", "s", "e")
+    pred = lat.filter(F.col("score") % 4 == 0).select(
+        "doc_id", F.col("s").alias("ps"), F.col("e").alias("pe"))
+    inter = F.greatest(F.lit(0), F.least("e", "pe") - F.greatest("s", "ps"))
+    union = (F.col("e") - F.col("s")) + (F.col("pe") - F.col("ps")) - inter
+    best = (
+        gold.join(pred, "doc_id", "left")
+        .withColumn("iou", F.when(F.col("ps").isNull(), F.lit(0.0))
+                    .otherwise(inter / union))
+        .groupBy("doc_id", "s", "e")
+        .agg(F.max("iou").alias("best_iou"))
+    )
+    per_doc = best.groupBy("doc_id").agg(
+        F.round(F.avg("best_iou"), 4).alias("mean_iou"))
+    bucket = (
+        F.when(F.col("mean_iou") >= 0.8, "Excellent")
+        .when(F.col("mean_iou") >= 0.5, "Good")
+        .when(F.col("mean_iou") >= 0.2, "Poor")
+        .otherwise("Terrible")
+    )
+    return per_doc.select(bucket.alias("bucket")).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"))
+
+
+SQL_A7 = f"""
+WITH {_duck_scored(16, 4)},
+gold AS (SELECT doc_id, s, e FROM scored WHERE score % 5 = 0),
+pred AS (SELECT doc_id, s AS ps, e AS pe FROM scored WHERE score % 4 = 0),
+best AS (SELECT g.doc_id, g.s, g.e,
+                max(CASE WHEN p.ps IS NULL THEN 0.0
+                    ELSE greatest(0, least(g.e, p.pe) - greatest(g.s, p.ps))
+                         / ((g.e - g.s) + (p.pe - p.ps)
+                            - greatest(0, least(g.e, p.pe) - greatest(g.s, p.ps)))
+                    END) AS best_iou
+         FROM gold g LEFT JOIN pred p ON g.doc_id = p.doc_id
+         GROUP BY g.doc_id, g.s, g.e),
+per_doc AS (SELECT doc_id, round(avg(best_iou), 4) AS mean_iou
+            FROM best GROUP BY doc_id)
+SELECT CASE WHEN mean_iou >= 0.8 THEN 'Excellent'
+            WHEN mean_iou >= 0.5 THEN 'Good'
+            WHEN mean_iou >= 0.2 THEN 'Poor'
+            ELSE 'Terrible' END AS bucket,
+       count(*) AS n_docs
+FROM per_doc GROUP BY 1
+"""
+
+
+def q_p6_label_alignment(spark, sf_dir):
+    """P6: scatter gold type ids onto lattice candidates via left join;
+    unlabeled rows get the 'none' id 0 (data_processor.py:99-132)."""
+    lat = _scored_lattice(spark, sf_dir, 20, 3)
+    gold = lat.filter(F.col("score") % 6 == 0).select(
+        "doc_id", "s", "e", (F.col("score") % 3 + 1).alias("label"))
+    aligned = lat.select("doc_id", "s", "e").join(gold, ["doc_id", "s", "e"], "left") \
+        .withColumn("label", F.coalesce(F.col("label"), F.lit(0)))
+    return aligned.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("label") > 0, 1).otherwise(0)).cast("long").alias("n_pos"),
+        F.sum(F.when(F.col("label") == 0, 1).otherwise(0)).cast("long").alias("n_neg"),
+    )
+
+
+SQL_P6 = f"""
+WITH {_duck_scored(20, 3)},
+gold AS (SELECT doc_id, s, e, score % 3 + 1 AS label FROM scored WHERE score % 6 = 0),
+aligned AS (SELECT l.doc_id, coalesce(g.label, 0) AS label
+            FROM scored l LEFT JOIN gold g USING (doc_id, s, e))
+SELECT doc_id,
+       CAST(sum(CASE WHEN label > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       CAST(sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+FROM aligned GROUP BY doc_id
+"""
+
+
+def q_f3_sigmoid_decode(spark, sf_dir):
+    """F3: sigmoid + threshold decode (predictor.py:116-134) on small
+    deterministic logits; thresholding is a plain filter."""
+    lat = _scored_lattice(spark, sf_dir, 20, 3)
+    p = F.round(1 / (1 + F.exp(-((F.col("score") % 9) - 4))), 6)
+    return (
+        lat.withColumn("prob", p)
+        .filter(F.col("prob") >= 0.3)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_kept"),
+             F.round(F.avg("prob"), 4).alias("avg_prob"))
+    )
+
+
+SQL_F3 = f"""
+WITH {_duck_scored(20, 3)},
+probs AS (SELECT doc_id, round(1 / (1 + exp(-((score % 9) - 4))), 6) AS prob
+          FROM scored)
+SELECT doc_id, count(*) AS n_kept, round(avg(prob), 4) AS avg_prob
+FROM probs WHERE prob >= 0.3 GROUP BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # §2.7 scalar functions (F1 span text, F2 IoU)
 # --------------------------------------------------------------------------
@@ -945,12 +1093,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # metrics / aggs (§2.4, §2.6)
     "a1_micro_prf": q_a1_micro_prf,
     "a2_loose_match": q_a2_loose_match,
+    "a3_lost_rels": q_a3_lost_rels,
     "a6_corpus_stats": q_a6_corpus_stats,
+    "a7_iou_binning": q_a7_iou_binning,
     "a8_triple_dedup": q_a8_triple_dedup,
     "u1_set_ops": q_u1_set_ops,
+    "p6_label_alignment": q_p6_label_alignment,
     # scalar fns (§2.7)
     "f1_span_text": q_f1_span_text,
     "f2_iou_pairs": q_f2_iou_pairs,
+    "f3_sigmoid_decode": q_f3_sigmoid_decode,
     # dedup family (training-data ops)
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -987,11 +1139,15 @@ ORACLES: dict[str, str] = {
     "t5_hanging_prune": SQL_T5,
     "a1_micro_prf": SQL_A1,
     "a2_loose_match": SQL_A2,
+    "a3_lost_rels": SQL_A3,
     "a6_corpus_stats": SQL_A6,
+    "a7_iou_binning": SQL_A7,
     "a8_triple_dedup": SQL_A8,
     "u1_set_ops": SQL_U1,
+    "p6_label_alignment": SQL_P6,
     "f1_span_text": SQL_F1,
     "f2_iou_pairs": SQL_F2,
+    "f3_sigmoid_decode": SQL_F3,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
     "dedup_simhash": SQL_DEDUP_SIMHASH,

@@ -1,0 +1,72 @@
+"""Reference-format corpus JSON loader (S1-S3) + valid-span filter (P1/P2/A3)."""
+
+import json
+
+import pytest
+
+from causalre_spark.sources.corpus_json import filter_valid_spans, load_corpus_json
+
+FIXTURE = {
+    "schema": {"span_types": [{"name": "event", "color": "c"}],
+               "relation_types": [{"name": "causal", "color": "c"}]},
+    "data": {
+        "train": [
+            {"tokens": ["Heavy", "rain", "caused", "flooding", "."],
+             "spans": [{"start": 0, "end": 2, "type": "event"},
+                       {"start": 3, "end": 4, "type": "event"}],
+             "relations": [{"head": 0, "tail": 1, "type": "causal"}]},
+            {"tokens": ["a"] * 30,
+             "spans": [{"start": 0, "end": 25, "type": "event"},   # too wide (W=8)
+                       {"start": 2, "end": 4, "type": "event"},
+                       {"start": 28, "end": 30, "type": "event"}],  # beyond L=20
+             "relations": [{"head": 0, "tail": 1, "type": "causal"},
+                           {"head": 1, "tail": 2, "type": "causal"}]},
+        ],
+        "val": [],
+    },
+}
+
+FIXTURE_ID = {
+    "schema": FIXTURE["schema"],
+    "data": {"train": [
+        {"tokens": ["x", "y", "z"],
+         "spans": [{"id": "s7", "start": 0, "end": 1, "type": "event"},
+                   {"id": "s9", "start": 2, "end": 3, "type": "event"}],
+         "relations": [{"head": "s9", "tail": "s7", "type": "causal"}]},
+    ]},
+}
+
+
+@pytest.fixture(scope="module")
+def corpus_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("corpus") / "fixture.json"
+    p.write_text(json.dumps(FIXTURE))
+    return str(p)
+
+
+def test_load_splits_and_schema(spark, corpus_path):
+    schema, splits = load_corpus_json(spark, corpus_path)
+    assert schema["span_types"][0]["name"] == "event"
+    assert set(splits) == {"train", "val"}
+    rows = splits["train"].orderBy("doc_id").collect()
+    assert rows[0]["tokens"][:2] == ["Heavy", "rain"]
+    assert rows[0]["relations"][0]["head"] == 0
+
+
+def test_id_format_conversion(spark, tmp_path):
+    p = tmp_path / "id.json"
+    p.write_text(json.dumps(FIXTURE_ID))
+    _, splits = load_corpus_json(spark, str(p), data_format="id")
+    r = splits["train"].collect()[0]["relations"][0]
+    assert (r["head"], r["tail"]) == (1, 0)
+
+
+def test_filter_valid_spans_and_remap(spark, corpus_path):
+    _, splits = load_corpus_json(spark, corpus_path)
+    out = filter_valid_spans(splits["train"], max_seq_len=20, max_span_width=8)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # doc 0: everything survives
+    assert len(rows[0]["spans"]) == 2 and rows[0]["n_lost_rels"] == 0
+    # doc 1: only span (2,4) survives; both relations lost
+    assert [(s["start"], s["end"]) for s in rows[1]["spans"]] == [(2, 4)]
+    assert rows[1]["relations"] == [] and rows[1]["n_lost_rels"] == 2
