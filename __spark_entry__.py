@@ -6,7 +6,8 @@ entry(spark)   — flagship: the causal-KG span-extraction + entity-linking
                  entities with counts (guaranteed non-empty).
 queries()      — one entry per implemented operator from SURVEY.md §2
                  plus the training-data-pipeline families (dedup,
-                 similarity, text analysis, linking, CC).
+                 similarity, text analysis, linking, CC, multimodal):
+                 38 queries, 35 with exact DuckDB oracles.
 oracle_sql()   — exact DuckDB twins for every relational operator; the
                  two UDF-backed pipeline queries are rows-only by design
                  (their golden correctness gate is the pytest

@@ -84,6 +84,35 @@ def lsh_bucket_stats(emb: DataFrame, n_bits: int = 8,
     )
 
 
+def cosine_near_dup_pairs(
+    emb: DataFrame, thd: float, n_bits: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (dedup family): sign-LSH
+    bucket blocking -> in-bucket pairs -> exact rounded-cosine filter.
+
+    The bucket equi-join bounds candidates to ~n²/2^n_bits; at larger
+    scale raise n_bits (or use multiple probe tables) — same plan shape.
+    """
+    b = lsh_sign_buckets(emb, n_bits, id_col, vec_col)
+    with_b = emb.join(b, id_col)
+    a = with_b.select("bucket", F.col(id_col).alias("id_a"),
+                      F.col(vec_col).alias("va"))
+    c = with_b.select("bucket", F.col(id_col).alias("id_b"),
+                      F.col(vec_col).alias("vb"))
+    return (
+        a.join(c, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            F.round(F.expr(_dot("va", "vb"))
+                    / (F.expr(_norm("va")) * F.expr(_norm("vb"))), 4),
+        )
+        .filter(F.col("cosine") >= thd)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def ann_topk_bucketed(
     emb: DataFrame, query_id: int, k: int, n_bits: int = 4,
     id_col: str = "vec_id", vec_col: str = "embedding",

@@ -794,6 +794,31 @@ FROM (SELECT *, row_number() OVER (ORDER BY cosine DESC, vec_id) AS rn FROM scor
 WHERE rn <= 10
 """
 
+
+
+def q_dedup_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs: sign-LSH blocking + exact cosine."""
+    return similarity.cosine_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), thd=0.2, n_bits=4)
+
+
+_B4 = " + ".join(
+    f"(CASE WHEN embedding[{d + 1}] > 0 THEN {1 << d} ELSE 0 END)" for d in range(4))
+
+SQL_DEDUP_COSINE = f"""
+WITH b AS (SELECT vec_id, embedding, CAST({_B4} AS BIGINT) AS bucket FROM embeddings),
+pairs AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b, x.embedding AS va, y.embedding AS vb
+          FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
+terms AS (SELECT id_a, id_b,
+                 sum(va[i] * vb[i]) AS dot,
+                 sum(va[i] * va[i]) AS na, sum(vb[i] * vb[i]) AS nb
+          FROM (SELECT id_a, id_b, va, vb,
+                       unnest(generate_series(1, len(va))) AS i FROM pairs) t
+          GROUP BY id_a, id_b)
+SELECT id_a, id_b, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cosine
+FROM terms WHERE round(dot / (sqrt(na) * sqrt(nb)), 4) >= 0.2
+"""
+
 # --------------------------------------------------------------------------
 # entity-linking relational pieces + connected components
 # --------------------------------------------------------------------------
@@ -1079,6 +1104,18 @@ def q_causal_triples(spark, sf_dir):
     return run_pipeline(spark, pages, verify_extraction=False)["triples"]
 
 
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing (rows-only: stub decoder, no SQL equivalent):
+    deterministic binary asset table sized from the documents table ->
+    Arrow-batched feature extraction. Proves the binary-column + typed
+    metadata + mapInPandas batch shapes end-to-end."""
+    from causalre_spark.operators.multimodal import extract_features, synth_assets_df
+
+    n = _t(spark, sf_dir, "documents").count()
+    return extract_features(synth_assets_df(spark, n, partitions=8))
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1116,6 +1153,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_cosine_topk": q_sim_cosine_topk,
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "ann_topk_bucketed": q_ann_topk_bucketed,
+    "dedup_cosine": q_dedup_cosine,
     # entity linking pieces + CC
     "link_minhash_sigs": q_link_minhash_sigs,
     "link_lsh_pairs": q_link_lsh_pairs,
@@ -1126,8 +1164,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessionize": q_events_sessionize,
     "events_tumbling": q_events_tumbling,
     "events_json_extract": q_events_json_extract,
-    # UDF pipeline (rows-only)
+    # UDF pipeline + multimodal (rows-only)
     "pipeline_spans": q_pipeline_spans,
+    "multimodal_features": q_multimodal_features,
     "causal_triples": q_causal_triples,
 }
 
@@ -1158,6 +1197,7 @@ ORACLES: dict[str, str] = {
     "sim_cosine_topk": SQL_SIM_COSINE_TOPK,
     "ann_lsh_buckets": SQL_ANN_LSH_BUCKETS,
     "ann_topk_bucketed": SQL_ANN_TOPK_BUCKETED,
+    "dedup_cosine": SQL_DEDUP_COSINE,
     "link_minhash_sigs": SQL_LINK_MINHASH_SIGS,
     "link_lsh_pairs": SQL_LINK_LSH_PAIRS,
     "cc_components": SQL_CC_COMPONENTS,

@@ -1,0 +1,55 @@
+"""Evaluation operators: strict PRF, greedy loose matching, triple P/R."""
+
+from causalre_spark.config import PipelineConfig
+from causalre_spark.operators.metrics import (
+    evaluate_triples,
+    loose_match_spans,
+    strict_prf,
+)
+from causalre_spark.oracle.pipeline import oracle_pipeline
+from causalre_spark.pipeline import run_pipeline
+from causalre_spark.sources.corpus import gen_page, synth_pages_df
+
+
+def _df(spark, rows, schema="url string, start int, end int"):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_strict_prf_counts(spark):
+    gold = _df(spark, [("u", 0, 2), ("u", 3, 5), ("v", 1, 4)])
+    pred = _df(spark, [("u", 0, 2), ("u", 7, 9), ("v", 1, 4), ("v", 5, 6)])
+    r = strict_prf(gold, pred, ["url", "start", "end"]).collect()[0]
+    assert (r.tp, r.fp, r.fn) == (2, 2, 1)
+    assert abs(r.precision - 0.5) < 1e-6 and abs(r.recall - 2 / 3) < 1e-6
+
+
+def test_loose_match_tolerance_boundary(spark):
+    cfg = PipelineConfig(loose_tol=0.15, loose_width_limit=8)
+    # width 10 -> tol = round(1.5) = 2; width 4 -> exact only
+    gold = _df(spark, [("u", 10, 20), ("u", 30, 34)])
+    pred = _df(spark, [("u", 12, 22),   # both deltas = 2 <= 2 -> match
+                       ("u", 31, 35)])  # width 4: non-exact -> no match
+    got = {r.url: r.loose_tp for r in loose_match_spans(gold, pred, cfg).collect()}
+    assert got == {"u": 1}
+
+
+def test_loose_match_greedy_one_to_one(spark):
+    cfg = PipelineConfig(loose_tol=0.15, loose_width_limit=8)
+    # two golds both within tolerance of ONE pred: only one may claim it
+    gold = _df(spark, [("u", 10, 20), ("u", 11, 21)])
+    pred = _df(spark, [("u", 10, 20)])
+    got = loose_match_spans(gold, pred, cfg).collect()[0]
+    assert got.loose_tp == 1
+
+
+def test_triple_prf_pipeline_vs_oracle(spark):
+    pages = synth_pages_df(spark, 50, partitions=4)
+    res = run_pipeline(spark, pages)
+    oracle = oracle_pipeline([gen_page(i) for i in range(50)])
+    gold = spark.createDataFrame(
+        [(t["cause_id"], t["effect_id"]) for t in oracle["triples"]],
+        "cause_id long, effect_id long")
+    r = evaluate_triples(res["triples"], gold).collect()[0]
+    # north_rule gate: P/R >= 0.95 (exact at this scale)
+    assert r.precision >= 0.95 and r.recall >= 0.95
+    assert r.precision == 1.0 and r.recall == 1.0
