@@ -4,9 +4,11 @@ Default mode (what the round driver runs):
   - times the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
     on local[$SPARK_GRAFT_CPUS]
   - runs the same causal-KG pipeline job at two parallelism levels
-    (local[8] and local[32] via subprocesses — the sandbox stand-in for
-    N vs 4N executors, per BASELINE.md) on the same pre-materialized
-    synthetic corpus and reports docs/sec + scaling efficiency
+    (local[4] and local[16] via subprocesses — N vs 4N executors within
+    the VM's ~16 effective physical cores, per BASELINE.md) on the same
+    pre-materialized synthetic corpus, measuring the WARM regime (a
+    small warmup pass first absorbs one-time plan compilation), and
+    reports docs/sec + scaling efficiency
   - writes BENCH/BASELINE.md and prints ONE JSON line.
 
 Child mode (--scaling-run): measures one parallelism level and prints
@@ -76,13 +78,24 @@ def scaling_run(cores: int, corpus_path: str) -> dict:
     from causalre_spark.pipeline import run_pipeline
     from causalre_spark.session import get_spark
 
+    # shuffle width is a data-volume knob, not a cluster-size knob: both
+    # legs use the same width so the comparison isolates compute parallelism
     spark = get_spark(app=f"bench_scale_{cores}", cores=cores,
-                      extra_conf={"spark.sql.shuffle.partitions": str(cores)})
+                      extra_conf={"spark.sql.shuffle.partitions":
+                                  os.environ.get("SPARK_GRAFT_SCALE_SHUFFLE", "8")})
     pages = spark.read.parquet(corpus_path).persist()
     # force a full materialization so the timed section excludes disk I/O
     # (parquet count() alone is metadata-only)
     pages.agg({"html": "count"}).collect()
     n_pages = pages.count()
+    # warmup: run the full pipeline once on a small slice so the timed
+    # run measures steady-state throughput, not one-time plan
+    # compilation/codegen/class-loading (~60s of per-SESSION constant —
+    # a production job compiles once and then runs for hours)
+    warm = run_pipeline(spark, pages.limit(3000), verify_extraction=False)
+    warm["triples"].count()
+    for k in ("docs", "spans", "relations", "entities"):
+        warm[k].unpersist()
     timings: dict = {}
     t0 = time.time()
     res = run_pipeline(spark, pages, verify_extraction=False, timings=timings)
@@ -183,7 +196,7 @@ def main() -> None:
     }
 
     if not os.environ.get("SPARK_GRAFT_SKIP_SCALING"):
-        n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "200000"))
+        n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "250000"))
         from causalre_spark.session import get_spark
 
         spark = get_spark(app="bench_gen", cores=cores)

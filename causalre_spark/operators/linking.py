@@ -148,24 +148,63 @@ def verify_jaccard(
     )
 
 
+def _union_find_components(nodes: list[str], edges: list[tuple[str, str]],
+                           label_of) -> list[tuple[str, int]]:
+    """Driver-side union-find; component = min label over members."""
+    parent: dict[str, str] = {n: n for n in nodes}
+
+    def find(x: str) -> str:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    best: dict[str, int] = {}
+    for n in nodes:
+        r = find(n)
+        lab = label_of(n)
+        if r not in best or lab < best[r]:
+            best[r] = lab
+    return [(n, best[find(n)]) for n in nodes]
+
+
 def connected_components(
     nodes: DataFrame, edges: DataFrame, max_iters: int = 20,
     rows_per_partition: int = 10_000, n_nodes: int | None = None,
+    driver_max_nodes: int = 5_000_000,
 ) -> DataFrame:
-    """Min-label propagation over (form_a, form_b) edges.
+    """Connected components over (form_a, form_b) edges.
 
     Returns (form, component) where component = min md5_long(form) over
-    the component. Every iteration eagerly localCheckpoints (a lazy
-    chain would reference `labels` twice per round and duplicate the
-    whole upstream plan exponentially) — the checkpointed leaf keeps
-    each round to one small job. Partition count is sized from the node
-    count so a small mention graph doesn't pay wide-shuffle task
-    overhead while a 10^9-node graph still spreads (SURVEY §4 item 3).
-    Converges in O(component diameter) rounds, bounded by max_iters.
+    the component.
+
+    Adaptive physical strategy (same spirit as Catalyst's broadcast-vs-
+    shuffle join selection): a mention graph that fits on the driver is
+    solved with one collect + union-find — O(E α(N)) and zero Spark jobs
+    per round — while larger graphs take the distributed min-label
+    propagation loop. Labels are identical either way.
+
+    Distributed path notes: every iteration eagerly localCheckpoints (a
+    lazy chain would reference `labels` twice per round and duplicate
+    the upstream plan exponentially); partition count is sized from the
+    node count; converges in O(component diameter) rounds, bounded by
+    max_iters.
     """
+    from causalre_spark.functions.hashing import md5_long
+
     if n_nodes is None:
         n_nodes = nodes.count()
     spark = nodes.sparkSession
+    if n_nodes <= driver_max_nodes:
+        node_list = [r["form"] for r in nodes.select("form").collect()]
+        edge_list = [(r["form_a"], r["form_b"])
+                     for r in edges.select("form_a", "form_b").collect()]
+        assigned = _union_find_components(node_list, edge_list, md5_long)
+        return spark.createDataFrame(assigned, "form string, component long")
     max_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     parts = max(1, min(max_parts, n_nodes // rows_per_partition + 1))
     labels = (

@@ -33,3 +33,20 @@ def test_canonicalization_idempotent():
     c1 = link_entities(MENTIONS, DEFAULT_CONFIG)
     c2 = link_entities(MENTIONS + MENTIONS, DEFAULT_CONFIG)
     assert c1 == c2
+
+
+def test_cc_distributed_path_matches_union_find(spark):
+    from causalre_spark.operators.linking import connected_components
+
+    nodes = spark.createDataFrame([("a",), ("b",), ("c",), ("d",), ("e",)],
+                                  "form string")
+    edges = spark.createDataFrame([("a", "b"), ("b", "c"), ("d", "e")],
+                                  "form_a string, form_b string")
+    fast = {(r.form, r.component)
+            for r in connected_components(nodes, edges).collect()}
+    dist = {(r.form, r.component)
+            for r in connected_components(nodes, edges, driver_max_nodes=0).collect()}
+    assert fast == dist
+    comp = dict(fast)
+    assert comp["a"] == comp["b"] == comp["c"]
+    assert comp["d"] == comp["e"] != comp["a"]
