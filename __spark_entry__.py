@@ -51,15 +51,18 @@ def entry(spark: SparkSession) -> DataFrame:
     _ensure_importable(spark)
     from causalre_spark.config import DEFAULT_CONFIG
     from causalre_spark.operators.linking import link_mentions
+    from causalre_spark.functions.text import NORMALIZE_SQL
     from causalre_spark.plans.entry_queries import q_pipeline_spans
 
     sf_dir = "/root/testdata/sf0.001"
     mentions = q_pipeline_spans(spark, sf_dir)
     entities = link_mentions(mentions.select("text"), DEFAULT_CONFIG)
+    # the ONE frozen normalizer (functions.text.NORMALIZE_SQL) on both
+    # sides of the join — a second inline normalization here would
+    # silently drop any mention whose surface normalizes differently
+    # (e.g. non-ASCII, which NORMALIZE_SQL passes through)
     counts = mentions.select(
-        F.expr(
-            "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]+', ' '), ' +', ' '))"
-        ).alias("form")
+        F.expr(NORMALIZE_SQL.format(x="text")).alias("form")
     ).groupBy("form").agg(F.count(F.lit(1)).alias("n_mentions"))
     return (
         entities.join(counts, "form")

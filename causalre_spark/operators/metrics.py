@@ -56,8 +56,10 @@ def loose_match_spans(
     wlim = cfg.loose_width_limit
     g = gold.select("url", F.col("start").alias("gs"), F.col("end").alias("ge"))
     p = pred.select("url", F.col("start").alias("ps"), F.col("end").alias("pe"))
+    # tolerance is UNROUNDED (reference metrics.py compares d <= tol*width
+    # directly); rounding would admit e.g. delta 2 at width 10, tol 0.15
     width = F.col("ge") - F.col("gs")
-    tol_w = F.when(width >= wlim, F.round(width * tol)).otherwise(F.lit(0))
+    tol_w = F.when(width >= wlim, width * tol).otherwise(F.lit(0))
     cands = (
         g.join(p, "url")
         .withColumn("tol_w", tol_w)

@@ -117,6 +117,40 @@ def extract_features(assets: DataFrame) -> DataFrame:
         udf, schema=FEATURES_SCHEMA)
 
 
+BLOCK_STATS_SCHEMA = (
+    "asset_id long, kind string, block long, byte_sum long, byte_sqsum long"
+)
+
+
+def block_byte_stats(assets: DataFrame, n_blocks: int = FEATURE_DIM // 2) -> DataFrame:
+    """Per-asset, per-block integer byte statistics (sum, sum-of-squares).
+
+    The driver-contract twin of :func:`extract_features`: the same
+    binary-column -> Arrow -> NumPy plumbing, but the emitted feature is
+    in exact integer basis (byte sums), so a DuckDB oracle can reproduce
+    it bit-for-bit from the md5-deterministic stub payloads — no float
+    rounding ties, no unhashable array columns (driver canonicalizer
+    requirement). mean/std of the float feature are recoverable as
+    byte_sum/n/255 - 0.5 and the usual sqsum identity."""
+
+    def udf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "asset_id": [], "kind": [], "block": [], "byte_sum": [], "byte_sqsum": []}
+            for aid, kind, p in zip(pdf["asset_id"], pdf["kind"], pdf["payload"]):
+                arr = np.frombuffer(bytes(p), dtype=np.uint8).astype(np.int64)
+                for b, blk in enumerate(np.array_split(arr, n_blocks)):
+                    out["asset_id"].append(int(aid))
+                    out["kind"].append(kind)
+                    out["block"].append(b)
+                    out["byte_sum"].append(int(blk.sum()))
+                    out["byte_sqsum"].append(int((blk * blk).sum()))
+            yield pd.DataFrame(out)
+
+    return assets.select("asset_id", "kind", "payload").mapInPandas(
+        udf, schema=BLOCK_STATS_SCHEMA)
+
+
 def sample_frames(assets: DataFrame, n_frames: int = 4) -> DataFrame:
     """Video frame sampling: per video, n_frames evenly spaced 'frames'
     (byte slices under the stub decoder) -> per-frame feature rows.

@@ -43,11 +43,15 @@ def quality_scores(docs: DataFrame, id_col: str = "doc_id",
             f"size(filter({toks}, t -> array_contains({stop}, t))) / greatest(size({toks}), 1)"
         ), 4).alias("stopword_ratio"),
     ).withColumn(
+        # rounded at 5dp: the composite of 4dp-rounded ratios is exact at
+        # 5 decimals, so no cross-engine rounding tie can occur (a 4dp
+        # round can land exactly on a 5th-decimal tie, which Spark
+        # BigDecimal HALF_UP and DuckDB C round resolve differently)
         "quality_score",
         F.round(
             F.when(F.col("n_tokens") >= 10, 0.4).otherwise(0.0)
             + (1 - F.col("punct_ratio")) * 0.3
-            + F.least(F.col("stopword_ratio") * 3, F.lit(1.0)) * 0.3, 4),
+            + F.least(F.col("stopword_ratio") * 3, F.lit(1.0)) * 0.3, 5),
     )
 
 

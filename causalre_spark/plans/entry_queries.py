@@ -671,7 +671,7 @@ feat AS (
   FROM base)
 SELECT *, round((CASE WHEN n_tokens >= 10 THEN 0.4 ELSE 0.0 END)
                 + (1 - punct_ratio) * 0.3
-                + least(stopword_ratio * 3, 1.0) * 0.3, 4) AS quality_score
+                + least(stopword_ratio * 3, 1.0) * 0.3, 5) AS quality_score
 FROM feat
 """
 
@@ -1107,14 +1107,36 @@ def q_causal_triples(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
-    """Multimodal plumbing (rows-only: stub decoder, no SQL equivalent):
-    deterministic binary asset table sized from the documents table ->
-    Arrow-batched feature extraction. Proves the binary-column + typed
-    metadata + mapInPandas batch shapes end-to-end."""
-    from causalre_spark.operators.multimodal import extract_features, synth_assets_df
+    """Multimodal plumbing with an EXACT DuckDB oracle: deterministic
+    binary asset table sized from the documents table -> Arrow-batched
+    per-block integer byte stats. Proves the binary-column + typed
+    metadata + mapInPandas batch shapes end-to-end; the stub payload is
+    an md5 stream, so the oracle regenerates the identical bytes in SQL
+    (hex-digit expansion) and the integer sums match bit-for-bit."""
+    from causalre_spark.operators.multimodal import block_byte_stats, synth_assets_df
 
     n = _t(spark, sf_dir, "documents").count()
-    return extract_features(synth_assets_df(spark, n, partitions=8))
+    return block_byte_stats(synth_assets_df(spark, n, partitions=8))
+
+
+# The stub payload (operators/multimodal.py _fake_payload) is 256 bytes =
+# concat of md5("asset:{kind}:{id}:{j}") digests for j = 0..15; feature
+# block b covers bytes [32b, 32b+32) = md5 blocks 2b and 2b+1 (j // 2).
+SQL_MULTIMODAL_FEATURES = """
+WITH ids AS (SELECT unnest(generate_series(0, (SELECT count(*) FROM documents) - 1)) AS asset_id),
+a AS (SELECT asset_id, ['image','audio','video'][CAST(asset_id % 3 AS INTEGER) + 1] AS kind FROM ids),
+hexes AS (SELECT asset_id, kind, j,
+                 md5(concat('asset:', kind, ':', CAST(asset_id AS VARCHAR), ':', CAST(j AS VARCHAR))) AS hx
+          FROM (SELECT asset_id, kind, unnest(generate_series(0, 15)) AS j FROM a) q),
+bytes AS (SELECT asset_id, kind, j,
+                 (strpos('0123456789abcdef', substring(hx, 2 * m + 1, 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substring(hx, 2 * m + 2, 1)) - 1) AS byte
+          FROM (SELECT *, unnest(generate_series(0, 15)) AS m FROM hexes) q)
+SELECT asset_id, kind, CAST(j // 2 AS BIGINT) AS block,
+       CAST(sum(byte) AS BIGINT) AS byte_sum,
+       CAST(sum(byte * byte) AS BIGINT) AS byte_sqsum
+FROM bytes GROUP BY asset_id, kind, j // 2
+"""
 
 # --------------------------------------------------------------------------
 # registry
@@ -1206,4 +1228,5 @@ ORACLES: dict[str, str] = {
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "events_tumbling": SQL_EVENTS_TUMBLING,
     "events_json_extract": SQL_EVENTS_JSON_EXTRACT,
+    "multimodal_features": SQL_MULTIMODAL_FEATURES,
 }

@@ -50,3 +50,25 @@ def test_cc_distributed_path_matches_union_find(spark):
     comp = dict(fast)
     assert comp["a"] == comp["b"] == comp["c"]
     assert comp["d"] == comp["e"] != comp["a"]
+
+
+def test_non_ascii_normalizer_round_trip(spark):
+    """The SQL normalizer (NORMALIZE_SQL) and the Python twin must agree
+    on non-ASCII surfaces, and a non-ASCII mention must survive the
+    entity->counts join in the flagship (one frozen normalizer on both
+    sides; VERDICT r01 'What's wrong' #3)."""
+    from causalre_spark.functions.text import NORMALIZE_SQL, normalize
+    from causalre_spark.operators.linking import link_mentions, mention_form_map
+    from pyspark.sql import functions as F
+
+    surfaces = ["Café Künste!", "  naïve—approach  ", "日本語 テスト", "élan's (vital)"]
+    df = spark.createDataFrame([(s,) for s in surfaces], "text string")
+    sql_forms = {r.text: r.form for r in
+                 df.select("text", F.expr(NORMALIZE_SQL.format(x="text")).alias("form")).collect()}
+    for s in surfaces:
+        assert sql_forms[s] == normalize(s), s
+    # round-trip: every non-empty normalized mention lands in the entity table
+    entities = link_mentions(df, text_col="text")
+    fmap = mention_form_map(df)
+    joined = fmap.join(entities, "form")
+    assert joined.count() == fmap.count() == len([s for s in surfaces if normalize(s)])

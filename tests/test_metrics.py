@@ -25,9 +25,11 @@ def test_strict_prf_counts(spark):
 
 def test_loose_match_tolerance_boundary(spark):
     cfg = PipelineConfig(loose_tol=0.15, loose_width_limit=8)
-    # width 10 -> tol = round(1.5) = 2; width 4 -> exact only
-    gold = _df(spark, [("u", 10, 20), ("u", 30, 34)])
-    pred = _df(spark, [("u", 12, 22),   # both deltas = 2 <= 2 -> match
+    # width 10 -> UNROUNDED tol = 1.5 (reference metrics.py: d <= tol*width):
+    # delta 1 matches, delta 2 does NOT; width 4 -> below limit, exact only
+    gold = _df(spark, [("u", 10, 20), ("u", 40, 50), ("u", 30, 34)])
+    pred = _df(spark, [("u", 11, 21),   # deltas 1 <= 1.5 -> match
+                       ("u", 42, 52),   # deltas 2 > 1.5 -> no match
                        ("u", 31, 35)])  # width 4: non-exact -> no match
     got = {r.url: r.loose_tp for r in loose_match_spans(gold, pred, cfg).collect()}
     assert got == {"u": 1}
