@@ -150,6 +150,22 @@ def run_pipeline(
 
     rels = io.checkpoint("relations", _rels).persist()
 
+    # early-exit: no extracted relations -> no triples, so the whole
+    # linking/canonicalization stage graph (LSH + jaccard verify + CC +
+    # canonical joins — most of the wall-clock on trigger-free corpora)
+    # is provably unnecessary. The empty answer is still oracle-gated:
+    # tests/test_pipeline_parity.py asserts exact (possibly empty)
+    # triple-set equality vs the single-process oracle on driver testdata.
+    if rels.isEmpty():
+        entities = io.checkpoint("entities", lambda: spark.createDataFrame(
+            [], "form string, canonical_id long, canonical_form string"))
+        triples = io.checkpoint("triples", lambda: spark.createDataFrame(
+            [], "cause_id long, cause string, predicate string, "
+                "effect_id long, effect string, n_evidence long, max_score float"))
+        io.write_metrics()
+        return {"docs": docs, "spans": kept, "relations": rels,
+                "entities": entities, "triples": triples}
+
     def _entities() -> DataFrame:
         return linking.link_mentions(kept.select("text"), cfg)
 

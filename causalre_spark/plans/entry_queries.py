@@ -1098,9 +1098,47 @@ def q_pipeline_spans(spark, sf_dir):
 
 
 def q_causal_triples(spark, sf_dir):
+    """Flagship pages->triples pipeline on the (trigger-free) driver
+    corpus. The correct answer here is the EMPTY set — proven, not
+    assumed: tests/test_pipeline_parity.py runs the single-process
+    oracle over the same sf0.001 pages and asserts exact triple-set
+    equality, and run_pipeline early-exits the linking stages when the
+    relation stream is empty (reclaims ~3/4 of the old wall-clock)."""
     from causalre_spark.pipeline import run_pipeline
 
     pages = _pages_from_documents(spark, sf_dir)
+    return run_pipeline(spark, pages, verify_extraction=False)["triples"]
+
+
+def _seeded_pages_from_documents(spark, sf_dir) -> DataFrame:
+    """documents + one deterministic causal-template sentence per doc
+    (sources/corpus.page_from_document(seed_causal=True), the same pure
+    function the parity-test oracle uses) -> input_hint pages."""
+    import pandas as pd
+
+    from causalre_spark.sources.corpus import PAGES_SCHEMA, page_from_document
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text", "lang")
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [page_from_document(int(d), s, t, l, seed_causal=True)
+                    for d, s, t, l in zip(pdf["doc_id"], pdf["source"],
+                                          pdf["text"], pdf["lang"])]
+            yield pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
+
+    return docs.mapInPandas(gen, schema=PAGES_SCHEMA)
+
+
+def q_causal_triples_seeded(spark, sf_dir):
+    """Non-vacuous flagship twin: same full pipeline, driver corpus
+    seeded with deterministic causal sentences — rows > 0 on driver
+    testdata, exact-parity-gated vs the oracle in
+    tests/test_pipeline_parity.py (rows-only for the driver compare:
+    the numeric model is not SQL-expressible)."""
+    from causalre_spark.pipeline import run_pipeline
+
+    pages = _seeded_pages_from_documents(spark, sf_dir)
     return run_pipeline(spark, pages, verify_extraction=False)["triples"]
 
 
@@ -1190,6 +1228,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_spans": q_pipeline_spans,
     "multimodal_features": q_multimodal_features,
     "causal_triples": q_causal_triples,
+    "causal_triples_seeded": q_causal_triples_seeded,
 }
 
 ORACLES: dict[str, str] = {

@@ -162,6 +162,38 @@ def gen_page(i: int) -> dict:
 PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
 
 
+def causal_suffix(key: str) -> str:
+    """One deterministic causal-template sentence keyed on `key` —
+    used to seed trigger-free corpora (e.g. the driver testdata, which
+    contains zero causal-trigger tokens) so the flagship extraction is
+    provably non-vacuous there. Pure function; shared by the Spark
+    seeded-pages adapter and the parity-test oracle."""
+    subj = _variant(_pick(SUBJECTS, f"ss#{key}"), f"ssv#{key}")
+    obj = _variant(_pick(OBJECTS, f"so#{key}"), f"sov#{key}")
+    trig = _pick(TRIGGERS, f"st#{key}")
+    return f"{subj} {trig} {obj} ."
+
+
+def page_from_document(doc_id, source: str, text: str, lang: str,
+                       seed_causal: bool = False) -> dict:
+    """input_hint page row from a driver-testdata `documents` row.
+
+    Pure function shared by the Spark adapters in plans/entry_queries and
+    the single-process oracle in the parity tests, so both worlds build
+    byte-identical pages. The html wrap matches the relational
+    `_pages_from_documents` spelling exactly (driver testdata text is
+    html-safe: no & < > — asserted in tests)."""
+    if seed_causal:
+        text = f"{text} . {causal_suffix(str(doc_id))}"
+    return {
+        "url": f"https://{source}.example.org/doc/{doc_id}",
+        "warc_ts": _dt.datetime(2025, 1, 1),
+        "html": f"<html><body><p>{text}</p></body></html>".encode("utf-8"),
+        "text": text,
+        "lang": lang,
+    }
+
+
 def synth_pages_df(spark, n: int, partitions: int | None = None):
     """Distributed generation: spark.range(n) -> mapInPandas(gen_page).
 
