@@ -31,6 +31,20 @@ class PipelineConfig:
     span_thd: float = 0.0           # binary span-filter keep threshold (layers_filtering.py single-logit > 0)
     hidden_dim: int = 192           # stand-in model width sized so compute/IO ratio is representative (reference: 768; see model/core.py)
 
+    # --- reference-profile model knobs (model/reference_math.py; defaults
+    # mirror the reference config.yaml) ---
+    model_profile: str = "fast"     # 'fast' (model/core.py semantic stand-in, the
+                                    # 100TB hot path) | 'reference' (faithful
+                                    # frozen-weight port of the N1-N12 stack —
+                                    # same interfaces, ~100x the FLOPs/doc; use
+                                    # for parity runs and small corpora)
+    subtoken_pooling: str = "maxpool"   # config.yaml:95 (first/last/first_last/mean/maxpool)
+    tagging_mode: str = "BE"            # config.yaml:113 (BE/BECO)
+    span_win_alpha: float = 0.2         # config.yaml:120 (nathan window = round(alpha*width))
+    rel_window_size: int = 30           # config.yaml:155 (±window rel context)
+    use_lstm: bool = True               # config.yaml:97-99 (3-layer biLSTM enrichment)
+    use_graph: bool = True              # config.yaml:166 (graph transformer)
+
     # --- entity linking (our addition per north_rule; no reference analogue) ---
     minhash_hashes: int = 8
     minhash_band_size: int = 4      # 2 bands; collision P = sim^4 keeps buckets small

@@ -189,12 +189,26 @@ def _iou_matrix(s: np.ndarray, e: np.ndarray) -> np.ndarray:
 def doc_extract(tokens: list[str], cfg: PipelineConfig = DEFAULT_CONFIG) -> dict:
     """One document -> kept spans + thresholded relations.
 
+    Profile dispatch: cfg.model_profile == 'reference' routes to the
+    faithful frozen-weight port of the reference N1-N12 stack
+    (model/reference_math.py — subword pooling, biLSTM, nathan span
+    reps, between_window_context rel reps with cross-attn pooling,
+    graph transformer, typed output heads). The default 'fast' profile
+    below is the 100TB hot path: same pipeline shape, semantic stand-in
+    scores, ~100x fewer FLOPs/doc. Both profiles emit typed spans/rels
+    (N12): the fast profile's single-type schema is the reference
+    Custom-dataset schema ('event' spans, 'causal' rels).
+
     Deterministic orders match the oracle/operators exactly:
       top-k spans : (-filter_score, start, end)
       NMS         : (-filter_score, -width, start, end), keep if max IoU
                     with kept < overlap_thd
       top-k rels  : (-rel_score, h_start, h_end, t_start, t_end)
     """
+    if cfg.model_profile == "reference":
+        from causalre_spark.model import reference_math
+
+        return reference_math.doc_extract_reference(tokens, cfg)
     enc = DocEncoding(tokens, cfg)
     b, e = tagger_logits_batch(enc)
     starts, ends, tag_scores = decode_spans_batch(b, e, cfg)
@@ -238,5 +252,7 @@ def doc_extract(tokens: list[str], cfg: PipelineConfig = DEFAULT_CONFIG) -> dict
     return {
         "starts": starts, "ends": ends,
         "tag_scores": tag_scores, "filter_scores": fscores,
+        "span_types": np.array(["event"] * starts.shape[0], dtype=object),
         "rel_h": hi, "rel_t": ti, "rel_scores": rel,
+        "rel_types": np.array(["causal"] * hi.shape[0], dtype=object),
     }

@@ -50,9 +50,9 @@ PAIRS_SCHEMA = (
 DOC_EXTRACT_SCHEMA = (
     "url string, n_tokens int, text_ok boolean, "
     "spans array<struct<start:int, end:int, tag_score:float, "
-    "filter_score:float, text:string>>, "
+    "filter_score:float, span_type:string, text:string>>, "
     "rels array<struct<h_start:int, h_end:int, t_start:int, t_end:int, "
-    "rel_score:float, h_text:string, t_text:string>>"
+    "rel_score:float, rel_type:string, h_text:string, t_text:string>>"
 )
 
 
@@ -72,16 +72,18 @@ def make_doc_extract_udf(cfg: PipelineConfig = DEFAULT_CONFIG):
                 toks = tokenize(text)
                 r = batch.doc_extract(toks, cfg)
                 span_rows = [
-                    (int(s), int(e), float(ts), float(fs),
+                    (int(s), int(e), float(ts), float(fs), str(ty),
                      " ".join(toks[int(s): int(e)]))
-                    for s, e, ts, fs in zip(
-                        r["starts"], r["ends"], r["tag_scores"], r["filter_scores"])
+                    for s, e, ts, fs, ty in zip(
+                        r["starts"], r["ends"], r["tag_scores"],
+                        r["filter_scores"], r["span_types"])
                 ]
                 rel_rows = [
                     (int(r["starts"][h]), int(r["ends"][h]),
-                     int(r["starts"][t]), int(r["ends"][t]), float(sc),
-                     span_rows[h][4], span_rows[t][4])
-                    for h, t, sc in zip(r["rel_h"], r["rel_t"], r["rel_scores"])
+                     int(r["starts"][t]), int(r["ends"][t]), float(sc), str(ty),
+                     span_rows[h][5], span_rows[t][5])
+                    for h, t, sc, ty in zip(
+                        r["rel_h"], r["rel_t"], r["rel_scores"], r["rel_types"])
                 ]
                 out["url"].append(url)
                 out["n_tokens"].append(len(toks))

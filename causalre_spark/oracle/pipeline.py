@@ -50,7 +50,7 @@ def doc_spans(tokens: list[str], cfg: PipelineConfig) -> list[dict]:
     fscores = batch.span_filter_scores_batch(enc, starts, ends)
     scored = [
         {"start": int(s), "end": int(t), "tag_score": float(ts),
-         "filter_score": float(fs)}
+         "filter_score": float(fs), "span_type": "event"}
         for s, t, ts, fs in zip(starts, ends, tag_scores, fscores)
     ]
     scored = [r for r in scored if r["filter_score"] >= cfg.span_thd]
@@ -92,7 +92,7 @@ def doc_relations(tokens: list[str], spans: list[dict], cfg: PipelineConfig) -> 
         scores = []
     pairs = [
         {"h_start": hs, "h_end": he, "t_start": ts, "t_end": te,
-         "rel_score": float(sc)}
+         "rel_score": float(sc), "rel_type": "causal"}
         for (hs, he, ts, te), sc in zip(keys, scores)
     ]
     pairs.sort(key=lambda r: (-r["rel_score"], r["h_start"], r["h_end"],
@@ -100,6 +100,118 @@ def doc_relations(tokens: list[str], spans: list[dict], cfg: PipelineConfig) -> 
     pairs = pairs[: cfg.max_top_k_rels]
     thd = core.logit(cfg.rel_thd) if cfg.rel_thd != 0.5 else 0.0
     return [p for p in pairs if p["rel_score"] >= thd]
+
+
+def doc_extract_reference_oracle(tokens: list[str], cfg: PipelineConfig
+                                 ) -> tuple[list[dict], list[dict]]:
+    """Reference-profile twin of doc_spans + doc_relations: re-derives
+    every selection step (candidate cap, tths top-k, pair enumeration,
+    rel top-k, NMS, hanging-rel prune, typed positive extraction) with
+    independent Python loops, calling ONLY the shared math primitives in
+    model/reference_math.py. A Spark-vs-oracle match therefore validates
+    the distributed algebra, not the shared floats."""
+    import numpy as np
+
+    from causalre_spark.model import reference_math as rm
+
+    toks = tokens[: cfg.max_seq_len]
+    reps, cls_rep = rm.encode_stack(tokens, cfg)
+    if cfg.tagging_mode == "BECO":
+        starts, ends, tag_scores = rm.decode_beco(rm.tagger_beco(reps, toks), cfg)
+    else:
+        b, e = rm.tagger_be(reps, toks)
+        starts, ends, tag_scores = rm.decode_be(b, e, cfg)
+    # stage 1 (tths): prune to the pre-cap by tagger score
+    cands = sorted(
+        ({"start": int(s), "end": int(t), "score": float(sc)}
+         for s, t, sc in zip(starts, ends, tag_scores)),
+        key=lambda r: (-r["score"], r["start"], r["end"]))
+    if cfg.max_tagger_candidates:
+        cands = cands[: cfg.max_tagger_candidates]
+    if not cands:
+        return [], []
+    # stage 2 (bfhs): N8 reps + N9 filter head (crossing penalty = frozen
+    # trained behavior) -> top-k by filter score
+    c_s = np.array([r["start"] for r in cands], dtype=np.int64)
+    c_e = np.array([r["end"] for r in cands], dtype=np.int64)
+    reps_all = rm.nathan_span_reps(reps, c_s, c_e, cls_rep, cfg,
+                                   with_width=True, with_cls=True, name="span_proj")
+    f_all = rm.filter_head_single(reps_all, "span_filter")
+    for i, r in enumerate(cands):
+        crossing = any(t in core.BOUNDARY_TOKENS
+                       for t in toks[r["start"]: r["end"]])
+        # float32 arithmetic so the value is bit-identical to the UDF side
+        r["fscore"] = float(f_all[i] - np.float32(5.0)) if crossing else float(f_all[i])
+        r["rep_idx"] = i
+    cands.sort(key=lambda r: (-r["fscore"], r["start"], r["end"]))
+    topk = cands[: cfg.max_top_k_spans]
+    if not topk:
+        return [], []
+    s_arr = np.array([r["start"] for r in topk], dtype=np.int64)
+    e_arr = np.array([r["end"] for r in topk], dtype=np.int64)
+    span_reps = reps_all[[r["rep_idx"] for r in topk]]
+    span_reps_rel = rm.nathan_span_reps(reps, s_arr, e_arr, None, cfg,
+                                        with_width=False, with_cls=False,
+                                        name="span_proj_rel")
+    k = len(topk)
+    pair_idx = [(h, t) for h in range(k) for t in range(k) if h != t]
+    h_idx = np.array([p[0] for p in pair_idx], dtype=np.int64)
+    t_idx = np.array([p[1] for p in pair_idx], dtype=np.int64)
+    rel_reps = rm.rel_reps_between_window_context(
+        reps, span_reps_rel, s_arr, e_arr, h_idx, t_idx, cfg)
+    bridge_all = rm._trigger_bridge_flags(toks, s_arr, e_arr, h_idx, t_idx)
+    rel_filter = (rm.filter_head_single(rel_reps, "rel_filter")
+                  + core.TRIGGER_REL_BOOST * bridge_all)
+    ranked = sorted(
+        range(len(pair_idx)),
+        key=lambda i: (-float(rel_filter[i]),
+                       int(s_arr[h_idx[i]]), int(e_arr[h_idx[i]]),
+                       int(s_arr[t_idx[i]]), int(e_arr[t_idx[i]])))
+    keep_r = ranked[: cfg.max_top_k_rels]
+    h_idx, t_idx, rel_reps = h_idx[keep_r], t_idx[keep_r], rel_reps[keep_r]
+    bridge = bridge_all[keep_r]
+    if cfg.use_graph:
+        node_reps, edge_reps = rm.graph_transformer(span_reps, rel_reps)
+    else:
+        node_reps, edge_reps = span_reps, rel_reps
+    crosses = np.array(
+        [any(t in core.BOUNDARY_TOKENS for t in toks[r["start"]:r["end"]])
+         for r in topk], dtype=bool)
+    sp_ids, sp_probs = rm.decode_unilabel(rm.span_type_logits(node_reps, ~crosses))
+    rl_logits = rm.rel_type_logits(edge_reps, bridge)
+    rl_keep, _ = rm.decode_multilabel(rl_logits, cfg.predict_thd)
+    # NMS re-derived: order (-prob, -width, start, end), positives only
+    order = sorted(
+        range(k),
+        key=lambda i: (-float(sp_probs[i]), -(topk[i]["end"] - topk[i]["start"]),
+                       topk[i]["start"], topk[i]["end"]))
+    kept: list[int] = []
+    for i in order:
+        if sp_ids[i] == 0:
+            continue
+        if all(iou(topk[i]["start"], topk[i]["end"],
+                   topk[j]["start"], topk[j]["end"]) < cfg.overlap_thd
+               for j in kept):
+            kept.append(i)
+    kept_set = set(kept)
+    spans = [
+        {"start": topk[i]["start"], "end": topk[i]["end"],
+         "tag_score": topk[i]["score"], "filter_score": topk[i]["fscore"],
+         "span_type": rm.SPAN_TYPES[int(sp_ids[i])]}
+        for i in sorted(kept_set)
+    ]
+    rels = []
+    for r in range(h_idx.shape[0]):
+        h, t = int(h_idx[r]), int(t_idx[r])
+        if h not in kept_set or t not in kept_set:
+            continue
+        for ti, tname in enumerate(rm.REL_TYPES):
+            if rl_keep[r, ti]:
+                rels.append({
+                    "h_start": topk[h]["start"], "h_end": topk[h]["end"],
+                    "t_start": topk[t]["start"], "t_end": topk[t]["end"],
+                    "rel_score": float(rl_logits[r, ti]), "rel_type": tname})
+    return spans, rels
 
 
 def link_entities(mentions: list[str], cfg: PipelineConfig) -> dict[str, tuple[int, str]]:
@@ -155,7 +267,11 @@ def oracle_pipeline(pages: list[dict], cfg: PipelineConfig = DEFAULT_CONFIG) -> 
         text = extract_text(pg["html"])
         assert text == pg["text"], f"extraction not byte-identical for {pg['url']}"
         tokens = tokenize(text)
-        spans = doc_spans(tokens, cfg)
+        if cfg.model_profile == "reference":
+            spans, rels = doc_extract_reference_oracle(tokens, cfg)
+        else:
+            spans = doc_spans(tokens, cfg)
+            rels = doc_relations(tokens, spans, cfg)
         for s in spans:
             s2 = dict(s)
             s2["url"] = pg["url"]
@@ -164,14 +280,14 @@ def oracle_pipeline(pages: list[dict], cfg: PipelineConfig = DEFAULT_CONFIG) -> 
             mention_texts.append(s2["text"])
         span_text = {(s["start"], s["end"]): " ".join(tokens[s["start"] : s["end"]])
                      for s in spans}
-        for r in doc_relations(tokens, spans, cfg):
+        for r in rels:
             r2 = dict(r)
             r2["url"] = pg["url"]
             r2["h_text"] = span_text[(r["h_start"], r["h_end"])]
             r2["t_text"] = span_text[(r["t_start"], r["t_end"])]
             all_rels.append(r2)
     canon = link_entities(mention_texts, cfg)
-    triple_map: dict[tuple[int, int], dict] = {}
+    triple_map: dict[tuple[int, str, int], dict] = {}
     for r in all_rels:
         hn, tn = normalize(r["h_text"]), normalize(r["t_text"])
         if hn not in canon or tn not in canon:
@@ -179,13 +295,16 @@ def oracle_pipeline(pages: list[dict], cfg: PipelineConfig = DEFAULT_CONFIG) -> 
         (hid, hform), (tid, tform) = canon[hn], canon[tn]
         if hid == tid:
             continue  # self-loop after canonicalization
-        key = (hid, tid)
+        rel_type = r.get("rel_type", "causal")
+        predicate = "CAUSES" if rel_type == "causal" else rel_type.upper()
+        key = (hid, predicate, tid)
         t = triple_map.setdefault(
-            key, {"cause_id": hid, "cause": hform, "predicate": "CAUSES",
+            key, {"cause_id": hid, "cause": hform, "predicate": predicate,
                   "effect_id": tid, "effect": tform,
                   "n_evidence": 0, "max_score": float("-inf")})
         t["n_evidence"] += 1
         t["max_score"] = max(t["max_score"], r["rel_score"])
-    triples = sorted(triple_map.values(), key=lambda t: (t["cause_id"], t["effect_id"]))
+    triples = sorted(triple_map.values(),
+                     key=lambda t: (t["cause_id"], t["predicate"], t["effect_id"]))
     return {"spans": all_spans, "relations": all_rels, "triples": triples,
             "canon": canon}

@@ -139,14 +139,15 @@ def run_pipeline(
 
     def _spans() -> DataFrame:
         return docs.select("url", F.explode("spans").alias("sp")).select(
-            "url", "sp.start", "sp.end", "sp.tag_score", "sp.filter_score", "sp.text")
+            "url", "sp.start", "sp.end", "sp.tag_score", "sp.filter_score",
+            "sp.span_type", "sp.text")
 
     kept = io.checkpoint("spans", _spans).persist()
 
     def _rels() -> DataFrame:
         return docs.select("url", F.explode("rels").alias("r")).select(
             "url", "r.h_start", "r.h_end", "r.t_start", "r.t_end",
-            "r.rel_score", "r.h_text", "r.t_text")
+            "r.rel_score", "r.rel_type", "r.h_text", "r.t_text")
 
     rels = io.checkpoint("relations", _rels).persist()
 
@@ -197,15 +198,20 @@ def run_pipeline(
             )
             .filter(F.col("cause_id") != F.col("effect_id"))
         )
-        # A8 at corpus scale: canonical triple dedup + evidence agg
+        # A8 at corpus scale: canonical triple dedup + evidence agg.
+        # predicate derives from the N12 multilabel rel type ('causal' ->
+        # 'CAUSES'; any other schema type -> its uppercase name)
+        predicate = F.when(F.col("rel_type") == "causal", "CAUSES") \
+            .otherwise(F.upper("rel_type"))
         return (
-            joined.groupBy("cause_id", "cause", "effect_id", "effect")
+            joined.withColumn("predicate", predicate)
+            .groupBy("cause_id", "cause", "predicate", "effect_id", "effect")
             .agg(
                 F.count(F.lit(1)).alias("n_evidence"),
                 F.max("rel_score").alias("max_score"),
             )
             .select(
-                "cause_id", "cause", F.lit("CAUSES").alias("predicate"),
+                "cause_id", "cause", "predicate",
                 "effect_id", "effect", "n_evidence", "max_score",
             )
         )

@@ -502,6 +502,76 @@ FROM probs WHERE prob >= 0.3 GROUP BY doc_id
 """
 
 
+def q_n12_typed_decode(spark, sf_dir):
+    """N12 typed output-head decode, relationally (layers_other.py:352-393
+    + predictor.py:116-155 semantics on deterministic integer logits so
+    the decode is cross-engine exact): unilabel span types via argmax
+    over (none, event, state) logits with first-max tie-break, then
+    multilabel rel-type decode over consecutive event spans — one row
+    per (pair, decoded type), the typed-triples shape the pipeline's
+    N12 heads emit (model/reference_math.py)."""
+    lat = _lattice(spark, sf_dir, 20, 3)
+    t = lat
+    for i in range(3):
+        t = t.withColumn(
+            f"l{i}",
+            F.expr(md5_long_sql_spark(f"concat_ws(':', 't{i}', doc_id, s, e)"))
+            % 13 - 6)
+    span_type = (
+        F.when((F.col("l0") >= F.col("l1")) & (F.col("l0") >= F.col("l2")), "none")
+        .when(F.col("l1") >= F.col("l2"), "event")
+        .otherwise("state"))
+    events = (t.withColumn("span_type", span_type)
+              .filter(F.col("span_type") == "event")
+              .select("doc_id", "s", "e"))
+    w = Window.partitionBy("doc_id").orderBy("s", "e")
+    pairs = (
+        events.withColumn("t_s", F.lead("s").over(w))
+        .withColumn("t_e", F.lead("e").over(w))
+        .filter(F.col("t_s").isNotNull())
+        .select("doc_id", F.col("s").alias("h_s"), F.col("e").alias("h_e"),
+                "t_s", "t_e"))
+    for i, name in enumerate(["causal", "enables"]):
+        pairs = pairs.withColumn(
+            f"keep_{name}",
+            (F.expr(md5_long_sql_spark(
+                f"concat_ws(':', 'r{i}', doc_id, h_s, h_e, t_s, t_e)")) % 11) >= 5)
+    out = None
+    for name in ["causal", "enables"]:
+        part = pairs.filter(F.col(f"keep_{name}")).select(
+            "doc_id", "h_s", "h_e", "t_s", "t_e", F.lit(name).alias("rel_type"))
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def _duck_typed_decode() -> str:
+    l = []
+    for i in range(3):
+        h = md5_long_sql(f"concat_ws(':', 't{i}', doc_id, s, e)")
+        l.append(f"({h} % 13 - 6)")
+    keeps = []
+    for i in range(2):
+        h = md5_long_sql(f"concat_ws(':', 'r{i}', doc_id, h_s, h_e, t_s, t_e)")
+        keeps.append(f"({h} % 11) >= 5")
+    return f"""
+WITH {_duck_lattice(20, 3)},
+typed AS (SELECT doc_id, s, e, {l[0]} AS l0, {l[1]} AS l1, {l[2]} AS l2 FROM lat),
+events AS (SELECT doc_id, s, e FROM typed
+           WHERE NOT (l0 >= l1 AND l0 >= l2) AND l1 >= l2),
+pairs AS (SELECT doc_id, s AS h_s, e AS h_e,
+                 lead(s) OVER (PARTITION BY doc_id ORDER BY s, e) AS t_s,
+                 lead(e) OVER (PARTITION BY doc_id ORDER BY s, e) AS t_e
+          FROM events),
+p2 AS (SELECT * FROM pairs WHERE t_s IS NOT NULL)
+SELECT doc_id, h_s, h_e, t_s, t_e, 'causal' AS rel_type FROM p2 WHERE {keeps[0]}
+UNION ALL
+SELECT doc_id, h_s, h_e, t_s, t_e, 'enables' AS rel_type FROM p2 WHERE {keeps[1]}
+"""
+
+
+SQL_N12_TYPED_DECODE = _duck_typed_decode()
+
+
 # --------------------------------------------------------------------------
 # §2.7 scalar functions (F1 span text, F2 IoU)
 # --------------------------------------------------------------------------
@@ -1196,6 +1266,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a8_triple_dedup": q_a8_triple_dedup,
     "u1_set_ops": q_u1_set_ops,
     "p6_label_alignment": q_p6_label_alignment,
+    # typed output-head decode (N12)
+    "n12_typed_decode": q_n12_typed_decode,
     # scalar fns (§2.7)
     "f1_span_text": q_f1_span_text,
     "f2_iou_pairs": q_f2_iou_pairs,
@@ -1245,6 +1317,7 @@ ORACLES: dict[str, str] = {
     "a8_triple_dedup": SQL_A8,
     "u1_set_ops": SQL_U1,
     "p6_label_alignment": SQL_P6,
+    "n12_typed_decode": SQL_N12_TYPED_DECODE,
     "f1_span_text": SQL_F1,
     "f2_iou_pairs": SQL_F2,
     "f3_sigmoid_decode": SQL_F3,
