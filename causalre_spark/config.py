@@ -62,6 +62,9 @@ class PipelineConfig:
     arrow_max_records: int = 512    # size-capped Arrow batches (input_hint)
     salt_buckets: int = 8           # hot-domain salting
     salt_input: bool = False        # opt-in salted repartition before the UDF stage
+    length_bucket: bool = False     # opt-in repartitionByRange(length(text)) before
+                                    # the encoder UDF (S4 batching discipline: dense
+                                    # same-length Arrow batches; costs one shuffle)
     table_format: str = "parquet"   # 'iceberg' on a real cluster; parquet in sandbox
 
     extra: dict = field(default_factory=dict)

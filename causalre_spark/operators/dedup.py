@@ -51,9 +51,16 @@ def word_shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
 
 
 def minhash_lsh_pairs(
-    shingles: DataFrame, n_hashes: int, band_size: int
+    shingles: DataFrame, n_hashes: int, band_size: int,
+    max_bucket: int | None = 200,
 ) -> DataFrame:
-    """Candidate near-dup id pairs (id_a < id_b) via MinHash-LSH banding."""
+    """Candidate near-dup id pairs (id_a < id_b) via MinHash-LSH banding.
+
+    max_bucket drops oversized band buckets before the quadratic
+    self-join — the same skew guard as linking.lsh_candidate_pairs: a
+    giant bucket is a non-discriminative collision (boilerplate/empty
+    docs) that would explode to O(n²) pairs; true near-dups also collide
+    in the other, small buckets, so recall is preserved."""
     aggs = [F.min(F.expr(minhash_sql_spark("shingle", s))).alias(f"h{s}")
             for s in range(n_hashes)]
     sigs = shingles.groupBy("id").agg(*aggs)
@@ -65,6 +72,11 @@ def minhash_lsh_pairs(
         part = sigs.select("id", F.lit(b).alias("band"),
                            F.concat_ws("|", *cols).alias("bkey"))
         banded = part if banded is None else banded.unionByName(part)
+    if max_bucket:
+        sizes = banded.groupBy("band", "bkey").agg(F.count(F.lit(1)).alias("_n"))
+        banded = banded.join(
+            sizes.filter(F.col("_n") <= max_bucket).drop("_n"),
+            ["band", "bkey"], "left_semi")
     a = banded.select("band", "bkey", F.col("id").alias("id_a"))
     b2 = banded.select("band", "bkey", F.col("id").alias("id_b"))
     return (a.join(b2, ["band", "bkey"]).filter(F.col("id_a") < F.col("id_b"))
@@ -117,6 +129,34 @@ def simhash16(docs: DataFrame, id_col: str = "doc_id",
     votes = h.groupBy("id").agg(*bit_aggs)
     sim = None
     for b in range(16):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return votes.select("id", sim.cast("long").alias("simhash"))
+
+
+def simhash_wide(docs: DataFrame, bits: int = 60, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Wide SimHash for real-scale blocking (simhash16 is a demo width:
+    16 bits collide constantly at corpus scale). 60 bits from the first
+    15 md5 hex chars — the widest value that stays BIGINT-safe and
+    float64-exact in BOTH engines (64 would overflow DuckDB's signed
+    BIGINT sum). Same per-bit majority vote, pure relational aggregates."""
+    assert bits <= 60
+    norm = NORMALIZE_SQL.format(x=text_col)
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.expr(f"split({norm}, ' ')")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    h = toks.withColumn("th", F.expr(md5_long_sql_spark("tok", nhex=15)))
+    bit_aggs = [
+        F.sum(
+            F.when(F.expr(f"(th div {1 << b}) % 2 = 1"), 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    votes = h.groupBy("id").agg(*bit_aggs)
+    sim = None
+    for b in range(bits):
         term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
     return votes.select("id", sim.cast("long").alias("simhash"))

@@ -120,7 +120,7 @@ def lsh_candidate_pairs(
 
 def verify_jaccard(
     pairs: DataFrame, shingles: DataFrame, thd: float,
-    broadcast_max_forms: int = 2_000_000, n_forms: int | None = None,
+    broadcast_max_forms: int = 200_000, n_forms: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard on collected shingle arrays; keeps edges >= thd.
 
@@ -175,7 +175,7 @@ def _union_find_components(nodes: list[str], edges: list[tuple[str, str]],
 def connected_components(
     nodes: DataFrame, edges: DataFrame, max_iters: int = 20,
     rows_per_partition: int = 10_000, n_nodes: int | None = None,
-    driver_max_nodes: int = 5_000_000,
+    driver_max_nodes: int = 2_000_000, driver_max_edges: int = 5_000_000,
 ) -> DataFrame:
     """Connected components over (form_a, form_b) edges.
 
@@ -200,11 +200,18 @@ def connected_components(
         n_nodes = nodes.count()
     spark = nodes.sparkSession
     if n_nodes <= driver_max_nodes:
-        node_list = [r["form"] for r in nodes.select("form").collect()]
-        edge_list = [(r["form_a"], r["form_b"])
-                     for r in edges.select("form_a", "form_b").collect()]
-        assigned = _union_find_components(node_list, edge_list, md5_long)
-        return spark.createDataFrame(assigned, "form string, component long")
+        # gate on BOTH node and edge counts before collecting: a dense
+        # near-dup graph can have edges >> nodes, and an unconditional
+        # edge collect would land the whole graph on the driver. The
+        # count materializes the (persisted) edge DAG once; the collect
+        # below reuses it.
+        edges = edges.persist()
+        if edges.count() <= driver_max_edges:
+            node_list = [r["form"] for r in nodes.select("form").collect()]
+            edge_list = [(r["form_a"], r["form_b"])
+                         for r in edges.select("form_a", "form_b").collect()]
+            assigned = _union_find_components(node_list, edge_list, md5_long)
+            return spark.createDataFrame(assigned, "form string, component long")
     max_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     parts = max(1, min(max_parts, n_nodes // rows_per_partition + 1))
     labels = (

@@ -60,13 +60,38 @@ class StageIO:
             and os.path.exists(os.path.join(self._path(name), "_SUCCESS"))
         )
 
-    def checkpoint(self, name: str, df_fn) -> DataFrame:
+    def checkpoint(self, name: str, df_fn, partition_expr: str | None = None,
+                   table_format: str = "parquet") -> DataFrame:
+        """Materialize a stage boundary; skip if already done (resume).
+
+        partition_expr: optional SQL expression for a derived partition
+        column (S5 partitioned sink — e.g. a cause-id bucket for the
+        triples table). The column is written as `_p`, used only for
+        physical layout (partition pruning on downstream reads), and
+        dropped from the returned DataFrame.
+
+        table_format 'iceberg' maps to df.writeTo(...).partitionedBy(...)
+        on a cluster with an Iceberg catalog; this sandbox has no
+        catalog jars, so the parquet path carries the same physical
+        layout (directory-partitioned by the bucket expression).
+        """
         if self.workdir is None:
             return df_fn()
         path = self._path(name)
         if not self.done(name):
-            df_fn().write.mode("overwrite").parquet(path)
+            df = df_fn()
+            if partition_expr and table_format == "iceberg":  # pragma: no cover
+                df.withColumn("_p", F.expr(partition_expr)) \
+                    .writeTo(name).using("iceberg").partitionedBy("_p") \
+                    .createOrReplace()
+            elif partition_expr:
+                df.withColumn("_p", F.expr(partition_expr)) \
+                    .write.mode("overwrite").partitionBy("_p").parquet(path)
+            else:
+                df.write.mode("overwrite").parquet(path)
         out = self.spark.read.parquet(path)
+        if "_p" in out.columns:
+            out = out.drop("_p")
         self._lineage(name, out)
         return out
 
@@ -123,6 +148,14 @@ def run_pipeline(
             eng = eng.repartition(
                 cfg.shuffle_partitions,
                 F.expr(f"pmod({md5_long_sql_spark('url')}, {cfg.salt_buckets * cfg.shuffle_partitions})"))
+        elif cfg.length_bucket:
+            # S4 UDF batching discipline (SURVEY §4): range-partition by
+            # document length so each Arrow batch holds similar-length
+            # docs — dense padded batches in the encoder UDF instead of
+            # worst-case padding. Opt-in: it shuffles the html payload,
+            # which only pays off when the encoder is the bottleneck
+            # (real transformer weights), not for the fast profile.
+            eng = eng.repartitionByRange(cfg.shuffle_partitions, F.length("text"))
         return eng.select("url", "html", F.col("text").alias("expected_text")) \
             .mapInPandas(make_doc_extract_udf(cfg), schema=DOC_EXTRACT_SCHEMA)
 
@@ -216,7 +249,13 @@ def run_pipeline(
             )
         )
 
-    triples = io.checkpoint("triples", _triples)
+    # S5: the graph table is partitioned by a cause-id bucket so
+    # downstream graph queries (all-edges-of-entity) prune partitions;
+    # 64 buckets keeps files large at production scale while bounding
+    # per-partition size (hash of the canonical id is uniform)
+    triples = io.checkpoint("triples", _triples,
+                            partition_expr="pmod(cause_id, 64)",
+                            table_format=cfg.table_format)
     io.write_metrics()
     return {
         "docs": docs,

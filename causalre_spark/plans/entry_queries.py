@@ -669,8 +669,11 @@ sh AS (SELECT DISTINCT id,
              FROM norm) q),
 sigs AS (SELECT id, {mins} FROM sh GROUP BY id),
 banded AS ({bands}),
+bsizes AS (SELECT band, bkey, count(*) AS n FROM banded GROUP BY band, bkey),
+bando AS (SELECT b.* FROM banded b JOIN bsizes s
+          ON b.band = s.band AND b.bkey = s.bkey WHERE s.n <= 200),
 cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
-         FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey
+         FROM bando a JOIN bando b ON a.band = b.band AND a.bkey = b.bkey
          WHERE a.id < b.id),
 counts AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
 shared AS (SELECT c.id_a, c.id_b, count(*) AS n_shared
@@ -693,6 +696,30 @@ WHERE round(s.n_shared / (ca.n_sh + cb.n_sh - s.n_shared), 4) >= 0.3
 
 def q_dedup_simhash(spark, sf_dir):
     return dedup.simhash16(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_simhash_wide(spark, sf_dir):
+    return dedup.simhash_wide(_t(spark, sf_dir, "documents"), bits=60)
+
+
+def _duck_simhash_wide(bits: int = 60) -> str:
+    norm = NORMALIZE_SQL_DUCK.format(x="text")
+    th = md5_long_sql("tok", nhex=15)
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (th >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(bits))
+    sim = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(bits))
+    return f"""
+WITH toks AS (SELECT doc_id AS id, unnest(string_split({norm}, ' ')) AS tok
+              FROM documents),
+h AS (SELECT id, {th} AS th FROM toks WHERE tok != ''),
+votes AS (SELECT id, {bit_sums} FROM h GROUP BY id)
+SELECT id, CAST({sim} AS BIGINT) AS simhash FROM votes
+"""
+
+
+SQL_DEDUP_SIMHASH_WIDE = _duck_simhash_wide()
 
 
 def _duck_simhash() -> str:
@@ -1276,6 +1303,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash_wide": q_dedup_simhash_wide,
     # text analysis family
     "text_quality": q_text_quality,
     "text_token_stats": q_text_token_stats,
@@ -1324,6 +1352,7 @@ ORACLES: dict[str, str] = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
+    "dedup_simhash_wide": SQL_DEDUP_SIMHASH_WIDE,
     "text_quality": SQL_TEXT_QUALITY,
     "text_token_stats": SQL_TEXT_TOKEN_STATS,
     "text_langid": SQL_TEXT_LANGID,
