@@ -6,12 +6,17 @@ entry(spark)   — flagship: the causal-KG span-extraction + entity-linking
                  entities with counts (guaranteed non-empty).
 queries()      — one entry per implemented operator from SURVEY.md §2
                  plus the training-data-pipeline families (dedup,
-                 similarity, text analysis, linking, CC, multimodal):
-                 38 queries, 35 with exact DuckDB oracles.
+                 similarity, text analysis, linking, CC, multimodal,
+                 typed decode): 41 queries, 38 with exact DuckDB oracles.
 oracle_sql()   — exact DuckDB twins for every relational operator; the
-                 two UDF-backed pipeline queries are rows-only by design
-                 (their golden correctness gate is the pytest
-                 oracle-parity suite, tests/test_pipeline_parity.py).
+                 three UDF-backed pipeline queries (pipeline_spans,
+                 causal_triples, causal_triples_seeded) are rows-only by
+                 design — their golden correctness gate is the pytest
+                 oracle-parity suite (tests/test_pipeline_parity.py,
+                 tests/test_reference_math.py), which asserts exact
+                 span/relation/triple-set equality vs the independent
+                 single-process oracle, including on the driver's own
+                 testdata (empty and seeded).
 """
 
 from __future__ import annotations

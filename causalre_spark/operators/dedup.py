@@ -64,6 +64,10 @@ def minhash_lsh_pairs(
     aggs = [F.min(F.expr(minhash_sql_spark("shingle", s))).alias(f"h{s}")
             for s in range(n_hashes)]
     sigs = shingles.groupBy("id").agg(*aggs)
+    if max_bucket:
+        # the guard makes the banded plan a 3-way consumer of the
+        # signature aggregation (sizes + both join sides) — cache it
+        sigs = sigs.persist()
     n_bands = n_hashes // band_size
     banded = None
     for b in range(n_bands):

@@ -200,16 +200,17 @@ def connected_components(
         n_nodes = nodes.count()
     spark = nodes.sparkSession
     if n_nodes <= driver_max_nodes:
-        # gate on BOTH node and edge counts before collecting: a dense
-        # near-dup graph can have edges >> nodes, and an unconditional
-        # edge collect would land the whole graph on the driver. The
-        # count materializes the (persisted) edge DAG once; the collect
-        # below reuses it.
+        # gate on BOTH node and edge counts before taking the driver
+        # path: a dense near-dup graph can have edges >> nodes, and an
+        # unconditional edge collect would land the whole graph on the
+        # driver. One bounded collect (limit max+1) both measures and
+        # fetches — no separate count job on the small-graph fast path.
         edges = edges.persist()
-        if edges.count() <= driver_max_edges:
+        edge_rows = edges.select("form_a", "form_b") \
+            .limit(driver_max_edges + 1).collect()
+        if len(edge_rows) <= driver_max_edges:
             node_list = [r["form"] for r in nodes.select("form").collect()]
-            edge_list = [(r["form_a"], r["form_b"])
-                         for r in edges.select("form_a", "form_b").collect()]
+            edge_list = [(r["form_a"], r["form_b"]) for r in edge_rows]
             assigned = _union_find_components(node_list, edge_list, md5_long)
             return spark.createDataFrame(assigned, "form string, component long")
     max_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -285,7 +286,10 @@ def link_mentions(
     forms = normalized_forms(mentions, text_col).persist()
     n_forms = forms.count()  # single materialization/count, reused below
     sh = form_shingles(forms, cfg.shingle_size).persist()
-    sigs = minhash_signatures(sh, cfg.minhash_hashes)
+    # persisted: the banded plan under the max_bucket guard references the
+    # signature aggregation THREE times (bucket sizes + both self-join
+    # sides) — without the cache the 8-way minhash groupBy runs 3x
+    sigs = minhash_signatures(sh, cfg.minhash_hashes).persist()
     cands = lsh_candidate_pairs(sigs, cfg.minhash_hashes, cfg.minhash_band_size,
                                 dedup=False, max_bucket=cfg.lsh_max_bucket)
     edges = verify_jaccard(cands, sh, cfg.link_jaccard_thd, n_forms=n_forms)
