@@ -609,6 +609,50 @@ def decode_multilabel(logits: np.ndarray, thd: float) -> tuple[np.ndarray, np.nd
 
 
 # ---------------------------------------------------------------------------
+# N13/A4: masked loss reductions (train-only in the reference — the
+# inference pipeline never consumes them, but they complete the numeric
+# surface and are parity-tested; loss_functions.py:10-103)
+# ---------------------------------------------------------------------------
+
+def cross_entropy_loss(logits: np.ndarray, labels: np.ndarray, mask: np.ndarray,
+                       reduction: str = "sum") -> np.ndarray | float:
+    """Masked unilabel CE (loss_functions.py:22-60): masked-out items are
+    ignored (torch ignore_index semantics — mean divides by the VALID
+    count). logits (N, C), labels (N,) int, mask (N,) bool."""
+    if reduction not in ("sum", "mean", "none"):
+        raise ValueError("Unsupported reduction type.")
+    logp = logits - logits.max(axis=-1, keepdims=True)
+    logp = logp - np.log(np.exp(logp).sum(axis=-1, keepdims=True))
+    per_item = -logp[np.arange(logits.shape[0]), labels]
+    per_item = np.where(mask, per_item, 0.0)
+    if reduction == "none":
+        return per_item.astype(np.float32)
+    if reduction == "sum":
+        return float(per_item.sum())
+    n = int(mask.sum())
+    return float(per_item.sum() / n) if n else 0.0
+
+
+def binary_cross_entropy_loss(logits: np.ndarray, labels: np.ndarray,
+                              mask: np.ndarray, reduction: str = "sum"
+                              ) -> np.ndarray | float:
+    """Masked BCE-with-logits (loss_functions.py:64-103), numerically
+    stable formulation max(x,0) - x*z + log1p(exp(-|x|)). Handles both
+    (N,) single-class and (N, C) multilabel shapes; the mask selects
+    items (rows)."""
+    if reduction not in ("sum", "mean", "none"):
+        raise ValueError("Unsupported reduction type.")
+    x = logits[mask].astype(np.float64)
+    z = labels[mask].astype(np.float64)
+    loss = np.maximum(x, 0.0) - x * z + np.log1p(np.exp(-np.abs(x)))
+    if reduction == "none":
+        return loss.astype(np.float32)
+    if reduction == "sum":
+        return float(loss.sum())
+    return float(loss.mean()) if loss.size else 0.0
+
+
+# ---------------------------------------------------------------------------
 # full per-document inference (the UDF entry; the oracle re-derives the
 # selection loops and calls the primitives above individually)
 # ---------------------------------------------------------------------------

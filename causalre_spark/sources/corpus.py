@@ -182,9 +182,18 @@ def page_from_document(doc_id, source: str, text: str, lang: str,
     the single-process oracle in the parity tests, so both worlds build
     byte-identical pages. The html wrap matches the relational
     `_pages_from_documents` spelling exactly (driver testdata text is
-    html-safe: no & < > — asserted in tests)."""
+    html-safe: no & < > — asserted in tests).
+
+    seed_causal sentence-izes the body (a period every 8 tokens) before
+    appending the causal sentence: the driver corpus is punctuation-free
+    word soup, where arbitrarily long boundary-free spans dominate the
+    top-k and crowd out real mentions — real web text (and the builder
+    corpus) has sentence boundaries, which is the text shape the seeded
+    non-vacuous gate is meant to exercise."""
     if seed_causal:
-        text = f"{text} . {causal_suffix(str(doc_id))}"
+        words = text.split(" ")
+        chunks = [" ".join(words[i: i + 8]) for i in range(0, len(words), 8)]
+        text = " . ".join(chunks) + f" . {causal_suffix(str(doc_id))}"
     return {
         "url": f"https://{source}.example.org/doc/{doc_id}",
         "warc_ts": _dt.datetime(2025, 1, 1),

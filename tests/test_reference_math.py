@@ -276,3 +276,34 @@ def test_reference_profile_pipeline_parity(spark):
     want_triples = {(t["cause_id"], t["predicate"], t["effect_id"], t["n_evidence"])
                     for t in oracle["triples"]}
     assert got_triples == want_triples
+
+
+def test_beco_profile_udf_oracle_parity():
+    """BECO tagging mode end-to-end at the doc level: the UDF-side fused
+    extraction and the oracle's independent re-derivation agree exactly
+    (second decode mode behind the config switch, tagging.py:182-348)."""
+    from causalre_spark.extract import tokenize
+    from causalre_spark.model import batch
+    from causalre_spark.oracle.pipeline import doc_extract_reference_oracle
+    from causalre_spark.sources.corpus import gen_page
+
+    cfg = PipelineConfig(model_profile="reference", tagging_mode="BECO")
+    checked = 0
+    for i in range(8):
+        pg = gen_page(i)
+        if pg["lang"] != "en":
+            continue
+        toks = tokenize(pg["text"])
+        r = batch.doc_extract(toks, cfg)
+        spans, rels = doc_extract_reference_oracle(toks, cfg)
+        got = set(zip(r["starts"].tolist(), r["ends"].tolist(),
+                      r["span_types"].tolist()))
+        want = {(s["start"], s["end"], s["span_type"]) for s in spans}
+        assert got == want
+        got_r = set(zip([int(r["starts"][h]) for h in r["rel_h"]],
+                        [int(r["starts"][t]) for t in r["rel_t"]],
+                        r["rel_types"].tolist()))
+        want_r = {(x["h_start"], x["t_start"], x["rel_type"]) for x in rels}
+        assert got_r == want_r
+        checked += 1
+    assert checked >= 3
