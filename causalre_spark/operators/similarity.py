@@ -113,6 +113,82 @@ def cosine_near_dup_pairs(
     )
 
 
+def hyperplane_coeffs(plane: int, dim: int) -> list[float]:
+    """Frozen random-hyperplane coefficients in [-0.5, 0.5]: exact dyadic
+    rationals (md5_long / 2^48 - 0.5), so the decimal literals inlined
+    into SQL round-trip bit-exactly in both engines."""
+    from causalre_spark.functions.hashing import md5_long
+
+    return [md5_long(f"hp:{plane}:{j}") / float(1 << 48) - 0.5 for j in range(dim)]
+
+
+def _dot_literal(vec_elem_fn, coeffs: list[float]) -> str:
+    """Explicit left-to-right addition chain so Spark and DuckDB fold the
+    doubles in the IDENTICAL order -> bit-identical sums -> the >0 sign
+    test cannot flip between engines. vec_elem_fn(j) renders the j-th
+    (0-based) element access in the target dialect."""
+    terms = [f"({vec_elem_fn(j)} * CAST({c:.17e} AS DOUBLE))"
+             for j, c in enumerate(coeffs)]
+    return "(" + " + ".join(terms) + ")"
+
+
+def random_hyperplane_buckets(
+    emb: DataFrame, n_planes: int = 8, dim: int = 16,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-LSH with RANDOM (frozen md5-derived) hyperplanes — the
+    production upgrade over the axis-aligned variant: axis-aligned
+    planes only discriminate along raw coordinates, so correlated
+    embedding dimensions give badly skewed buckets; random hyperplanes
+    make bucket occupancy approach uniform and collision probability the
+    classic 1 - theta/pi per plane. Returns (id, bucket)."""
+    terms = []
+    for p in range(n_planes):
+        dot = _dot_literal(lambda j: f"element_at({vec_col}, {j + 1})",
+                           hyperplane_coeffs(p, dim))
+        terms.append(f"(case when {dot} > 0 then {1 << p} else 0 end)")
+    return emb.select(
+        F.col(id_col),
+        F.expr(" + ".join(terms)).cast("long").alias("bucket"),
+    )
+
+
+def ann_topk_multiprobe(
+    emb: DataFrame, query_id: int, k: int, n_planes: int = 8,
+    n_probes: int = 2, dim: int = 16,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Multiprobe ANN: search the query's random-hyperplane bucket PLUS
+    the n_probes buckets at Hamming distance 1 (flipping the lowest
+    planes) — recovers most of the recall a single-bucket probe loses,
+    for (1 + n_probes)/2^n_planes of the scan cost. Candidates come from
+    a broadcast semi-join on the small probe-bucket set."""
+    b = random_hyperplane_buckets(emb, n_planes, dim, id_col, vec_col)
+    with_b = emb.join(b, id_col)
+    qb = with_b.filter(F.col(id_col) == query_id).select(
+        "bucket", F.col(vec_col).alias("qvec"))
+    probes = qb.select(
+        F.explode(F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_probes)]
+        )).alias("bucket"), "qvec")
+    cands = with_b.join(F.broadcast(probes), "bucket").filter(
+        F.col(id_col) != query_id)
+    scored = cands.select(
+        F.col(id_col),
+        F.round(
+            F.expr(_dot(vec_col, "qvec"))
+            / (F.expr(_norm(vec_col)) * F.expr(_norm("qvec"))), 4,
+        ).alias("cosine"),
+    )
+    w = Window.orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(id_col, "cosine", F.col("rn").cast("long").alias("rank"))
+    )
+
+
 def ann_topk_bucketed(
     emb: DataFrame, query_id: int, k: int, n_bits: int = 4,
     id_col: str = "vec_id", vec_col: str = "embedding",

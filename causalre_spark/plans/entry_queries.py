@@ -893,6 +893,67 @@ WHERE rn <= 10
 
 
 
+EMB_DIM = 64  # driver embeddings table dimensionality
+
+
+def _duck_rh_bucket(n_planes: int) -> str:
+    from causalre_spark.operators.similarity import _dot_literal, hyperplane_coeffs
+
+    terms = []
+    for p in range(n_planes):
+        dot = _dot_literal(lambda j: f"embedding[{j + 1}]",
+                           hyperplane_coeffs(p, EMB_DIM))
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+def q_ann_rh_buckets(spark, sf_dir):
+    """Random-hyperplane sign-LSH bucket histogram — the production
+    upgrade over axis-aligned planes (uniform occupancy on correlated
+    embedding dims). The hyperplane dot is an explicit literal addition
+    chain, so the >0 sign test is bit-identical across engines."""
+    return (
+        similarity.random_hyperplane_buckets(
+            _t(spark, sf_dir, "embeddings"), n_planes=6, dim=EMB_DIM)
+        .groupBy("bucket").agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+
+
+SQL_ANN_RH_BUCKETS_TMPL = """
+SELECT CAST({expr} AS BIGINT) AS bucket, count(*) AS n_vectors
+FROM embeddings GROUP BY 1
+"""
+
+
+def q_ann_topk_multiprobe(spark, sf_dir):
+    """Multiprobe ANN top-k: query bucket + Hamming-1 probe buckets."""
+    return similarity.ann_topk_multiprobe(
+        _t(spark, sf_dir, "embeddings"), query_id=0, k=10,
+        n_planes=8, n_probes=2, dim=EMB_DIM)
+
+
+def _duck_multiprobe() -> str:
+    expr = _duck_rh_bucket(8)
+    return f"""
+WITH b AS (SELECT vec_id, embedding, CAST({expr} AS BIGINT) AS bucket FROM embeddings),
+q AS (SELECT bucket, embedding AS qvec FROM b WHERE vec_id = 0),
+probes AS (SELECT bucket AS pb, qvec FROM q
+           UNION ALL SELECT xor(bucket, 1), qvec FROM q
+           UNION ALL SELECT xor(bucket, 2), qvec FROM q),
+cand AS (SELECT x.vec_id, x.embedding, p.qvec FROM b x JOIN probes p ON x.bucket = p.pb
+         WHERE x.vec_id != 0),
+terms AS (SELECT vec_id, sum(embedding[i] * qvec[i]) AS dot,
+                 sum(embedding[i] * embedding[i]) AS na, sum(qvec[i] * qvec[i]) AS nb
+          FROM (SELECT vec_id, embedding, qvec,
+                       unnest(generate_series(1, len(embedding))) AS i FROM cand) t
+          GROUP BY vec_id),
+scored AS (SELECT vec_id, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cosine FROM terms)
+SELECT vec_id, cosine, CAST(rn AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (ORDER BY cosine DESC, vec_id) AS rn FROM scored) r
+WHERE rn <= 10
+"""
+
+
 def q_dedup_cosine(spark, sf_dir):
     """Embedding-cosine near-dup pairs: sign-LSH blocking + exact cosine."""
     return similarity.cosine_near_dup_pairs(
@@ -1313,6 +1374,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_cosine_topk": q_sim_cosine_topk,
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "ann_topk_bucketed": q_ann_topk_bucketed,
+    "ann_rh_buckets": q_ann_rh_buckets,
+    "ann_topk_multiprobe": q_ann_topk_multiprobe,
     "dedup_cosine": q_dedup_cosine,
     # entity linking pieces + CC
     "link_minhash_sigs": q_link_minhash_sigs,
@@ -1360,6 +1423,8 @@ ORACLES: dict[str, str] = {
     "sim_cosine_topk": SQL_SIM_COSINE_TOPK,
     "ann_lsh_buckets": SQL_ANN_LSH_BUCKETS,
     "ann_topk_bucketed": SQL_ANN_TOPK_BUCKETED,
+    "ann_rh_buckets": SQL_ANN_RH_BUCKETS_TMPL.format(expr=_duck_rh_bucket(6)),
+    "ann_topk_multiprobe": _duck_multiprobe(),
     "dedup_cosine": SQL_DEDUP_COSINE,
     "link_minhash_sigs": SQL_LINK_MINHASH_SIGS,
     "link_lsh_pairs": SQL_LINK_LSH_PAIRS,

@@ -82,3 +82,27 @@ def test_span_text_slice(spark):
         [("u", ["heavy", "rain", "caused", "floods"])], "url string, tokens array<string>")
     sp = _spans_df(spark, [("u", 0, 2, 0.0, 0.0)])
     assert spans.span_text(sp, docs).collect()[0]["text"] == "heavy rain"
+
+
+def test_random_hyperplane_multiprobe_recall(spark):
+    """Random-hyperplane LSH + multiprobe: probing Hamming-1 buckets
+    never hurts and typically improves recall of the exact top-k vs a
+    single-bucket probe; buckets are deterministic."""
+    from causalre_spark.operators.similarity import (
+        ann_topk_multiprobe,
+        cosine_topk,
+        random_hyperplane_buckets,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    exact = {r.vec_id for r in cosine_topk(emb, query_id=0, k=10).collect()}
+    single = {r.vec_id for r in ann_topk_multiprobe(
+        emb, query_id=0, k=10, n_planes=8, n_probes=0, dim=64).collect()}
+    multi = {r.vec_id for r in ann_topk_multiprobe(
+        emb, query_id=0, k=10, n_planes=8, n_probes=2, dim=64).collect()}
+    assert len(multi & exact) >= len(single & exact)
+    b1 = {(r.vec_id, r.bucket) for r in
+          random_hyperplane_buckets(emb, 8, 64).collect()}
+    b2 = {(r.vec_id, r.bucket) for r in
+          random_hyperplane_buckets(emb, 8, 64).collect()}
+    assert b1 == b2
