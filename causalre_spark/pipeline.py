@@ -54,11 +54,18 @@ class StageIO:
         return os.path.join(self.workdir, name)
 
     def done(self, name: str) -> bool:
-        return (
-            self.workdir is not None
-            and self.resume
-            and os.path.exists(os.path.join(self._path(name), "_SUCCESS"))
-        )
+        if self.workdir is None or not self.resume:
+            return False
+        marker = os.path.join(self._path(name), "_SUCCESS")
+        # Hadoop FS API so resume works against object stores
+        # (s3a://, abfs://, hdfs://) exactly like the local FS
+        try:
+            jvm = self.spark._jvm
+            hpath = jvm.org.apache.hadoop.fs.Path(marker)
+            fs = hpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+            return bool(fs.exists(hpath))
+        except Exception:  # pragma: no cover — non-JVM fallback
+            return os.path.exists(marker)
 
     def checkpoint(self, name: str, df_fn, partition_expr: str | None = None,
                    table_format: str = "parquet") -> DataFrame:
