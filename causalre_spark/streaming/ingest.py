@@ -46,13 +46,65 @@ def extract_stream(pages: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> Da
 def spans_stream(docs: DataFrame) -> DataFrame:
     return docs.select("url", "ingest_ts", F.explode("spans").alias("sp")).select(
         "url", "ingest_ts", "sp.start", "sp.end", "sp.tag_score",
-        "sp.filter_score", "sp.text")
+        "sp.filter_score", "sp.span_type", "sp.text")
 
 
 def rels_stream(docs: DataFrame) -> DataFrame:
     return docs.select("url", "ingest_ts", F.explode("rels").alias("r")).select(
         "url", "ingest_ts", "r.h_start", "r.h_end", "r.t_start", "r.t_end",
-        "r.rel_score", "r.h_text", "r.t_text")
+        "r.rel_score", "r.rel_type", "r.h_text", "r.t_text")
+
+
+def windowed_page_counts(
+    pages: DataFrame, watermark: str = "2 hours", window: str = "1 hour"
+) -> DataFrame:
+    """Event-time windowed aggregation with a watermark for late data:
+    pages per (1-hour warc_ts window, lang). Append mode emits a window
+    only once its watermark has passed — late pages within the watermark
+    still land in the right window; later ones are dropped, bounded
+    state either way (the 100TB requirement: state size is
+    O(open windows), not O(stream))."""
+    return (
+        pages.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("win"), "lang")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+        .select(F.col("win.start").alias("window_start"),
+                F.col("win.end").alias("window_end"), "lang", "n_pages")
+    )
+
+
+DEDUP_OUT_SCHEMA = "content_key string, url string, n_batch_dups long"
+DEDUP_STATE_SCHEMA = "seen boolean"
+
+
+def stateful_exact_dedup(pages: DataFrame) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): exact content
+    dedup ACROSS micro-batches. Key = md5(text); the first arrival wins
+    (min url within its batch), every later arrival — same batch or any
+    future batch — is suppressed by the per-key GroupState. State is one
+    boolean per distinct content key: the smallest state that implements
+    cross-batch first-wins semantics."""
+
+    def fn(key, pdf_iter, state):
+        import pandas as pd
+
+        if state.exists:
+            return  # content already emitted in an earlier batch
+        urls = []
+        for pdf in pdf_iter:
+            urls.extend(pdf["url"].tolist())
+        if not urls:
+            return
+        state.update((True,))
+        yield pd.DataFrame({
+            "content_key": [key[0]],
+            "url": [min(urls)],
+            "n_batch_dups": [len(urls) - 1],
+        })
+
+    keyed = pages.select(F.md5(F.col("text")).alias("content_key"), "url")
+    return keyed.groupBy("content_key").applyInPandasWithState(
+        fn, DEDUP_OUT_SCHEMA, DEDUP_STATE_SCHEMA, "append", "NoTimeout")
 
 
 def run_ingest_once(

@@ -37,3 +37,65 @@ def test_streaming_matches_batch_and_is_incremental(spark):
     # no duplicates for the original urls (checkpoint skipped old files)
     dup = (spans2.groupBy("url", "start", "end").count().filter("count > 1").count())
     assert dup == 0
+
+
+def test_windowed_counts_with_watermark(spark):
+    """Event-time windowed agg + watermark: counts land in the right
+    1-hour warc_ts windows (update mode to a memory sink)."""
+    import datetime as dt
+
+    from causalre_spark.sources.corpus import PAGES_SCHEMA
+    from causalre_spark.streaming.ingest import windowed_page_counts
+
+    src = "/tmp/causalre_stream_win_src"
+    shutil.rmtree(src, ignore_errors=True)
+    base = dt.datetime(2025, 3, 1, 0, 30)
+    rows = [(f"u{i}", base + dt.timedelta(hours=i % 3), b"<p>x</p>", "x", "en")
+            for i in range(12)]
+    spark.createDataFrame(rows, PAGES_SCHEMA).write.parquet(src)
+    stream = spark.readStream.schema(PAGES_SCHEMA).parquet(src)
+    q = (windowed_page_counts(stream).writeStream.format("memory")
+         .queryName("win_counts").outputMode("update")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r.window_start.hour, r.n_pages)
+           for r in spark.sql("select * from win_counts").collect()}
+    assert got == {(0, 4), (1, 4), (2, 4)}
+
+
+def test_stateful_exact_dedup_across_batches(spark):
+    """applyInPandasWithState: first arrival of each content wins within
+    AND across micro-batches; state suppresses later duplicates."""
+    from causalre_spark.sources.corpus import PAGES_SCHEMA
+    from causalre_spark.streaming.ingest import stateful_exact_dedup
+
+    import datetime as dt
+
+    src = "/tmp/causalre_stream_dedup_src"
+    out = "/tmp/causalre_stream_dedup_out"
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
+    ts = dt.datetime(2025, 3, 1)
+
+    def write(rows, name):
+        spark.createDataFrame(rows, PAGES_SCHEMA).coalesce(1) \
+            .write.mode("append").parquet(src)
+
+    def drain():
+        stream = spark.readStream.schema(PAGES_SCHEMA).parquet(src)
+        q = (stateful_exact_dedup(stream).writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", out + "_ck")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+        return spark.read.parquet(out).collect()
+
+    write([("u1", ts, b"x", "AAA", "en"), ("u2", ts, b"x", "AAA", "en"),
+           ("u3", ts, b"x", "BBB", "en")], "c1")
+    rows1 = drain()
+    assert {(r.url, r.n_batch_dups) for r in rows1} == {("u1", 1), ("u3", 0)}
+    # second batch: repeats of AAA/BBB are suppressed by state; CCC is new
+    write([("u4", ts, b"x", "AAA", "en"), ("u5", ts, b"x", "BBB", "en"),
+           ("u6", ts, b"x", "CCC", "en")], "c2")
+    rows2 = drain()
+    assert {(r.url, r.n_batch_dups) for r in rows2} == {
+        ("u1", 1), ("u3", 0), ("u6", 0)}
