@@ -1152,6 +1152,25 @@ GROUP BY c_mktsegment
 """
 
 
+def q_tpch_rollup(spark, sf_dir):
+    """Grouping-sets breadth (SURVEY §2.4 note: free in Spark): ROLLUP
+    over (returnflag, linestatus) with grouping-level counts — subtotal
+    rows carry NULL keys in both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+    )
+
+
+SQL_TPCH_ROLLUP = """
+SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
 def q_events_sessionize(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").select(
         "user_id", "event_id", F.col("ts").cast("timestamp").cast("long").alias("epoch"))
@@ -1384,6 +1403,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # classic relational + events
     "tpch_q1": q_tpch_q1,
     "tpch_segment_revenue": q_tpch_segment_revenue,
+    "tpch_rollup": q_tpch_rollup,
     "events_sessionize": q_events_sessionize,
     "events_tumbling": q_events_tumbling,
     "events_json_extract": q_events_json_extract,
@@ -1431,6 +1451,7 @@ ORACLES: dict[str, str] = {
     "cc_components": SQL_CC_COMPONENTS,
     "tpch_q1": SQL_TPCH_Q1,
     "tpch_segment_revenue": SQL_TPCH_SEGMENT_REVENUE,
+    "tpch_rollup": SQL_TPCH_ROLLUP,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "events_tumbling": SQL_EVENTS_TUMBLING,
     "events_json_extract": SQL_EVENTS_JSON_EXTRACT,

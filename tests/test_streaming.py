@@ -75,6 +75,7 @@ def test_stateful_exact_dedup_across_batches(spark):
     out = "/tmp/causalre_stream_dedup_out"
     shutil.rmtree(src, ignore_errors=True)
     shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(out + "_ck", ignore_errors=True)  # stale checkpoint breaks reruns
     ts = dt.datetime(2025, 3, 1)
 
     def write(rows, name):
