@@ -648,7 +648,10 @@ FROM keyed GROUP BY content_key
 
 def q_dedup_minhash_lsh(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    sh = dedup.word_shingles(docs, n=3)
+    # persisted: consumed by the signature aggregation AND both sides of
+    # the jaccard verification — without the cache the normalize+shingle
+    # projection over the full corpus runs three times
+    sh = dedup.word_shingles(docs, n=3).persist()
     pairs = dedup.minhash_lsh_pairs(sh, n_hashes=6, band_size=2)
     return dedup.jaccard_verify(pairs, sh, thd=0.3)
 
