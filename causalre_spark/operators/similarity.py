@@ -189,6 +189,94 @@ def ann_topk_multiprobe(
     )
 
 
+def ivf_centroids(n_centroids: int, dim: int) -> list[list[float]]:
+    """Frozen IVF 'coarse quantizer' centroids: md5-derived unit vectors.
+    A trained IVF learns centroids with k-means; the INDEX STRUCTURE —
+    assign each vector to its nearest centroid, probe the query's nearest
+    lists — is identical, and frozen centroids keep the whole operator
+    deterministic and oracle-checkable. Components are plain Python
+    floats inlined as literals into both engines."""
+    import math
+
+    from causalre_spark.functions.hashing import md5_long
+
+    out = []
+    for c in range(n_centroids):
+        v = [md5_long(f"ivf:{c}:{j}") / float(1 << 48) - 0.5 for j in range(dim)]
+        n = math.sqrt(sum(x * x for x in v))
+        out.append([x / n for x in v])
+    return out
+
+
+def _centroid_dots(vec_elem_fn, n_centroids: int, dim: int) -> list[str]:
+    cents = ivf_centroids(n_centroids, dim)
+    return [_dot_literal(vec_elem_fn, c) for c in cents]
+
+
+def ivf_assign(
+    emb: DataFrame, n_centroids: int = 8, dim: int = 16,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF list assignment: each vector goes to the centroid with the
+    max dot product (first-max tie-break). Bit-exact across engines —
+    the dots are explicit literal addition chains."""
+    dots = _centroid_dots(lambda j: f"element_at({vec_col}, {j + 1})",
+                          n_centroids, dim)
+    # two-step: materialize each dot ONCE as a column, then argmax over
+    # the columns — n dots + n^2 scalar compares instead of n^2 dot
+    # re-evaluations inside one giant CASE tree
+    with_d = emb.select(
+        F.col(id_col),
+        *[F.expr(dots[c]).alias(f"_d{c}") for c in range(n_centroids)])
+    arms = []
+    for c in range(n_centroids):
+        cond = " AND ".join(f"_d{c} >= _d{o}"
+                            for o in range(n_centroids) if o != c)
+        arms.append(f"WHEN {cond} THEN {c}")
+    case = "CASE " + " ".join(arms) + f" ELSE {n_centroids - 1} END"
+    return with_d.select(F.col(id_col), F.expr(case).cast("long").alias("centroid"))
+
+
+def ann_topk_ivf(
+    emb: DataFrame, query_id: int, k: int, n_centroids: int = 8,
+    n_probe: int = 2, dim: int = 16,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k: rank centroids by the query's dot product, probe
+    the best n_probe inverted lists, exact cosine top-k inside them.
+    At scale the assignment is a precomputed index column and the probe
+    is a partition-pruned scan of n_probe/n_centroids of the data."""
+    assign = ivf_assign(emb, n_centroids, dim, id_col, vec_col)
+    with_c = emb.join(assign, id_col)
+    dots = _centroid_dots(lambda j: f"element_at({vec_col}, {j + 1})",
+                          n_centroids, dim)
+    pairs = ", ".join(
+        f"struct(cast({c} as long) as centroid, {dots[c]} as d)"
+        for c in range(n_centroids))
+    q = (emb.filter(F.col(id_col) == query_id)
+         .select(F.col(vec_col).alias("qvec"),
+                 F.explode(F.expr(f"array({pairs})")).alias("cd"))
+         .select("qvec", F.col("cd.centroid").alias("centroid"), F.col("cd.d").alias("d")))
+    w = Window.orderBy(F.col("d").desc(), F.col("centroid").asc())
+    probes = (q.withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") <= n_probe).select("centroid", "qvec"))
+    cands = with_c.join(F.broadcast(probes), "centroid").filter(
+        F.col(id_col) != query_id)
+    scored = cands.select(
+        F.col(id_col),
+        F.round(
+            F.expr(_dot(vec_col, "qvec"))
+            / (F.expr(_norm(vec_col)) * F.expr(_norm("qvec"))), 4,
+        ).alias("cosine"),
+    )
+    w2 = Window.orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= k)
+        .select(id_col, "cosine", F.col("rn").cast("long").alias("rank"))
+    )
+
+
 def ann_topk_bucketed(
     emb: DataFrame, query_id: int, k: int, n_bits: int = 4,
     id_col: str = "vec_id", vec_col: str = "embedding",

@@ -957,6 +957,72 @@ WHERE rn <= 10
 """
 
 
+def q_ann_ivf_assign(spark, sf_dir):
+    """IVF inverted-list occupancy: vectors per nearest frozen centroid."""
+    return (
+        similarity.ivf_assign(_t(spark, sf_dir, "embeddings"),
+                              n_centroids=8, dim=EMB_DIM)
+        .groupBy("centroid").agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+
+
+def _duck_ivf_case(n: int = 8) -> str:
+    arms = []
+    for c in range(n):
+        cond = " AND ".join(f"_d{c} >= _d{o}" for o in range(n) if o != c)
+        arms.append(f"WHEN {cond} THEN {c}")
+    return "CASE " + " ".join(arms) + f" ELSE {n - 1} END"
+
+
+def _duck_ivf_dots_select(n: int = 8) -> str:
+    from causalre_spark.operators.similarity import _centroid_dots
+
+    dots = _centroid_dots(lambda j: f"embedding[{j + 1}]", n, EMB_DIM)
+    cols = ", ".join(f"{dots[c]} AS _d{c}" for c in range(n))
+    return f"SELECT vec_id, embedding, {cols} FROM embeddings"
+
+
+def _duck_ivf_assign() -> str:
+    return f"""
+WITH d AS ({_duck_ivf_dots_select(8)})
+SELECT CAST({_duck_ivf_case(8)} AS BIGINT) AS centroid, count(*) AS n_vectors
+FROM d GROUP BY 1
+"""
+
+
+def q_ann_topk_ivf(spark, sf_dir):
+    """IVF ANN: probe the query's 2 best inverted lists, exact cosine
+    top-k inside them (the prompt's 'IVF variant as the scale path')."""
+    return similarity.ann_topk_ivf(
+        _t(spark, sf_dir, "embeddings"), query_id=0, k=10,
+        n_centroids=8, n_probe=2, dim=EMB_DIM)
+
+
+def _duck_ivf_topk() -> str:
+    qdots = "\nUNION ALL\n".join(
+        f"SELECT {c} AS centroid, _d{c} AS d, embedding AS qvec "
+        f"FROM d WHERE vec_id = 0" for c in range(8))
+    return f"""
+WITH d AS ({_duck_ivf_dots_select(8)}),
+a AS (SELECT vec_id, embedding, CAST({_duck_ivf_case(8)} AS BIGINT) AS centroid FROM d),
+qd AS ({qdots}),
+probes AS (SELECT centroid, qvec
+           FROM (SELECT *, row_number() OVER (ORDER BY d DESC, centroid) AS rn FROM qd) r
+           WHERE rn <= 2),
+cand AS (SELECT x.vec_id, x.embedding, p.qvec
+         FROM a x JOIN probes p ON x.centroid = p.centroid WHERE x.vec_id != 0),
+terms AS (SELECT vec_id, sum(embedding[i] * qvec[i]) AS dot,
+                 sum(embedding[i] * embedding[i]) AS na, sum(qvec[i] * qvec[i]) AS nb
+          FROM (SELECT vec_id, embedding, qvec,
+                       unnest(generate_series(1, len(embedding))) AS i FROM cand) t
+          GROUP BY vec_id),
+scored AS (SELECT vec_id, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cosine FROM terms)
+SELECT vec_id, cosine, CAST(rn AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (ORDER BY cosine DESC, vec_id) AS rn FROM scored) r
+WHERE rn <= 10
+"""
+
+
 def q_dedup_cosine(spark, sf_dir):
     """Embedding-cosine near-dup pairs: sign-LSH blocking + exact cosine."""
     return similarity.cosine_near_dup_pairs(
@@ -1398,6 +1464,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk_bucketed": q_ann_topk_bucketed,
     "ann_rh_buckets": q_ann_rh_buckets,
     "ann_topk_multiprobe": q_ann_topk_multiprobe,
+    "ann_ivf_assign": q_ann_ivf_assign,
+    "ann_topk_ivf": q_ann_topk_ivf,
     "dedup_cosine": q_dedup_cosine,
     # entity linking pieces + CC
     "link_minhash_sigs": q_link_minhash_sigs,
@@ -1448,6 +1516,8 @@ ORACLES: dict[str, str] = {
     "ann_topk_bucketed": SQL_ANN_TOPK_BUCKETED,
     "ann_rh_buckets": SQL_ANN_RH_BUCKETS_TMPL.format(expr=_duck_rh_bucket(6)),
     "ann_topk_multiprobe": _duck_multiprobe(),
+    "ann_ivf_assign": _duck_ivf_assign(),
+    "ann_topk_ivf": _duck_ivf_topk(),
     "dedup_cosine": SQL_DEDUP_COSINE,
     "link_minhash_sigs": SQL_LINK_MINHASH_SIGS,
     "link_lsh_pairs": SQL_LINK_LSH_PAIRS,

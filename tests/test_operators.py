@@ -106,3 +106,25 @@ def test_random_hyperplane_multiprobe_recall(spark):
     b2 = {(r.vec_id, r.bucket) for r in
           random_hyperplane_buckets(emb, 8, 64).collect()}
     assert b1 == b2
+
+
+def test_ivf_assignment_partitions_and_topk_subset(spark):
+    """IVF: every vector lands in exactly one inverted list; the probed
+    top-k is a subset of the probed lists and overlaps the exact top-k."""
+    from causalre_spark.operators.similarity import (
+        ann_topk_ivf,
+        cosine_topk,
+        ivf_assign,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    assign = ivf_assign(emb, n_centroids=8, dim=64)
+    assert assign.count() == emb.count()                      # total
+    assert assign.select("vec_id").distinct().count() == emb.count()  # one list each
+    occupied = assign.select("centroid").distinct().count()
+    assert 2 <= occupied <= 8                                 # non-degenerate
+    exact = {r.vec_id for r in cosine_topk(emb, query_id=0, k=10).collect()}
+    approx = ann_topk_ivf(emb, query_id=0, k=10, n_centroids=8,
+                          n_probe=2, dim=64).collect()
+    assert len(approx) == 10
+    assert len({r.vec_id for r in approx} & exact) >= 1       # real overlap
