@@ -69,5 +69,14 @@ class PipelineConfig:
 
     extra: dict = field(default_factory=dict)
 
+    def __post_init__(self) -> None:
+        # 0 would mean 'no spans' on the Spark side ([:0] slice) but 'no
+        # cap' in the oracle — a legal-looking value that silently breaks
+        # Spark/oracle parity. Reject it at construction instead.
+        if self.max_tagger_candidates < 1:
+            raise ValueError(
+                f"max_tagger_candidates must be >= 1 (got {self.max_tagger_candidates}); "
+                "use a large value for 'effectively uncapped'")
+
 
 DEFAULT_CONFIG = PipelineConfig()

@@ -705,7 +705,10 @@ def doc_extract_reference(tokens: list[str], cfg: PipelineConfig = DEFAULT_CONFI
     # (bfhs). The crossing penalty on the filter score is the frozen
     # trained-behavior term (a trained filter head scores malformed
     # boundary-crossing spans low; same device as model/core.py).
-    pre = np.lexsort((ends, starts, -tag_scores))[: cfg.max_tagger_candidates]
+    # `or None` mirrors the oracle's truthiness guard (oracle/pipeline.py)
+    # so a hypothetical 0 means 'no cap' on BOTH sides (PipelineConfig
+    # additionally rejects values < 1 at construction)
+    pre = np.lexsort((ends, starts, -tag_scores))[: cfg.max_tagger_candidates or None]
     starts, ends, tag_scores = starts[pre], ends[pre], tag_scores[pre]
     if starts.shape[0]:
         span_reps_all = nathan_span_reps(reps, starts, ends, cls_rep, cfg,

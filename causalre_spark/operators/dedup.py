@@ -52,7 +52,7 @@ def word_shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
 
 def minhash_lsh_pairs(
     shingles: DataFrame, n_hashes: int, band_size: int,
-    max_bucket: int | None = 200,
+    max_bucket: int | None = 200, cleanup: list | None = None,
 ) -> DataFrame:
     """Candidate near-dup id pairs (id_a < id_b) via MinHash-LSH banding.
 
@@ -60,7 +60,12 @@ def minhash_lsh_pairs(
     self-join — the same skew guard as linking.lsh_candidate_pairs: a
     giant bucket is a non-discriminative collision (boilerplate/empty
     docs) that would explode to O(n²) pairs; true near-dups also collide
-    in the other, small buckets, so recall is preserved."""
+    in the other, small buckets, so recall is preserved.
+
+    Frames persisted here are appended to `cleanup` (if given) so the
+    caller can unpersist after its terminal action — otherwise cached
+    blocks accumulate across a long session (LRU-evicted under memory
+    pressure, but explicit release is the scale-correct habit)."""
     aggs = [F.min(F.expr(minhash_sql_spark("shingle", s))).alias(f"h{s}")
             for s in range(n_hashes)]
     sigs = shingles.groupBy("id").agg(*aggs)
@@ -68,6 +73,8 @@ def minhash_lsh_pairs(
         # the guard makes the banded plan a 3-way consumer of the
         # signature aggregation (sizes + both join sides) — cache it
         sigs = sigs.persist()
+        if cleanup is not None:
+            cleanup.append(sigs)
     n_bands = n_hashes // band_size
     banded = None
     for b in range(n_bands):

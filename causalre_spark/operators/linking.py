@@ -13,9 +13,10 @@ Design (all DataFrame algebra, zero Python UDFs):
      (hash join on band key; the classic band trick keeps this linear-ish
      instead of the quadratic all-pairs join)
   5. exact Jaccard verification on collected shingle arrays
-  6. connected components: iterative min-label propagation with
-     localCheckpoint() lineage cuts (GraphFrames-style; near-dup clusters
-     have tiny diameter so few iterations; cc_max_iters bounds worst case)
+  6. connected components: driver union-find for small graphs, else
+     alternating large-star/small-star contraction (Kiveris et al.) with
+     localCheckpoint() lineage cuts — O(log² n) rounds, diameter-free,
+     loud failure if cc_max_iters exhausts before the star fixpoint
   7. canonical id = min md5_long(form) in component (deterministic);
      canonical surface = the form carrying that minimum
 """
@@ -121,6 +122,7 @@ def lsh_candidate_pairs(
 def verify_jaccard(
     pairs: DataFrame, shingles: DataFrame, thd: float,
     broadcast_max_forms: int = 200_000, n_forms: int | None = None,
+    cleanup: list | None = None,
 ) -> DataFrame:
     """Exact Jaccard on collected shingle arrays; keeps edges >= thd.
 
@@ -128,10 +130,16 @@ def verify_jaccard(
     broadcast so the (much larger) candidate-pair stream never shuffles —
     the join is map-side and the array intersect/union runs in codegen.
     Beyond the threshold it degrades to a shuffle join automatically.
-    Pass n_forms when already known to avoid an extra count job."""
+    Pass n_forms when already known to avoid an extra count job.
+    Frames persisted here are appended to `cleanup` (if given) so the
+    caller can unpersist them after its terminal action — long sessions
+    (run_sweep) must not accumulate cached blocks."""
     sets = shingles.groupBy("form").agg(F.collect_set("shingle").alias("sh"))
     if (n_forms if n_forms is not None else sets.count()) <= broadcast_max_forms:
-        sets = F.broadcast(sets.persist())
+        sets = sets.persist()
+        if cleanup is not None:
+            cleanup.append(sets)
+        sets = F.broadcast(sets)
     return (
         pairs.join(sets.withColumnRenamed("form", "form_a")
                         .withColumnRenamed("sh", "sh_a"), "form_a")
@@ -172,6 +180,68 @@ def _union_find_components(nodes: list[str], edges: list[tuple[str, str]],
     return [(n, best[find(n)]) for n in nodes]
 
 
+def _star_components(edges: DataFrame, max_iters: int, parts: int) -> DataFrame:
+    """Distributed CC core: alternating large-star / small-star edge
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond"; SURVEY §2.11) over (a, b) BIGINT node-id edges.
+
+    Each round: large-star attaches every strictly-larger neighbor of u
+    to min(Γ⁺(u)); small-star attaches u and its ≤-neighbors to their
+    min. Converges to star graphs (leaf -> component min) in O(log² n)
+    rounds — diameter-independent, unlike plain min-label propagation
+    (a path graph needs O(diameter) propagation rounds but only ~log
+    star rounds). Every step eagerly localCheckpoints: the edge set is
+    redefined each round and a lazy chain would re-derive the whole
+    history. FAILS LOUDLY (RuntimeError) if max_iters exhausts before
+    the edge set reaches the star fixpoint — silently-wrong components
+    would merge/split entities downstream with no signal.
+
+    Returns (node, component) for every node incident to an edge
+    (isolated nodes are the caller's own-label default)."""
+    E = (edges.filter(F.col("a") != F.col("b")).select("a", "b").distinct()
+         .repartition(parts, "a").localCheckpoint())
+    converged = E.isEmpty()
+    for _ in range(max_iters):
+        if converged:
+            break
+        sym = E.unionByName(
+            E.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        mins = sym.groupBy("a").agg(F.min("b").alias("mb"))
+        mins = mins.select("a", F.least("mb", F.col("a")).alias("m"))
+        big = (
+            sym.join(mins, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b")).distinct()
+            .repartition(parts, "a").localCheckpoint()
+        )
+        sym_b = big.unionByName(
+            big.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        small = sym_b.filter(F.col("b") <= F.col("a"))
+        mins_s = small.groupBy("a").agg(F.min("b").alias("m"))
+        new_e = (
+            small.join(mins_s, "a")
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .unionByName(mins_s.select("a", F.col("m").alias("b")))
+            .filter(F.col("a") != F.col("b")).distinct()
+            .repartition(parts, "a").localCheckpoint()
+        )
+        converged = (new_e.exceptAll(E).isEmpty()
+                     and E.exceptAll(new_e).isEmpty())
+        E = new_e
+    if not converged:
+        raise RuntimeError(
+            f"connected components did not converge in {max_iters} "
+            "large-star/small-star rounds; raise max_iters — returning "
+            "partial labels would silently merge/split entities")
+    return (
+        E.unionByName(E.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .groupBy("a").agg(F.min("b").alias("mb"))
+        .select(F.col("a").alias("node"),
+                F.least("mb", F.col("a")).alias("component"))
+    )
+
+
 def connected_components(
     nodes: DataFrame, edges: DataFrame, max_iters: int = 20,
     rows_per_partition: int = 10_000, n_nodes: int | None = None,
@@ -188,11 +258,11 @@ def connected_components(
     per round — while larger graphs take the distributed min-label
     propagation loop. Labels are identical either way.
 
-    Distributed path notes: every iteration eagerly localCheckpoints (a
-    lazy chain would reference `labels` twice per round and duplicate
-    the upstream plan exponentially); partition count is sized from the
-    node count; converges in O(component diameter) rounds, bounded by
-    max_iters.
+    Distributed path: large-star/small-star contraction over md5_long
+    node ids (see _star_components) — O(log² n) rounds independent of
+    component diameter, loud RuntimeError if max_iters exhausts before
+    the star fixpoint (never silently-wrong labels). Partition count is
+    sized from the node count.
     """
     from causalre_spark.functions.hashing import md5_long
 
@@ -203,54 +273,41 @@ def connected_components(
         # gate on BOTH node and edge counts before taking the driver
         # path: a dense near-dup graph can have edges >> nodes, and an
         # unconditional edge collect would land the whole graph on the
-        # driver. One bounded collect (limit max+1) both measures and
-        # fetches — no separate count job on the small-graph fast path.
+        # driver. Measure with a bounded count first (edges is persisted,
+        # so the follow-up collect on the small path re-reads the cache)
+        # instead of pulling max+1 rows through py4j just to count them.
         edges = edges.persist()
-        edge_rows = edges.select("form_a", "form_b") \
-            .limit(driver_max_edges + 1).collect()
-        if len(edge_rows) <= driver_max_edges:
+        n_edges_bounded = edges.limit(driver_max_edges + 1).count()
+        if n_edges_bounded <= driver_max_edges:
+            edge_rows = edges.select("form_a", "form_b").collect()
             node_list = [r["form"] for r in nodes.select("form").collect()]
             edge_list = [(r["form_a"], r["form_b"]) for r in edge_rows]
+            edges.unpersist()
             assigned = _union_find_components(node_list, edge_list, md5_long)
             return spark.createDataFrame(assigned, "form string, component long")
     max_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     parts = max(1, min(max_parts, n_nodes // rows_per_partition + 1))
-    labels = (
-        nodes.select("form", F.expr(md5_long_sql_spark("form")).alias("component"))
+    # node id space = md5_long(form): star contraction needs a totally
+    # ordered id, and min-id == min-hash keeps the canonical-id contract
+    with_h = (
+        nodes.select("form", F.expr(md5_long_sql_spark("form")).alias("fh"))
         .repartition(parts, "form")
         .localCheckpoint()
     )
-    sym = (
+    edge_ids = (
         edges.select("form_a", "form_b")
-        .unionByName(edges.select(F.col("form_b").alias("form_a"),
-                                  F.col("form_a").alias("form_b")))
-        .repartition(parts, "form_b")
-        .localCheckpoint()
+        .join(with_h.select(F.col("form").alias("form_a"),
+                            F.col("fh").alias("a")), "form_a")
+        .join(with_h.select(F.col("form").alias("form_b"),
+                            F.col("fh").alias("b")), "form_b")
+        .select("a", "b")
     )
-    for _ in range(max_iters):
-        neighbor_min = (
-            sym.join(labels.withColumnRenamed("form", "form_b")
-                           .withColumnRenamed("component", "nbr_component"), "form_b")
-            .groupBy(F.col("form_a").alias("form"))
-            .agg(F.min("nbr_component").alias("nbr_component"))
-        )
-        updated = (
-            labels.join(neighbor_min, "form", "left")
-            .select(
-                "form",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("nbr_component"), F.col("component")),
-                ).alias("new_component"),
-                F.col("component"),
-            )
-            .repartition(parts, "form")
-        ).localCheckpoint()
-        n_changed = updated.filter(F.col("new_component") != F.col("component")).count()
-        labels = updated.select("form", F.col("new_component").alias("component"))
-        if n_changed == 0:
-            break
-    return labels
+    comp = _star_components(edge_ids, max_iters, parts)
+    edges.unpersist()
+    return (
+        with_h.join(comp, with_h["fh"] == comp["node"], "left")
+        .select("form", F.coalesce("component", "fh").alias("component"))
+    )
 
 
 def canonical_entities(labels: DataFrame) -> DataFrame:
@@ -282,7 +339,10 @@ def link_mentions(
     forms/shingles are persisted: the distinct over the (much larger)
     mention table must run once, not once per downstream consumer —
     shingles alone is referenced three times (signatures + both sides of
-    the jaccard verification)."""
+    the jaccard verification). All intermediates are unpersisted before
+    return: connected_components' output is materialized (driver
+    union-find or localCheckpoint), so nothing downstream re-reads them
+    — and long sweep sessions must not accumulate cached blocks."""
     forms = normalized_forms(mentions, text_col).persist()
     n_forms = forms.count()  # single materialization/count, reused below
     sh = form_shingles(forms, cfg.shingle_size).persist()
@@ -290,8 +350,12 @@ def link_mentions(
     # signature aggregation THREE times (bucket sizes + both self-join
     # sides) — without the cache the 8-way minhash groupBy runs 3x
     sigs = minhash_signatures(sh, cfg.minhash_hashes).persist()
+    cleanup: list[DataFrame] = [forms, sh, sigs]
     cands = lsh_candidate_pairs(sigs, cfg.minhash_hashes, cfg.minhash_band_size,
                                 dedup=False, max_bucket=cfg.lsh_max_bucket)
-    edges = verify_jaccard(cands, sh, cfg.link_jaccard_thd, n_forms=n_forms)
+    edges = verify_jaccard(cands, sh, cfg.link_jaccard_thd, n_forms=n_forms,
+                           cleanup=cleanup)
     labels = connected_components(forms, edges, cfg.cc_max_iters, n_nodes=n_forms)
+    for df_ in cleanup:
+        df_.unpersist()
     return canonical_entities(labels)

@@ -27,6 +27,25 @@ def _norm(a: str) -> str:
     return f"sqrt({_dot(a, a)})"
 
 
+def _topk_ranked(scored: DataFrame, k: int, id_col: str) -> DataFrame:
+    """Global top-k + dense 1..k rank over (cosine desc, id asc).
+
+    orderBy(...).limit(k) compiles to TakeOrderedAndProject — a
+    per-partition bounded heap merged on the driver — instead of the
+    row_number-over-global-Window shape, which funnels every candidate
+    row through one partition's sort (WindowGroupLimit caps it, but the
+    single-partition exchange remains). The rank window that follows
+    runs over the ALREADY k-bounded rows, so its one-partition sort
+    touches <= k rows by construction."""
+    order = [F.col("cosine").desc(), F.col(id_col).asc()]
+    top = scored.orderBy(*order).limit(k)
+    w = Window.orderBy(*order)
+    return (
+        top.withColumn("rn", F.row_number().over(w))
+        .select(id_col, "cosine", F.col("rn").cast("long").alias("rank"))
+    )
+
+
 def cosine_topk(
     emb: DataFrame, query_id: int, k: int, id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -47,12 +66,7 @@ def cosine_topk(
             4,
         ).alias("cosine"),
     )
-    w = Window.orderBy(F.col("cosine").desc(), F.col(id_col).asc())
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select(id_col, "cosine", F.col("rn").cast("long").alias("rank"))
-    )
+    return _topk_ranked(scored, k, id_col)
 
 
 def lsh_sign_buckets(
@@ -181,12 +195,7 @@ def ann_topk_multiprobe(
             / (F.expr(_norm(vec_col)) * F.expr(_norm("qvec"))), 4,
         ).alias("cosine"),
     )
-    w = Window.orderBy(F.col("cosine").desc(), F.col(id_col).asc())
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select(id_col, "cosine", F.col("rn").cast("long").alias("rank"))
-    )
+    return _topk_ranked(scored, k, id_col)
 
 
 def ivf_centroids(n_centroids: int, dim: int) -> list[list[float]]:
@@ -257,9 +266,10 @@ def ann_topk_ivf(
          .select(F.col(vec_col).alias("qvec"),
                  F.explode(F.expr(f"array({pairs})")).alias("cd"))
          .select("qvec", F.col("cd.centroid").alias("centroid"), F.col("cd.d").alias("d")))
-    w = Window.orderBy(F.col("d").desc(), F.col("centroid").asc())
-    probes = (q.withColumn("rn", F.row_number().over(w))
-              .filter(F.col("rn") <= n_probe).select("centroid", "qvec"))
+    # TakeOrderedAndProject for the probe-list selection too (n_centroids
+    # rows, but the same no-single-partition-Window discipline)
+    probes = (q.orderBy(F.col("d").desc(), F.col("centroid").asc())
+              .limit(n_probe).select("centroid", "qvec"))
     cands = with_c.join(F.broadcast(probes), "centroid").filter(
         F.col(id_col) != query_id)
     scored = cands.select(
@@ -269,12 +279,7 @@ def ann_topk_ivf(
             / (F.expr(_norm(vec_col)) * F.expr(_norm("qvec"))), 4,
         ).alias("cosine"),
     )
-    w2 = Window.orderBy(F.col("cosine").desc(), F.col(id_col).asc())
-    return (
-        scored.withColumn("rn", F.row_number().over(w2))
-        .filter(F.col("rn") <= k)
-        .select(id_col, "cosine", F.col("rn").cast("long").alias("rank"))
-    )
+    return _topk_ranked(scored, k, id_col)
 
 
 def ann_topk_bucketed(
@@ -299,9 +304,4 @@ def ann_topk_bucketed(
             4,
         ).alias("cosine"),
     )
-    w = Window.orderBy(F.col("cosine").desc(), F.col(id_col).asc())
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select(id_col, "cosine", F.col("rn").cast("long").alias("rank"))
-    )
+    return _topk_ranked(scored, k, id_col)

@@ -44,14 +44,29 @@ class StageIO:
     flow through as lazy DataFrames (tests / small corpora).
     """
 
-    def __init__(self, spark: SparkSession, workdir: str | None, resume: bool = True):
+    def __init__(self, spark: SparkSession, workdir: str | None, resume: bool = True,
+                 table_namespace: str | None = None):
         self.spark = spark
         self.workdir = workdir
         self.resume = resume
+        self.table_namespace = table_namespace
         self.metrics: list[dict] = []
 
     def _path(self, name: str) -> str:
         return os.path.join(self.workdir, name)
+
+    def _table_ident(self, name: str) -> str:
+        """Qualified table identifier for catalog-managed sinks (iceberg):
+        a bare stage name would resolve against the current database and
+        collide across pipelines."""
+        return f"{self.table_namespace}.{name}" if self.table_namespace else name
+
+    def table_done(self, name: str) -> bool:
+        """Doneness for catalog-managed stages = the table exists in the
+        catalog (writeTo never creates a parquet _SUCCESS marker)."""
+        if not self.resume:
+            return False
+        return bool(self.spark.catalog.tableExists(self._table_ident(name)))
 
     def done(self, name: str) -> bool:
         if self.workdir is None or not self.resume:
@@ -84,14 +99,29 @@ class StageIO:
         """
         if self.workdir is None:
             return df_fn()
+        if table_format == "iceberg":
+            # catalog-managed branch: write via DataFrameWriterV2, read
+            # back via the catalog (NOT the parquet path — writeTo never
+            # writes there), and detect doneness via tableExists (writeTo
+            # never creates a _SUCCESS marker).
+            ident = self._table_ident(name)
+            if not self.table_done(name):
+                df = df_fn()
+                if partition_expr:
+                    df = df.withColumn("_p", F.expr(partition_expr))
+                    df.writeTo(ident).using("iceberg").partitionedBy(
+                        F.col("_p")).createOrReplace()
+                else:
+                    df.writeTo(ident).using("iceberg").createOrReplace()
+            out = self.spark.read.table(ident)
+            if "_p" in out.columns:
+                out = out.drop("_p")
+            self._lineage(name, out)
+            return out
         path = self._path(name)
         if not self.done(name):
             df = df_fn()
-            if partition_expr and table_format == "iceberg":  # pragma: no cover
-                df.withColumn("_p", F.expr(partition_expr)) \
-                    .writeTo(name).using("iceberg").partitionedBy("_p") \
-                    .createOrReplace()
-            elif partition_expr:
+            if partition_expr:
                 df.withColumn("_p", F.expr(partition_expr)) \
                     .write.mode("overwrite").partitionBy("_p").parquet(path)
             else:
@@ -141,7 +171,8 @@ def run_pipeline(
     its wall time recorded under 'docs_secs' (bench decomposition)."""
     import time as _time
 
-    io = StageIO(spark, workdir, resume)
+    io = StageIO(spark, workdir, resume,
+                 table_namespace=cfg.extra.get("table_namespace"))
 
     def _docs() -> DataFrame:
         eng = pages.filter(F.col("lang") == "en")
@@ -213,6 +244,8 @@ def run_pipeline(
     # persisted: consumed twice (cause-side and effect-side broadcasts)
     entities = io.checkpoint("entities", _entities).persist()
 
+    _stage_caches: list[DataFrame] = []
+
     def _triples() -> DataFrame:
         # one broadcast dictionary: DISTINCT raw mention surface ->
         # (canonical_id, canonical_form); the relation stream joins it
@@ -223,6 +256,7 @@ def run_pipeline(
             .select("text", "canonical_id", "canonical_form")
             .persist()
         )
+        _stage_caches.append(canon_map)
         joined = (
             rels.join(
                 F.broadcast(canon_map.withColumnRenamed("text", "h_text")
@@ -263,6 +297,12 @@ def run_pipeline(
     triples = io.checkpoint("triples", _triples,
                             partition_expr="pmod(cause_id, 64)",
                             table_format=cfg.table_format)
+    if workdir is not None:
+        # triples materialized to the sink -> the broadcast dictionary's
+        # cache is dead weight; release it (sweep sessions run many
+        # pipelines and must not accumulate cached blocks)
+        for df_ in _stage_caches:
+            df_.unpersist()
     io.write_metrics()
     return {
         "docs": docs,

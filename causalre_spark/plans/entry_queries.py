@@ -289,6 +289,84 @@ GROUP BY g.doc_id
 """
 
 
+_RSCORE_SPARK = md5_long_sql_spark("concat_ws(':', doc_id, hs, he, ts, te)")
+_RSCORE_DUCK = md5_long_sql("concat_ws(':', doc_id, hs, he, ts, te)")
+
+
+def q_a2_loose_rels(spark, sf_dir):
+    """A2 rel-tuple loose matching (reference metrics.py:49-92), set
+    semantics: a gold rel matches iff ANY in-doc pred of the same
+    rel_type has all four endpoints within tolerance — exact always, or
+    |Δ| <= 1 when BOTH endpoint spans have width >= 2 (absolute tol=1,
+    the reference's `tolerance >= 1` branch). Rels are adjacent span
+    pairs from the lattice; preds are gold-like rels with deterministic
+    hash-derived ±1 jitter on head and tail, so both the exact and the
+    loose branch are exercised. The greedy 1-to-1 variant is
+    operators/metrics.loose_match_rels (pytest-gated, order-dependent)."""
+    lat = _scored_lattice(spark, sf_dir, 16, 3)
+    heads = lat.select("doc_id", F.col("s").alias("hs"), F.col("e").alias("he"))
+    tails = lat.select("doc_id", F.col("s").alias("ts"), F.col("e").alias("te"))
+    rels = (
+        heads.join(tails, "doc_id").filter(F.col("ts") == F.col("he"))
+        .withColumn("rscore", F.expr(_RSCORE_SPARK))
+        .withColumn("rel_type", F.when(F.col("rscore") % 2 == 0, "causal")
+                    .otherwise("enable"))
+    )
+    gold = rels.filter(F.col("rscore") % 5 == 0).select(
+        "doc_id", "hs", "he", "ts", "te", "rel_type")
+    pred = rels.filter(F.col("rscore") % 4 == 0).select(
+        "doc_id",
+        (F.col("hs") + F.col("rscore") % 3 - 1).alias("phs"),
+        (F.col("he") + F.col("rscore") % 3 - 1).alias("phe"),
+        (F.col("ts") + (F.expr("rscore div 3") % 3) - 1).alias("pts"),
+        (F.col("te") + (F.expr("rscore div 3") % 3) - 1).alias("pte"),
+        "rel_type")
+    d_hs = F.abs(F.col("hs") - F.col("phs"))
+    d_he = F.abs(F.col("he") - F.col("phe"))
+    d_ts = F.abs(F.col("ts") - F.col("pts"))
+    d_te = F.abs(F.col("te") - F.col("pte"))
+    exact = (d_hs == 0) & (d_he == 0) & (d_ts == 0) & (d_te == 0)
+    loose = ((F.col("he") - F.col("hs") >= 2) & (F.col("te") - F.col("ts") >= 2)
+             & (d_hs <= 1) & (d_he <= 1) & (d_ts <= 1) & (d_te <= 1))
+    matched = (
+        gold.join(pred, ["doc_id", "rel_type"])
+        .filter(exact | loose)
+        .select("doc_id", "hs", "he", "ts", "te").distinct()
+    )
+    n_gold = gold.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_gold"))
+    n_tp = matched.groupBy("doc_id").agg(F.count(F.lit(1)).alias("loose_tp"))
+    return n_gold.join(n_tp, "doc_id", "left").select(
+        "doc_id", "n_gold", F.coalesce("loose_tp", F.lit(0)).alias("loose_tp"))
+
+
+SQL_A2_RELS = f"""
+WITH {_duck_scored(16, 3)},
+rels0 AS (SELECT h.doc_id, h.s AS hs, h.e AS he, t.s AS ts, t.e AS te
+          FROM scored h JOIN scored t ON h.doc_id = t.doc_id AND t.s = h.e),
+rels AS (SELECT doc_id, hs, he, ts, te, {_RSCORE_DUCK} AS rscore,
+                CASE WHEN {_RSCORE_DUCK} % 2 = 0 THEN 'causal' ELSE 'enable' END AS rel_type
+         FROM rels0),
+gold AS (SELECT doc_id, hs, he, ts, te, rel_type FROM rels WHERE rscore % 5 = 0),
+pred AS (SELECT doc_id,
+                hs + rscore % 3 - 1 AS phs, he + rscore % 3 - 1 AS phe,
+                ts + (rscore // 3) % 3 - 1 AS pts, te + (rscore // 3) % 3 - 1 AS pte,
+                rel_type
+         FROM rels WHERE rscore % 4 = 0),
+matched AS (SELECT DISTINCT g.doc_id, g.hs, g.he, g.ts, g.te
+            FROM gold g JOIN pred p ON g.doc_id = p.doc_id AND g.rel_type = p.rel_type
+            WHERE (abs(g.hs - p.phs) = 0 AND abs(g.he - p.phe) = 0
+                   AND abs(g.ts - p.pts) = 0 AND abs(g.te - p.pte) = 0)
+               OR (g.he - g.hs >= 2 AND g.te - g.ts >= 2
+                   AND abs(g.hs - p.phs) <= 1 AND abs(g.he - p.phe) <= 1
+                   AND abs(g.ts - p.pts) <= 1 AND abs(g.te - p.pte) <= 1))
+SELECT g.doc_id, count(*) AS n_gold,
+       coalesce(max(m.loose_tp), 0) AS loose_tp
+FROM gold g LEFT JOIN (SELECT doc_id, count(*) AS loose_tp
+                       FROM matched GROUP BY doc_id) m USING (doc_id)
+GROUP BY g.doc_id
+"""
+
+
 def q_a6_corpus_stats(spark, sf_dir):
     return (
         _t(spark, sf_dir, "documents")
@@ -1114,30 +1192,19 @@ def q_cc_components(spark, sf_dir):
         docs.groupBy("source", "tok1").agg(F.min("doc_id").alias("dst")),
         ["source", "tok1"]).select(F.col("doc_id").alias("src"), "dst")
     edges = e1.unionByName(e2).filter(F.col("src") != F.col("dst")).distinct()
-    # iterative min-label propagation (same loop as linking.connected_components,
-    # over numeric ids)
-    labels = docs.select("doc_id", F.col("doc_id").alias("component")).localCheckpoint()
-    sym = edges.unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
-    for _ in range(15):
-        nbr = (
-            sym.join(labels.withColumnRenamed("doc_id", "dst")
-                     .withColumnRenamed("component", "nbr"), "dst")
-            .groupBy(F.col("src").alias("doc_id"))
-            .agg(F.min("nbr").alias("nbr"))
-        )
-        upd = (
-            labels.join(nbr, "doc_id", "left")
-            .select("doc_id",
-                    F.least("component", F.coalesce("nbr", "component")).alias("new_component"),
-                    "component")
-        ).localCheckpoint()
-        changed = upd.filter(F.col("new_component") != F.col("component")).count()
-        labels = upd.select("doc_id", F.col("new_component").alias("component"))
-        if changed == 0:
-            break
-    return labels
+    # large-star/small-star contraction (shared hardened core, over
+    # numeric doc ids): O(log² n) rounds independent of component
+    # diameter, loud RuntimeError on non-convergence instead of
+    # silently-wrong labels
+    from causalre_spark.operators.linking import _star_components
+
+    comp = _star_components(
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b")),
+        max_iters=15, parts=8)
+    return (
+        docs.join(comp, docs["doc_id"] == comp["node"], "left")
+        .select("doc_id", F.coalesce("component", "doc_id").alias("component"))
+    )
 
 
 SQL_CC_COMPONENTS = """
@@ -1436,6 +1503,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # metrics / aggs (§2.4, §2.6)
     "a1_micro_prf": q_a1_micro_prf,
     "a2_loose_match": q_a2_loose_match,
+    "a2_loose_rels": q_a2_loose_rels,
     "a3_lost_rels": q_a3_lost_rels,
     "a6_corpus_stats": q_a6_corpus_stats,
     "a7_iou_binning": q_a7_iou_binning,
@@ -1493,6 +1561,7 @@ ORACLES: dict[str, str] = {
     "t5_hanging_prune": SQL_T5,
     "a1_micro_prf": SQL_A1,
     "a2_loose_match": SQL_A2,
+    "a2_loose_rels": SQL_A2_RELS,
     "a3_lost_rels": SQL_A3,
     "a6_corpus_stats": SQL_A6,
     "a7_iou_binning": SQL_A7,

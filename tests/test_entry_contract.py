@@ -12,6 +12,7 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 SUBSET = [
     "t1_topk_spans", "j1_pair_gen", "a1_micro_prf", "a3_lost_rels",
+    "a2_loose_rels",
     "dedup_exact", "dedup_simhash", "text_fingerprint",
     "sim_cosine_topk", "cc_components", "events_sessionize",
 ]

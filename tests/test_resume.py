@@ -66,3 +66,72 @@ def test_length_bucketing_same_results(spark):
     bucketed = _triples_set(
         run_pipeline(spark, pages, cfg=PipelineConfig(length_bucket=True)))
     assert bucketed == plain
+
+
+def test_iceberg_branch_write_read_resume(spark, monkeypatch, tmp_path):
+    """The catalog-managed (iceberg) branch: writeTo(...).using('iceberg')
+    with a qualified identifier, read-back via spark.read.table (NOT the
+    parquet path), doneness via catalog.tableExists (NOT _SUCCESS).
+    The sandbox has no iceberg jars, so the catalog surface is faked at
+    the pyspark API layer — the plan construction and resume logic under
+    test are real (ADVICE r02: the old branch read stale parquet and
+    never resumed)."""
+    from causalre_spark.pipeline import StageIO
+
+    store: dict[str, object] = {}     # table ident -> pandas snapshot
+    calls = {"write": 0, "read": 0}
+
+    class FakeWriterV2:
+        def __init__(self, df, ident):
+            self.df, self.ident = df, ident
+            self.fmt, self.parts = None, None
+
+        def using(self, fmt):
+            self.fmt = fmt
+            return self
+
+        def partitionedBy(self, col):
+            self.parts = col
+            return self
+
+        def createOrReplace(self):
+            assert self.fmt == "iceberg"
+            calls["write"] += 1
+            store[self.ident] = self.df.toPandas()
+
+    # patch the CONCRETE runtime classes (pyspark 4 classic subclasses
+    # override these; patching the pyspark.sql.DataFrame base is a no-op)
+    probe = spark.range(1)
+    monkeypatch.setattr(type(probe), "writeTo",
+                        lambda self, ident: FakeWriterV2(self, ident))
+    monkeypatch.setattr(
+        type(spark.read), "table",
+        lambda self, ident: (calls.__setitem__("read", calls["read"] + 1)
+                             or spark.createDataFrame(store[ident])))
+    monkeypatch.setattr(type(spark.catalog), "tableExists",
+                        lambda self, ident: ident in store)
+
+    io = StageIO(spark, str(tmp_path), resume=True, table_namespace="graph.ns")
+    df_in = spark.range(10).selectExpr("id AS cause_id", "id * 2 AS v")
+    built = {"n": 0}
+
+    def _stage():
+        built["n"] += 1
+        return df_in
+
+    out = io.checkpoint("triples", _stage, partition_expr="pmod(cause_id, 4)",
+                        table_format="iceberg")
+    assert "graph.ns.triples" in store          # qualified identifier used
+    assert calls["write"] == 1 and built["n"] == 1
+    assert "_p" not in out.columns and out.count() == 10
+
+    # resume: table exists in the catalog -> stage fn NOT rebuilt, no rewrite
+    out2 = io.checkpoint("triples", _stage, partition_expr="pmod(cause_id, 4)",
+                         table_format="iceberg")
+    assert built["n"] == 1 and calls["write"] == 1
+    assert out2.count() == 10
+    # resume=False forces a rebuild
+    io2 = StageIO(spark, str(tmp_path), resume=False, table_namespace="graph.ns")
+    io2.checkpoint("triples", _stage, partition_expr="pmod(cause_id, 4)",
+                   table_format="iceberg")
+    assert built["n"] == 2 and calls["write"] == 2
