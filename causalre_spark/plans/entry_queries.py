@@ -1490,6 +1490,75 @@ FROM bytes GROUP BY asset_id, kind, j // 2
 """
 
 # --------------------------------------------------------------------------
+# gold-data eval (reference's own annotated test splits; VERDICT r02 #2)
+# --------------------------------------------------------------------------
+
+_GOLD_FIX = "/root/repo/fixtures/gold_eval"
+
+
+def _q_gold_eval(dataset: str):
+    def q(spark, sf_dir):
+        """Per-doc gold/pred/strict-TP counts on the reference's own
+        annotated test split (ignores sf_dir — the input is the
+        reference dataset, fixed scale). Spark side recomputes
+        everything LIVE: JSON loader -> frozen reference-profile model
+        UDF -> relational strict matching; the DuckDB oracle evaluates
+        the same counts from fixtures frozen by
+        tools/freeze_gold_eval.py — a hash match pins loader + model
+        determinism + matching algebra."""
+        from causalre_spark import gold_eval as G
+
+        return G.per_doc_counts(spark, dataset)
+
+    return q
+
+
+def _sql_gold_eval(dataset: str) -> str:
+    f = f"{_GOLD_FIX}/{dataset}"
+    return f"""
+WITH docs AS (SELECT doc_id FROM '{f}_docs.parquet'),
+gs AS (SELECT url, "start", "end", "type" FROM '{f}_gold_spans.parquet'),
+ps AS (SELECT url, "start", "end", "type" FROM '{f}_pred_spans.parquet'),
+gr AS (SELECT url, h_start, h_end, t_start, t_end, rel_type FROM '{f}_gold_rels.parquet'),
+pr AS (SELECT url, h_start, h_end, t_start, t_end, rel_type FROM '{f}_pred_rels.parquet'),
+stp AS (SELECT url, count(*) AS span_tp
+        FROM (SELECT DISTINCT * FROM gs) g
+        JOIN (SELECT DISTINCT * FROM ps) p
+        USING (url, "start", "end", "type")
+        GROUP BY url),
+rtp AS (SELECT url, count(*) AS rel_tp
+        FROM (SELECT DISTINCT * FROM gr) g
+        JOIN (SELECT DISTINCT * FROM pr) p
+        USING (url, h_start, h_end, t_start, t_end, rel_type)
+        GROUP BY url),
+gsc AS (SELECT url, count(*) AS n FROM gs GROUP BY url),
+psc AS (SELECT url, count(*) AS n FROM ps GROUP BY url),
+grc AS (SELECT url, count(*) AS n FROM gr GROUP BY url),
+prc AS (SELECT url, count(*) AS n FROM pr GROUP BY url)
+SELECT d.doc_id,
+       CAST(coalesce(gsc.n, 0) AS BIGINT) AS n_gold_spans,
+       CAST(coalesce(psc.n, 0) AS BIGINT) AS n_pred_spans,
+       CAST(coalesce(stp.span_tp, 0) AS BIGINT) AS span_tp,
+       CAST(coalesce(grc.n, 0) AS BIGINT) AS n_gold_rels,
+       CAST(coalesce(prc.n, 0) AS BIGINT) AS n_pred_rels,
+       CAST(coalesce(rtp.rel_tp, 0) AS BIGINT) AS rel_tp
+FROM docs d
+LEFT JOIN gsc ON CAST(d.doc_id AS VARCHAR) = gsc.url
+LEFT JOIN psc ON CAST(d.doc_id AS VARCHAR) = psc.url
+LEFT JOIN stp ON CAST(d.doc_id AS VARCHAR) = stp.url
+LEFT JOIN grc ON CAST(d.doc_id AS VARCHAR) = grc.url
+LEFT JOIN prc ON CAST(d.doc_id AS VARCHAR) = prc.url
+LEFT JOIN rtp ON CAST(d.doc_id AS VARCHAR) = rtp.url
+"""
+
+
+q_gold_eval_custom = _q_gold_eval("custom")
+q_gold_eval_conll04 = _q_gold_eval("conll04")
+SQL_GOLD_EVAL_CUSTOM = _sql_gold_eval("custom")
+SQL_GOLD_EVAL_CONLL04 = _sql_gold_eval("conll04")
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -1549,6 +1618,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # UDF pipeline + multimodal (rows-only)
     "pipeline_spans": q_pipeline_spans,
     "multimodal_features": q_multimodal_features,
+    # gold-data eval on the reference's own test splits (ignores sf_dir)
+    "gold_eval_custom": q_gold_eval_custom,
+    "gold_eval_conll04": q_gold_eval_conll04,
     "causal_triples": q_causal_triples,
     "causal_triples_seeded": q_causal_triples_seeded,
 }
@@ -1598,4 +1670,6 @@ ORACLES: dict[str, str] = {
     "events_tumbling": SQL_EVENTS_TUMBLING,
     "events_json_extract": SQL_EVENTS_JSON_EXTRACT,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
+    "gold_eval_custom": SQL_GOLD_EVAL_CUSTOM,
+    "gold_eval_conll04": SQL_GOLD_EVAL_CONLL04,
 }
