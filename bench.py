@@ -55,20 +55,35 @@ def _materialize_corpus(spark, n_pages: int, partitions: int) -> str:
     return path
 
 
-def run_headline(sf_dir: str, cores: int) -> dict:
+def run_headline(sf_dir: str, cores: int, passes: int | None = None
+                 ) -> tuple[dict, dict]:
+    """Headline query times: min over `passes` INTERLEAVED full passes.
+
+    The sandbox host is shared and noisy (identical runs vary up to 2x
+    — BENCH/BASELINE.md), so a single pass cannot distinguish a plan
+    regression from a co-tenant burst (the round-2 t1/minhash
+    'regressions' were exactly this ambiguity). Interleaving passes
+    means drifting load hits every query; min-of-N per query is the
+    least-interference sample. Returns (min_times, all_samples)."""
     from causalre_spark.plans.entry_queries import QUERIES
     from causalre_spark.session import get_spark
 
+    if passes is None:
+        passes = int(os.environ.get("SPARK_GRAFT_HEADLINE_PASSES", "3"))
     spark = get_spark(app="bench", cores=cores)
-    times = {}
-    for name in HEADLINE:
-        t0 = time.time()
-        df = QUERIES[name](spark, sf_dir)
-        n = df.count()
-        times[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {n} rows in {times[name]}s", file=sys.stderr)
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for p in range(passes):
+        for name in HEADLINE:
+            t0 = time.time()
+            df = QUERIES[name](spark, sf_dir)
+            n = df.count()
+            dt = round(time.time() - t0, 3)
+            samples[name].append(dt)
+            print(f"# pass {p + 1}/{passes} {name}: {n} rows in {dt}s",
+                  file=sys.stderr)
     spark.stop()
-    return times
+    times = {name: min(ts) for name, ts in samples.items()}
+    return times, samples
 
 
 def scaling_run(cores: int, corpus_path: str) -> dict:
@@ -130,7 +145,8 @@ def _child(cores: int, corpus_path: str) -> dict:
 
 def write_baseline_md(scale_lo: dict, scale_hi: dict, eff: float,
                       eff_extract: float, times: dict, sf_dir: str,
-                      scaling: dict | None = None) -> None:
+                      scaling: dict | None = None,
+                      query_samples: dict | None = None) -> None:
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(
@@ -154,6 +170,12 @@ def write_baseline_md(scale_lo: dict, scale_hi: dict, eff: float,
             f"**{eff:.3f}** (target >= 0.8)\n\n"
             f"**Extraction-stage efficiency (the data-parallel stage that "
             f"dominates at production scale):** **{eff_extract:.3f}**\n\n")
+        if scaling and "efficiency_median" in scaling:
+            f.write(
+                f"**All-samples median efficiency (cross-check estimator; "
+                f"{scaling.get('n_pairs', '?')} interleaved pairs, count "
+                f"fixed BEFORE the first sample — no optional stopping):** "
+                f"**{scaling['efficiency_median']:.3f}**\n\n")
         if scaling and "scaleup_2x_pages" in scaling:
             up = scaling["scaleup_2x_pages"]
             f.write(
@@ -177,10 +199,13 @@ def write_baseline_md(scale_lo: dict, scale_hi: dict, eff: float,
             "legs must run uncontended for the 4x comparison to measure "
             "the algorithm.\n\n"
             f"## Headline operator times ({sf_dir}, local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}])\n\n"
-            "| query | secs |\n|---|---|\n"
+            "Min over interleaved passes; all samples shown so a plan\n"
+            "regression is distinguishable from a co-tenant burst.\n\n"
+            "| query | min secs | samples |\n|---|---|---|\n"
         )
         for k, v in times.items():
-            f.write(f"| {k} | {v} |\n")
+            ss = ", ".join(str(x) for x in (query_samples or {}).get(k, []))
+            f.write(f"| {k} | {v} | {ss} |\n")
 
 
 def main() -> None:
@@ -198,13 +223,14 @@ def main() -> None:
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
-    times = run_headline(sf_dir, cores)
+    times, query_samples = run_headline(sf_dir, cores)
 
     result = {
-        "metric": "headline operator suite wall-clock",
+        "metric": "headline operator suite wall-clock (min-of-N interleaved)",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
+        "query_samples": query_samples,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
 
@@ -225,36 +251,39 @@ def main() -> None:
         # The host is also noisy in time (identical runs vary up to 2x):
         # legs are INTERLEAVED (lo, hi, lo, hi) so drifting load hits
         # both, and each leg takes its min — the least-interference sample.
-        repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
-        max_extra = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_EXTRA", "2"))
+        # FIXED number of interleaved pairs — no adaptive extension. An
+        # earlier version added extra pairs only while eff < 0.8, an
+        # optional-stopping rule keyed to the pass threshold that biased
+        # the reported min-based efficiency toward crossing it (ADVICE
+        # r02). The count is decided before the first sample; the
+        # all-samples median efficiency is reported alongside the
+        # min-based one so the two estimators cross-check each other.
+        repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
         lo_cores = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "2"))
         hi_cores = int(os.environ.get("SPARK_GRAFT_SCALE_HI", "8"))
         lo_runs, hi_runs = [], []
-
-        def _measure():
-            lo = min(lo_runs, key=lambda r: r["secs"])
-            hi = min(hi_runs, key=lambda r: r["secs"])
-            factor = hi["cores"] / lo["cores"]
-            return (lo, hi, (lo["secs"] / hi["secs"]) / factor,
-                    (lo["extract_secs"] / hi["extract_secs"]) / factor)
-
         for _ in range(repeats):
             lo_runs.append(_child(lo_cores, corpus))
             hi_runs.append(_child(hi_cores, corpus))
-        lo, hi, eff, eff_extract = _measure()
-        # adaptive extra interleaved pairs: co-tenant bursts (documented
-        # 2x swings) bias any single pair; min-per-leg over more
-        # interleaved samples converges toward the noise-free ratio.
-        # Bounded; every raw sample is recorded in the JSON for audit.
-        while eff < 0.8 and max_extra > 0:
-            max_extra -= 1
-            lo_runs.append(_child(lo_cores, corpus))
-            hi_runs.append(_child(hi_cores, corpus))
-            lo, hi, eff, eff_extract = _measure()
+        lo = min(lo_runs, key=lambda r: r["secs"])
+        hi = min(hi_runs, key=lambda r: r["secs"])
+        factor = hi["cores"] / lo["cores"]
+        eff = (lo["secs"] / hi["secs"]) / factor
+        eff_extract = (lo["extract_secs"] / hi["extract_secs"]) / factor
+
+        def _median(xs: list[float]) -> float:
+            s = sorted(xs)
+            m = len(s) // 2
+            return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
+
+        eff_median = (_median([r["secs"] for r in lo_runs])
+                      / _median([r["secs"] for r in hi_runs])) / factor
         result["scaling"] = {
             "low": lo, "high": hi,
             "efficiency": round(eff, 3),
+            "efficiency_median": round(eff_median, 3),
             "efficiency_extract_stage": round(eff_extract, 3),
+            "n_pairs": repeats,
             "all_runs": {"low": lo_runs, "high": hi_runs},
         }
         # amortization proof: same cores, 2x the pages. Per-job driver
@@ -278,7 +307,7 @@ def main() -> None:
             result["scaling"]["scaleup_docs_per_sec_ratio"] = round(
                 up["docs_per_sec"] / max(hi["docs_per_sec"], 1e-9), 3)
         write_baseline_md(lo, hi, eff, eff_extract, times, sf_dir,
-                          result["scaling"])
+                          result["scaling"], query_samples)
 
     print(json.dumps(result))
 

@@ -226,8 +226,9 @@ def _star_components(edges: DataFrame, max_iters: int, parts: int) -> DataFrame:
             .filter(F.col("a") != F.col("b")).distinct()
             .repartition(parts, "a").localCheckpoint()
         )
-        converged = (new_e.exceptAll(E).isEmpty()
-                     and E.exceptAll(new_e).isEmpty())
+        # one symmetric-difference job, not two exceptAll jobs
+        converged = new_e.exceptAll(E).unionByName(
+            E.exceptAll(new_e)).isEmpty()
         E = new_e
     if not converged:
         raise RuntimeError(
