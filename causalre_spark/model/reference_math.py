@@ -122,15 +122,58 @@ def _sigmoid(x: np.ndarray) -> np.ndarray:
 # F4: deterministic subword split + word->subword map
 # ---------------------------------------------------------------------------
 
-def subword_split(word: str) -> list[str]:
-    """Frozen wordpiece-style splitter: pieces of <= 4 chars, '##'
-    continuation prefix. Stands in for the HF fast tokenizer's subword
-    vocabulary (layers_transformer_encoder_hf.py:290-298) — the MAP
-    structure (word_ids -> subword index lists, :66-86) is what the
-    downstream pooling consumes, and that is reproduced exactly."""
+def subword_split_fixed(word: str) -> list[str]:
+    """Legacy frozen splitter (pieces of <= 4 chars, '##' continuation) —
+    kept as the fallback when the vendored vocabulary is unavailable."""
     if len(word) <= 4:
         return [word]
     return [word[:4]] + ["##" + word[i: i + 4] for i in range(4, len(word), 4)]
+
+
+_MAX_WP_CHARS = 100  # HF WordpieceTokenizer max_input_chars_per_word
+
+
+try:  # vendored vocab (tools/build_wordpiece_vocab.py) — real subword
+    # pieces learned from the reference's own train splits with the
+    # published WordPiece likelihood criterion
+    from causalre_spark.model.wordpiece_vocab import VOCAB_SET as _WP_VOCAB
+except ImportError:  # pragma: no cover — pre-generation fallback
+    _WP_VOCAB = None
+
+
+@lru_cache(maxsize=262144)
+def subword_split(word: str) -> list[str]:
+    """F4/N1: real greedy longest-match-first WordPiece segmentation
+    over the vendored vocabulary — the exact HF WordpieceTokenizer
+    semantics the reference tokenizes with
+    (layers_transformer_encoder_hf.py:290-298): word-internal pieces
+    carry '##'; a word with no valid segmentation (or longer than 100
+    chars) becomes a single [UNK]. Falls back to the legacy fixed-width
+    splitter if the generated vocab module is absent."""
+    if _WP_VOCAB is None:  # pragma: no cover
+        return subword_split_fixed(word)
+    if not word:
+        return [word]
+    if len(word) > _MAX_WP_CHARS:
+        return ["[UNK]"]
+    pieces: list[str] = []
+    start = 0
+    while start < len(word):
+        end = len(word)
+        cur = None
+        while start < end:
+            sub = word[start:end]
+            if start > 0:
+                sub = "##" + sub
+            if sub in _WP_VOCAB:
+                cur = sub
+                break
+            end -= 1
+        if cur is None:
+            return ["[UNK]"]
+        pieces.append(cur)
+        start = end
+    return pieces
 
 
 def words_to_subwords(words: list[str]) -> tuple[list[str], list[list[int]]]:

@@ -156,6 +156,60 @@ class StageIO:
         )
 
 
+def canonical_triples(kept: DataFrame, rels: DataFrame, entities: DataFrame,
+                      cleanup: list | None = None) -> DataFrame:
+    """(kept spans, relations, entities) -> deduped canonical triples.
+
+    Shared by the batch pipeline and the streaming->batch bridge
+    (streaming.ingest.link_streamed_batch) so both produce identical
+    graph rows. One broadcast dictionary: DISTINCT raw mention surface
+    -> (canonical_id, canonical_form); the relation stream joins it
+    map-side twice (head/tail) and never shuffles or re-normalizes.
+    The dictionary is persisted (two broadcast consumers); the handle is
+    appended to `cleanup` for release after the caller's terminal action.
+    """
+    canon_map = (
+        linking.mention_form_map(kept.select("text"))
+        .join(entities, "form")
+        .select("text", "canonical_id", "canonical_form")
+        .persist()
+    )
+    if cleanup is not None:
+        cleanup.append(canon_map)
+    joined = (
+        rels.join(
+            F.broadcast(canon_map.withColumnRenamed("text", "h_text")
+                        .withColumnRenamed("canonical_id", "cause_id")
+                        .withColumnRenamed("canonical_form", "cause")),
+            "h_text",
+        )
+        .join(
+            F.broadcast(canon_map.withColumnRenamed("text", "t_text")
+                        .withColumnRenamed("canonical_id", "effect_id")
+                        .withColumnRenamed("canonical_form", "effect")),
+            "t_text",
+        )
+        .filter(F.col("cause_id") != F.col("effect_id"))
+    )
+    # A8 at corpus scale: canonical triple dedup + evidence agg.
+    # predicate derives from the N12 multilabel rel type ('causal' ->
+    # 'CAUSES'; any other schema type -> its uppercase name)
+    predicate = F.when(F.col("rel_type") == "causal", "CAUSES") \
+        .otherwise(F.upper("rel_type"))
+    return (
+        joined.withColumn("predicate", predicate)
+        .groupBy("cause_id", "cause", "predicate", "effect_id", "effect")
+        .agg(
+            F.count(F.lit(1)).alias("n_evidence"),
+            F.max("rel_score").alias("max_score"),
+        )
+        .select(
+            "cause_id", "cause", "predicate",
+            "effect_id", "effect", "n_evidence", "max_score",
+        )
+    )
+
+
 def run_pipeline(
     spark: SparkSession,
     pages: DataFrame,
@@ -247,48 +301,7 @@ def run_pipeline(
     _stage_caches: list[DataFrame] = []
 
     def _triples() -> DataFrame:
-        # one broadcast dictionary: DISTINCT raw mention surface ->
-        # (canonical_id, canonical_form); the relation stream joins it
-        # map-side twice (head/tail) and never shuffles or re-normalizes
-        canon_map = (
-            linking.mention_form_map(kept.select("text"))
-            .join(entities, "form")
-            .select("text", "canonical_id", "canonical_form")
-            .persist()
-        )
-        _stage_caches.append(canon_map)
-        joined = (
-            rels.join(
-                F.broadcast(canon_map.withColumnRenamed("text", "h_text")
-                            .withColumnRenamed("canonical_id", "cause_id")
-                            .withColumnRenamed("canonical_form", "cause")),
-                "h_text",
-            )
-            .join(
-                F.broadcast(canon_map.withColumnRenamed("text", "t_text")
-                            .withColumnRenamed("canonical_id", "effect_id")
-                            .withColumnRenamed("canonical_form", "effect")),
-                "t_text",
-            )
-            .filter(F.col("cause_id") != F.col("effect_id"))
-        )
-        # A8 at corpus scale: canonical triple dedup + evidence agg.
-        # predicate derives from the N12 multilabel rel type ('causal' ->
-        # 'CAUSES'; any other schema type -> its uppercase name)
-        predicate = F.when(F.col("rel_type") == "causal", "CAUSES") \
-            .otherwise(F.upper("rel_type"))
-        return (
-            joined.withColumn("predicate", predicate)
-            .groupBy("cause_id", "cause", "predicate", "effect_id", "effect")
-            .agg(
-                F.count(F.lit(1)).alias("n_evidence"),
-                F.max("rel_score").alias("max_score"),
-            )
-            .select(
-                "cause_id", "cause", "predicate",
-                "effect_id", "effect", "n_evidence", "max_score",
-            )
-        )
+        return canonical_triples(kept, rels, entities, cleanup=_stage_caches)
 
     # S5: the graph table is partitioned by a cause-id bucket so
     # downstream graph queries (all-edges-of-entity) prune partitions;

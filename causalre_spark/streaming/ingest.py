@@ -5,10 +5,14 @@ freshness path the north_rule's production shape implies: new WARC/page
 partitions land continuously, per-document extraction is stateless, so
 it streams through the SAME fused Arrow UDF as the batch pipeline —
 zero logic duplication. Cross-document stages (entity linking, triple
-canonicalization) are deliberately left to the periodic batch job
-(foreachBatch or a scheduled run over the streamed spans/rels tables):
-connected components is iterative-global and has no sane incremental
-formulation at this granularity.
+canonicalization) run as the periodic batch bridge
+(link_streamed_batch) over the streamed spans/rels sinks: connected
+components is iterative-global and has no sane incremental formulation
+at this granularity, so stream = per-doc freshness, scheduled bridge =
+global consistency — and the bridge reuses the batch pipeline's own
+linking + canonical_triples stages, so streamed-then-bridged output is
+row-identical to running the batch pipeline over the same pages
+(tests/test_streaming.py asserts it).
 
 Sandbox: file-source streaming with Trigger.AvailableNow; production:
 the same code against a Kafka/cloud-files source and Iceberg sink.
@@ -132,3 +136,36 @@ def run_ingest_once(
     for q in queries:
         q.awaitTermination()
     return {"spans": f"{out_dir}/spans", "relations": f"{out_dir}/relations"}
+
+
+def link_streamed_batch(
+    spark: SparkSession, sinks: dict, cfg: PipelineConfig = DEFAULT_CONFIG
+) -> dict:
+    """The streaming -> batch bridge (VERDICT r02 next #9): run the
+    iterative-global stages (entity linking + canonical triple
+    materialization) over everything streamed into the spans/relations
+    sinks so far, reusing the batch pipeline's own operators — zero
+    semantic drift between the streamed and batch paths. Scheduled
+    periodically in production (the linking output is a full rebuild:
+    canonical ids are min-hash labels over the CURRENT component
+    structure, which new mentions can merge, so incremental upsert of
+    labels would be wrong — rebuild-and-swap is the correct granularity).
+
+    Returns {'entities', 'triples'} DataFrames."""
+    from causalre_spark.operators import linking
+    from causalre_spark.pipeline import canonical_triples
+
+    kept = spark.read.parquet(sinks["spans"])
+    rels = spark.read.parquet(sinks["relations"])
+    if rels.isEmpty():
+        return {
+            "entities": spark.createDataFrame(
+                [], "form string, canonical_id long, canonical_form string"),
+            "triples": spark.createDataFrame(
+                [], "cause_id long, cause string, predicate string, "
+                    "effect_id long, effect string, n_evidence long, "
+                    "max_score float"),
+        }
+    entities = linking.link_mentions(kept.select("text"), cfg).persist()
+    triples = canonical_triples(kept, rels, entities)
+    return {"entities": entities, "triples": triples}

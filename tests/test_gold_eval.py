@@ -10,10 +10,10 @@ from causalre_spark import gold_eval as G
 
 # frozen measured values (tools/freeze_gold_eval.py; BENCH/GOLD_EVAL.md)
 EXPECTED_CUSTOM = {
-    ("span", "strict"): (27, 1974, 177),
-    ("rel", "strict"): (0, 86, 87),
-    ("span", "loose"): (36, 1965, 168),
-    ("rel", "loose"): (0, 86, 87),
+    ("span", "strict"): (27, 1931, 177),
+    ("rel", "strict"): (0, 105, 87),
+    ("span", "loose"): (37, 1921, 167),
+    ("rel", "loose"): (0, 105, 87),
 }
 
 
@@ -44,7 +44,7 @@ def test_counts_consistent(custom_eval):
 def test_per_doc_counts_sum_to_totals(spark, custom_eval):
     pdc = G.per_doc_counts(spark, "custom").toPandas()
     assert len(pdc) == 88  # every test-split doc has a row
-    assert int(pdc["span_tp"].sum()) == 27
+    assert int(pdc["span_tp"].sum()) == EXPECTED_CUSTOM[("span", "strict")][0]
     assert int(pdc["rel_tp"].sum()) == 0
     assert int(pdc["n_gold_spans"].sum()) == 204
     assert int(pdc["n_pred_spans"].sum()) == custom_eval["counts"]["pred_spans"]

@@ -16,18 +16,36 @@ CFG = PipelineConfig(model_profile="reference")
 # ---------------------------------------------------------------- F4
 
 def test_subword_split_and_map_roundtrip():
-    words = ["a", "beta", "deterministic", "canonicalization"]
+    # real vendored WordPiece vocab (tools/build_wordpiece_vocab.py):
+    # in-vocab-coverable words reconstruct exactly; the w2sw map is
+    # contiguous and covers all subwords once (hf.py:66-86 semantics)
+    words = ["a", "the", "deterministic", "accident", "flooding"]
     subwords, w2sw = rm.words_to_subwords(words)
     assert len(w2sw) == len(words)
     for w, idxs in zip(words, w2sw):
         rebuilt = "".join(subwords[i].removeprefix("##") for i in idxs)
         assert rebuilt == w
-    # maps are contiguous and cover all subwords exactly once
     flat = [i for idxs in w2sw for i in idxs]
     assert flat == list(range(len(subwords)))
-    assert rm.subword_split("beta") == ["beta"]          # <=4 chars: no split
-    assert rm.subword_split("deterministic")[0] == "dete"
+    # greedy longest-match-first: common whole words stay unsplit,
+    # continuations carry '##', words outside the alphabet become [UNK]
+    assert rm.subword_split("the") == ["the"]
     assert all(p.startswith("##") for p in rm.subword_split("deterministic")[1:])
+    assert rm.subword_split("日本語") == ["[UNK]"]
+    assert rm.subword_split("x" * 101) == ["[UNK]"]  # HF max_input_chars
+    # legacy fixed-width fallback still available and unchanged
+    assert rm.subword_split_fixed("beta") == ["beta"]
+    assert rm.subword_split_fixed("deterministic")[0] == "dete"
+
+
+def test_wordpiece_vocab_wellformed():
+    from causalre_spark.model.wordpiece_vocab import VOCAB, VOCAB_SET
+
+    assert len(VOCAB) == len(VOCAB_SET)  # no duplicates
+    assert "[UNK]" in VOCAB_SET and "[CLS]" in VOCAB_SET
+    # every multi-char continuation piece has the '##' prefix convention
+    assert all(v.startswith("##") or not v.startswith("#") or v in
+               ("#", "##") or v.startswith("[") for v in VOCAB)
 
 
 # ---------------------------------------------------------------- N2 / N3
