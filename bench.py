@@ -81,6 +81,10 @@ def run_headline(sf_dir: str, cores: int, passes: int | None = None
             samples[name].append(dt)
             print(f"# pass {p + 1}/{passes} {name}: {n} rows in {dt}s",
                   file=sys.stderr)
+        # several queries persist() intermediates internally; without
+        # this, later passes re-read those caches and min-of-N would
+        # measure cache hits, not the operator
+        spark.catalog.clearCache()
     spark.stop()
     times = {name: min(ts) for name, ts in samples.items()}
     return times, samples

@@ -53,16 +53,53 @@ def md5_long_sql_spark(expr: str, nhex: int = DEFAULT_NHEX) -> str:
     return f"cast(conv(substring(md5({expr}), 1, {nhex}), 16, 10) as bigint)"
 
 
+# ---------------------------------------------------------------------------
+# MinHash family: ONE md5 per value + Carter-Wegman universal-hash
+# derivations. The previous family md5(seed || '#' || x) evaluated
+# n_hashes md5s per shingle row — at 10^12 docs the signature groupBy is
+# where dedup CPU goes, so the md5 count per row is the constant that
+# matters. Now: base = md5_long(x) once, then
+#   h_seed(x) = (a_seed * (base mod p) + b_seed) mod p,  p = 2^31 - 1
+# (2-universal family; a/b are md5-derived constants, so the family is
+# frozen and identical in Spark SQL, DuckDB SQL, and Python). Products
+# stay < 2^62: BIGINT-safe and bit-identical in both engines.
+# ---------------------------------------------------------------------------
+
+MERSENNE31 = (1 << 31) - 1
+
+
+def cw_params(seed: int) -> tuple[int, int]:
+    """Frozen per-seed (a, b) with 1 <= a < p, 0 <= b < p."""
+    a = md5_long(f"cw:a:{seed}") % (MERSENNE31 - 1) + 1
+    b = md5_long(f"cw:b:{seed}") % MERSENNE31
+    return a, b
+
+
+def cw_hash_sql(base_expr: str, seed: int) -> str:
+    """SQL (valid in Spark AND DuckDB): CW hash of a BIGINT expression.
+    Project the md5 base ONCE per row and fan out the cheap integer
+    derivations — do not inline an md5 into base_expr n_hashes times."""
+    a, b = cw_params(seed)
+    return f"(({a} * (({base_expr}) % {MERSENNE31}) + {b}) % {MERSENNE31})"
+
+
+def cw_hash(base: int, seed: int) -> int:
+    """Python twin of :func:`cw_hash_sql`."""
+    a, b = cw_params(seed)
+    return (a * (base % MERSENNE31) + b) % MERSENNE31
+
+
 def minhash_sql(expr: str, seed: int, nhex: int = DEFAULT_NHEX) -> str:
-    """SQL for one seeded hash family member: md5_long(seed || '#' || expr)."""
-    return md5_long_sql(f"concat('{seed}#', {expr})", nhex=nhex)
+    """DuckDB SQL for one hash-family member over a STRING expression.
+    Prefer projecting md5_long once and using cw_hash_sql directly."""
+    return cw_hash_sql(md5_long_sql(expr, nhex=nhex), seed)
 
 
 def minhash_sql_spark(expr: str, seed: int, nhex: int = DEFAULT_NHEX) -> str:
     """Spark-only twin of :func:`minhash_sql` (single md5 via conv)."""
-    return md5_long_sql_spark(f"concat('{seed}#', {expr})", nhex=nhex)
+    return cw_hash_sql(md5_long_sql_spark(expr, nhex=nhex), seed)
 
 
 def minhash_long(s: str, seed: int, nhex: int = DEFAULT_NHEX) -> int:
     """Python twin of :func:`minhash_sql`."""
-    return md5_long(f"{seed}#{s}", nhex=nhex)
+    return cw_hash(md5_long(s, nhex=nhex), seed)

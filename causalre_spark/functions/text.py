@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import re
 
-from causalre_spark.functions.hashing import md5_long, minhash_long
+from causalre_spark.functions.hashing import md5_long
 
 # Normalization v2 (FROZEN): lowercase; ASCII punctuation -> space;
 # collapse space runs; trim. Non-ASCII characters pass through
@@ -52,10 +52,15 @@ def char_shingles(s: str, k: int = 3) -> set[str]:
 
 
 def minhash_signature(shingles: set[str], n_hashes: int) -> list[int]:
-    """n_hashes-wide minhash over md5-derived hash families (portable)."""
+    """n_hashes-wide minhash: ONE md5 per shingle + Carter-Wegman
+    derivations (functions.hashing rationale) — the Python twin of the
+    relational signature aggregation."""
+    from causalre_spark.functions.hashing import cw_hash
+
     if not shingles:
         return [0] * n_hashes
-    return [min(minhash_long(sh, seed) for sh in shingles) for seed in range(n_hashes)]
+    bases = [md5_long(sh) for sh in shingles]
+    return [min(cw_hash(b, seed) for b in bases) for seed in range(n_hashes)]
 
 
 def jaccard(a: set, b: set) -> float:

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from causalre_spark.functions.hashing import md5_long_sql_spark, minhash_sql_spark
+from causalre_spark.functions.hashing import md5_long_sql_spark
 from causalre_spark.functions.text import NORMALIZE_SQL
 
 
@@ -66,9 +66,13 @@ def minhash_lsh_pairs(
     caller can unpersist after its terminal action — otherwise cached
     blocks accumulate across a long session (LRU-evicted under memory
     pressure, but explicit release is the scale-correct habit)."""
-    aggs = [F.min(F.expr(minhash_sql_spark("shingle", s))).alias(f"h{s}")
+    # one md5 per shingle row + cheap CW derivations (hashing.py rationale)
+    from causalre_spark.functions.hashing import cw_hash_sql
+
+    based = shingles.withColumn("_bh", F.expr(md5_long_sql_spark("shingle")))
+    aggs = [F.min(F.expr(cw_hash_sql("_bh", s))).alias(f"h{s}")
             for s in range(n_hashes)]
-    sigs = shingles.groupBy("id").agg(*aggs)
+    sigs = based.groupBy("id").agg(*aggs)
     if max_bucket:
         # the guard makes the banded plan a 3-way consumer of the
         # signature aggregation (sizes + both join sides) — cache it

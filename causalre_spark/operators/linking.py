@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from causalre_spark.config import DEFAULT_CONFIG, PipelineConfig
-from causalre_spark.functions.hashing import md5_long_sql_spark, minhash_sql_spark
+from causalre_spark.functions.hashing import md5_long_sql_spark
 from causalre_spark.functions.text import NORMALIZE_SQL
 
 
@@ -72,12 +72,20 @@ def form_shingles(forms: DataFrame, k: int) -> DataFrame:
 
 
 def minhash_signatures(shingles: DataFrame, n_hashes: int) -> DataFrame:
-    """form -> h0..h{n-1} minhash signature (one shuffle)."""
+    """form -> h0..h{n-1} minhash signature (one shuffle).
+
+    ONE md5 per shingle row projected as the base, then n_hashes cheap
+    Carter-Wegman integer derivations (functions.hashing rationale) —
+    the md5-per-row count is the dominant CPU constant of signature
+    computation at corpus scale."""
+    from causalre_spark.functions.hashing import cw_hash_sql
+
+    based = shingles.withColumn("_bh", F.expr(md5_long_sql_spark("shingle")))
     aggs = [
-        F.min(F.expr(minhash_sql_spark("shingle", seed))).alias(f"h{seed}")
+        F.min(F.expr(cw_hash_sql("_bh", seed))).alias(f"h{seed}")
         for seed in range(n_hashes)
     ]
-    return shingles.groupBy("form").agg(*aggs)
+    return based.groupBy("form").agg(*aggs)
 
 
 def lsh_candidate_pairs(
