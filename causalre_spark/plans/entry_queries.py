@@ -1230,6 +1230,88 @@ FROM docs d LEFT JOIN reach r ON r.a = d.doc_id
 GROUP BY d.doc_id
 """
 
+def q_kg_2hop(spark, sf_dir):
+    """KG graph-join shape: distinct 2-hop neighbor counts over the same
+    deterministic doc graph cc_components uses. This is the workload the
+    bucketed graph table exists for (pipeline.write_bucketed_graph): at
+    10^12 triples the self-join on the edge key runs exchange-free over
+    co-bucketed files; here the identical join semantics are validated
+    against an exact DuckDB oracle at test scale."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source",
+        F.element_at(F.split("text", " "), 1).alias("tok1"))
+    e1 = docs.join(
+        docs.groupBy("lang", "tok1").agg(F.min("doc_id").alias("dst")),
+        ["lang", "tok1"]).select(F.col("doc_id").alias("src"), "dst")
+    e2 = docs.join(
+        docs.groupBy("source", "tok1").agg(F.min("doc_id").alias("dst")),
+        ["source", "tok1"]).select(F.col("doc_id").alias("src"), "dst")
+    edges = e1.unionByName(e2).filter(F.col("src") != F.col("dst")).distinct()
+    two = (
+        edges.alias("x")
+        .join(edges.alias("y"), F.col("x.dst") == F.col("y.src"))
+        .filter(F.col("x.src") != F.col("y.dst"))
+        .select(F.col("x.src").alias("src"), F.col("y.dst").alias("dst2"))
+        .distinct()
+    )
+    return two.groupBy("src").agg(F.count(F.lit(1)).alias("n_2hop"))
+
+
+SQL_KG_2HOP = """
+WITH docs AS (SELECT doc_id, lang, source, string_split(text, ' ')[1] AS tok1
+              FROM documents),
+e1 AS (SELECT d.doc_id AS src, m.dst
+       FROM docs d JOIN (SELECT lang, tok1, min(doc_id) AS dst
+                         FROM docs GROUP BY lang, tok1) m
+       ON d.lang = m.lang AND d.tok1 = m.tok1),
+e2 AS (SELECT d.doc_id AS src, m.dst
+       FROM docs d JOIN (SELECT source, tok1, min(doc_id) AS dst
+                         FROM docs GROUP BY source, tok1) m
+       ON d.source = m.source AND d.tok1 = m.tok1),
+edges AS (SELECT DISTINCT src, dst FROM (SELECT * FROM e1 UNION ALL SELECT * FROM e2) u
+          WHERE src != dst),
+two AS (SELECT DISTINCT x.src, y.dst AS dst2
+        FROM edges x JOIN edges y ON x.dst = y.src
+        WHERE x.src != y.dst)
+SELECT src, count(*) AS n_2hop FROM two GROUP BY src
+"""
+
+
+def q_skew_salted_agg(spark, sf_dir):
+    """Skew handling as checkable algebra (north rule: 'skew from hot
+    domains handled with salted repartitioning'): two-phase salted
+    aggregation over the skewed `source` key. Phase 1 aggregates
+    (source, salt-of-doc_id) so a hot domain's rows fan out across 16
+    reducers instead of one; phase 2 combines the <=16 partials per key.
+    The oracle IS the direct GROUP BY — proving the salted plan computes
+    identical results. (The pipeline's opt-in input salting is
+    pipeline.py cfg.salt_input; this registers the pattern itself under
+    the exact-correctness gate.)"""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.length("text").cast("long").alias("n_chars"))
+    salted = docs.withColumn("_salt", F.pmod(F.xxhash64("doc_id"), F.lit(16)))
+    partial = (
+        salted.groupBy("source", "_salt")
+        .agg(F.count(F.lit(1)).alias("pn"),
+             F.sum("n_chars").alias("pchars"),
+             F.max("n_chars").alias("pmax"))
+    )
+    return (
+        partial.groupBy("source")
+        .agg(F.sum("pn").alias("n_docs"),
+             F.sum("pchars").alias("total_chars"),
+             F.max("pmax").alias("max_chars"))
+    )
+
+
+SQL_SKEW_SALTED_AGG = """
+SELECT source, count(*) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+       CAST(max(length(text)) AS BIGINT) AS max_chars
+FROM documents GROUP BY source
+"""
+
+
 # --------------------------------------------------------------------------
 # classic relational + events (engine breadth)
 # --------------------------------------------------------------------------
@@ -1608,6 +1690,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "link_minhash_sigs": q_link_minhash_sigs,
     "link_lsh_pairs": q_link_lsh_pairs,
     "cc_components": q_cc_components,
+    # graph-join + skew-handling shapes (kg_construct scale patterns)
+    "kg_2hop": q_kg_2hop,
+    "skew_salted_agg": q_skew_salted_agg,
     # classic relational + events
     "tpch_q1": q_tpch_q1,
     "tpch_segment_revenue": q_tpch_segment_revenue,
@@ -1663,6 +1748,8 @@ ORACLES: dict[str, str] = {
     "link_minhash_sigs": SQL_LINK_MINHASH_SIGS,
     "link_lsh_pairs": SQL_LINK_LSH_PAIRS,
     "cc_components": SQL_CC_COMPONENTS,
+    "kg_2hop": SQL_KG_2HOP,
+    "skew_salted_agg": SQL_SKEW_SALTED_AGG,
     "tpch_q1": SQL_TPCH_Q1,
     "tpch_segment_revenue": SQL_TPCH_SEGMENT_REVENUE,
     "tpch_rollup": SQL_TPCH_ROLLUP,

@@ -107,3 +107,45 @@ def test_cc_raises_loudly_when_unconverged(spark):
         "form_a string, form_b string")
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(nodes, edges, max_iters=1, driver_max_nodes=0)
+
+
+def test_cc_random_graphs_match_union_find(spark):
+    """Star contraction vs driver union-find on a batch of structured
+    random graphs (paths, stars, cycles, cliques, forests) — the two
+    physical strategies must assign identical (form, component) labels.
+    Deterministic seeds; one Spark call per graph via the distributed
+    path (driver_max_nodes=0)."""
+    import random
+
+    from causalre_spark.functions.hashing import md5_long
+    from causalre_spark.operators.linking import (
+        _union_find_components,
+        connected_components,
+    )
+
+    rng = random.Random(7)
+    cases = []
+    # path, cycle, star, two cliques + bridge, random forest
+    names = [f"p{i:02d}" for i in range(24)]
+    cases.append((names, [(names[i], names[i + 1]) for i in range(23)]))
+    cases.append((names, [(names[i], names[(i + 1) % 24]) for i in range(24)]))
+    cases.append((names, [(names[0], names[i]) for i in range(1, 24)]))
+    k1 = [f"a{i}" for i in range(6)]
+    k2 = [f"b{i}" for i in range(6)]
+    clique = [(x, y) for i, x in enumerate(k1) for y in k1[i + 1:]] + \
+             [(x, y) for i, x in enumerate(k2) for y in k2[i + 1:]]
+    cases.append((k1 + k2, clique + [(k1[0], k2[0])]))
+    fnodes = [f"f{i:02d}" for i in range(30)]
+    fedges = [(fnodes[rng.randrange(i)], fnodes[i])
+              for i in range(1, 30) if rng.random() < 0.7]
+    cases.append((fnodes, fedges))
+
+    for nodes, edges in cases:
+        ndf = spark.createDataFrame([(n,) for n in nodes], "form string")
+        edf = spark.createDataFrame(edges or [("z", "z")],
+                                    "form_a string, form_b string")
+        got = {(r.form, r.component) for r in connected_components(
+            ndf, edf, max_iters=12, driver_max_nodes=0).collect()
+            if r.form in set(nodes)}
+        want = set(_union_find_components(nodes, edges, md5_long))
+        assert got == want, (nodes[:3], len(edges))

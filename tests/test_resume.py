@@ -135,3 +135,49 @@ def test_iceberg_branch_write_read_resume(spark, monkeypatch, tmp_path):
     io2.checkpoint("triples", _stage, partition_expr="pmod(cause_id, 4)",
                    table_format="iceberg")
     assert built["n"] == 2 and calls["write"] == 2
+
+
+def test_bucketed_graph_join_has_no_exchange(spark):
+    """write_bucketed_graph: a self-join of the bucketed triples table on
+    the bucket key must run WITHOUT a shuffle exchange on either side —
+    the property that amortizes the write across every downstream graph
+    join at scale."""
+    import io as _io
+    from contextlib import redirect_stdout
+
+    from causalre_spark.pipeline import write_bucketed_graph
+
+    triples = spark.range(200).selectExpr(
+        "id % 37 AS cause_id", "concat('c', id % 37) AS cause",
+        "'CAUSES' AS predicate", "id % 11 AS effect_id",
+        "concat('e', id % 11) AS effect", "1 AS n_evidence",
+        "cast(0.5 as float) AS max_score")
+    spark.sql("DROP TABLE IF EXISTS kg_triples_test")
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        t = write_bucketed_graph(spark, triples, name="kg_triples_test",
+                                 buckets=8)
+        assert t.count() == 200
+        # A tiny test table would normally compile to a broadcast join;
+        # disable that so we see the plan a 10^12-row graph table gets
+        # (sort-merge over co-bucketed sides, no shuffle on either).
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # evidence re-aggregation / entity-expansion shape: self-join on
+        # the bucket key
+        j = t.alias("x").join(t.alias("y"), "cause_id")
+        buf = _io.StringIO()
+        with redirect_stdout(buf):
+            j.explain("formatted")
+        plan = buf.getvalue()
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        assert j.count() > 0
+        # aggregation on the bucket key: also shuffle-free
+        a = t.groupBy("cause_id").count()
+        buf = _io.StringIO()
+        with redirect_stdout(buf):
+            a.explain("formatted")
+        assert "Exchange hashpartitioning" not in buf.getvalue()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql("DROP TABLE IF EXISTS kg_triples_test")

@@ -91,6 +91,24 @@ def main() -> int:
         checks.append((f"{qname} uses TakeOrderedAndProject",
                        "TakeOrderedAndProject" in p, p))
 
+    # 7. salted skew aggregation: the salt key must appear in the partial
+    # (phase-1) aggregate so a hot key fans out, and the whole plan stays
+    # JVM-side
+    p = plan_of(Q.q_skew_salted_agg(spark, SF))
+    sections.append(("salted skew aggregation", p))
+    checks.append(("salted agg: _salt in phase-1 keys", "_salt" in p, p))
+    checks.append(("salted agg: no Python eval",
+                   "BatchEvalPython" not in p and "ArrowEval" not in p, p))
+
+    # 8. kg 2-hop graph join: equi hash joins, no Python eval
+    p = plan_of(Q.q_kg_2hop(spark, SF))
+    sections.append(("kg 2-hop graph join", p))
+    checks.append(("kg_2hop: hash equi-joins",
+                   ("SortMergeJoin" in p or "BroadcastHashJoin" in p or
+                    "ShuffledHashJoin" in p), p))
+    checks.append(("kg_2hop: no Python eval",
+                   "BatchEvalPython" not in p and "ArrowEval" not in p, p))
+
     os.makedirs(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH"), exist_ok=True)
     out_path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH", "PLANS.md")
     with open(out_path, "w") as f:
