@@ -37,6 +37,7 @@ HEADLINE = [
     "dedup_simhash",        # bit-vote aggregation
     "sim_cosine_topk",      # brute-force cosine top-k
     "cc_components",        # iterative connected components
+    "kg_2hop",              # graph 2-hop self-join (bucketed-table shape)
     "text_quality",         # codegen'd text featurization
     "tpch_q1",              # classic agg
     "events_sessionize",    # lag-window sessionization
@@ -239,7 +240,14 @@ def main() -> None:
     }
 
     if not os.environ.get("SPARK_GRAFT_SKIP_SCALING"):
-        n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "250000"))
+        # 500k pages (~2x the r02 corpus): profiling the 250k job showed
+        # ~31s of per-job FIXED cost (driver/JVM/small-graph collects) in
+        # a 126s hi-leg run — at that job size the 2v8 ratio measures
+        # fixed overhead as much as the algorithm. A production scaling
+        # measurement uses a job long enough to amortize constants; the
+        # amortization leg (2x pages, same cores) separately demonstrates
+        # the constants-amortize trend.
+        n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "500000"))
         from causalre_spark.session import get_spark
 
         spark = get_spark(app="bench_gen", cores=cores)
@@ -262,7 +270,11 @@ def main() -> None:
         # r02). The count is decided before the first sample; the
         # all-samples median efficiency is reported alongside the
         # min-based one so the two estimators cross-check each other.
-        repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+        # 2 pairs at 500k pages: each 2-core leg runs ~12 min, long
+        # enough to integrate over the minutes-scale co-tenant bursts, so
+        # fewer-but-longer samples beat more-but-shorter ones at equal
+        # wall budget. Count still fixed before the first sample.
+        repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
         lo_cores = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "2"))
         hi_cores = int(os.environ.get("SPARK_GRAFT_SCALE_HI", "8"))
         lo_runs, hi_runs = [], []

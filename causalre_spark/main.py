@@ -52,6 +52,9 @@ def main(argv: list[str] | None = None) -> int:
         "triples": n_triples,
         "secs": round(time.time() - t0, 2),
         "workdir": args.out,
+        # surfaced so a submit wrapper can verify the cluster master it
+        # asked for is the one the session actually ran under
+        "master": spark.sparkContext.master,
     }))
     return 0
 

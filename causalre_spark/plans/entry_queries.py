@@ -1277,6 +1277,94 @@ SELECT src, count(*) AS n_2hop FROM two GROUP BY src
 """
 
 
+def q_kg_pagerank(spark, sf_dir):
+    """Fixed-iteration PageRank (3 rounds, d=0.85, dangling mass
+    dropped) over the deterministic doc graph — the iterative-join graph
+    workload shape. Each round is one equi-join + hash aggregation on
+    the edge key; on the bucketed graph table
+    (pipeline.write_bucketed_graph) the join side of every round reads
+    pre-partitioned, so the per-round shuffle is halved. Ranks are
+    N-normalized (~1.0 scale) and rounded to 4dp so the cross-engine
+    comparison is insensitive to float summation order."""
+    D = 0.85
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source",
+        F.element_at(F.split("text", " "), 1).alias("tok1"))
+    e1 = docs.join(
+        docs.groupBy("lang", "tok1").agg(F.min("doc_id").alias("dst")),
+        ["lang", "tok1"]).select(F.col("doc_id").alias("src"), "dst")
+    e2 = docs.join(
+        docs.groupBy("source", "tok1").agg(F.min("doc_id").alias("dst")),
+        ["source", "tok1"]).select(F.col("doc_id").alias("src"), "dst")
+    edges = e1.unionByName(e2).filter(F.col("src") != F.col("dst")).distinct()
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    n = nodes.count()  # one scalar action; the iteration itself is lazy
+    outdeg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("double").alias("outdeg"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(3):
+        contrib = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .join(outdeg, "src")
+            .groupBy("dst").agg(F.sum(F.col("rank") / F.col("outdeg")).alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .select(
+                "node",
+                (F.lit(0.15 / n) + F.lit(D) * F.coalesce("s", F.lit(0.0))).alias("rank"),
+            )
+        )
+    # Cross-engine-stable quantization. round() is out: Spark rounds
+    # half-up, DuckDB half-to-even, and PageRank on a small graph
+    # produces EXACT half-grid decimals (0.59625). floor(x*1e4 + 0.5)
+    # is out too: those same half-grid values make the floor boundary
+    # coincide with a point where the two engines' aggregation orders
+    # disagree by one ulp. So quantize on a grid shifted by an
+    # IRRATIONAL offset: no finite-decimal (or small-rational) rank can
+    # land on the boundary, and a 1-ulp cross-engine difference can
+    # never flip the cell. Output stays ~4dp-accurate.
+    _OFF = 0.3141592653589793
+    return ranks.select(
+        F.col("node").alias("doc_id"),
+        (F.floor(F.col("rank") * F.lit(float(n)) * F.lit(10000.0) + F.lit(_OFF))
+         / F.lit(10000.0)).alias("pagerank"))
+
+
+def _duck_pagerank() -> str:
+    graph = """
+docs AS (SELECT doc_id, lang, source, string_split(text, ' ')[1] AS tok1
+         FROM documents),
+e1 AS (SELECT d.doc_id AS src, m.dst
+       FROM docs d JOIN (SELECT lang, tok1, min(doc_id) AS dst
+                         FROM docs GROUP BY lang, tok1) m
+       ON d.lang = m.lang AND d.tok1 = m.tok1),
+e2 AS (SELECT d.doc_id AS src, m.dst
+       FROM docs d JOIN (SELECT source, tok1, min(doc_id) AS dst
+                         FROM docs GROUP BY source, tok1) m
+       ON d.source = m.source AND d.tok1 = m.tok1),
+edges AS (SELECT DISTINCT src, dst FROM (SELECT * FROM e1 UNION ALL SELECT * FROM e2) u
+          WHERE src != dst),
+nodes AS (SELECT doc_id AS node FROM docs),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+outd AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg FROM edges GROUP BY src),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""
+    steps = []
+    for i in range(3):
+        steps.append(f"""
+r{i + 1} AS (SELECT nd.node,
+        0.15 / (SELECT n FROM nn) + 0.85 * coalesce(c.s, 0.0) AS rank
+      FROM nodes nd LEFT JOIN (
+        SELECT e.dst AS node, sum(r.rank / o.outdeg) AS s
+        FROM edges e JOIN r{i} r ON e.src = r.node
+        JOIN outd o ON e.src = o.src
+        GROUP BY e.dst) c ON nd.node = c.node)""")
+    return ("WITH " + graph + "," + ",".join(steps) +
+            "\nSELECT node AS doc_id, "
+            "floor(rank * (SELECT n FROM nn) * 10000.0 + 0.3141592653589793)"
+            " / 10000.0 AS pagerank FROM r3")
+
+
 def q_skew_salted_agg(spark, sf_dir):
     """Skew handling as checkable algebra (north rule: 'skew from hot
     domains handled with salted repartitioning'): two-phase salted
@@ -1692,6 +1780,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cc_components": q_cc_components,
     # graph-join + skew-handling shapes (kg_construct scale patterns)
     "kg_2hop": q_kg_2hop,
+    "kg_pagerank": q_kg_pagerank,
     "skew_salted_agg": q_skew_salted_agg,
     # classic relational + events
     "tpch_q1": q_tpch_q1,
@@ -1749,6 +1838,7 @@ ORACLES: dict[str, str] = {
     "link_lsh_pairs": SQL_LINK_LSH_PAIRS,
     "cc_components": SQL_CC_COMPONENTS,
     "kg_2hop": SQL_KG_2HOP,
+    "kg_pagerank": _duck_pagerank(),
     "skew_salted_agg": SQL_SKEW_SALTED_AGG,
     "tpch_q1": SQL_TPCH_Q1,
     "tpch_segment_revenue": SQL_TPCH_SEGMENT_REVENUE,

@@ -22,9 +22,20 @@ def get_spark(
     extra_conf: dict | None = None,
 ) -> SparkSession:
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # Under spark-submit the master (and cluster sizing) comes from the
+    # submit command; hard-coding .master() here would silently hijack a
+    # real cluster back to local mode. Only default to local[cores] when
+    # no master was provided.
+    from pyspark import SparkConf
+
+    b = SparkSession.builder
+    # spark-submit surfaces --master as spark.master in the defaults
+    # conf (cluster deployments) or as the MASTER env var (the pip
+    # distribution's launcher); either way, leave it alone.
+    if not (os.environ.get("MASTER") or SparkConf().contains("spark.master")):
+        b = b.master(f"local[{cores}]")
     b = (
-        SparkSession.builder.master(f"local[{cores}]")
-        .appName(app)
+        b.appName(app)
         .config("spark.sql.shuffle.partitions", str(max(cfg.shuffle_partitions, cores)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -15,6 +15,7 @@ SUBSET = [
     "a2_loose_rels",
     "dedup_exact", "dedup_simhash", "text_fingerprint",
     "sim_cosine_topk", "cc_components", "events_sessionize",
+    "kg_2hop", "kg_pagerank", "skew_salted_agg",
 ]
 
 
