@@ -175,3 +175,88 @@ def simhash_wide(docs: DataFrame, bits: int = 60, id_col: str = "doc_id",
         term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
     return votes.select("id", sim.cast("long").alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    shingles: DataFrame, thd_num: int, thd_den: int,
+    cleanup: list | None = None,
+) -> DataFrame:
+    """EXACT n-gram-Jaccard near-dup self-join via prefix filtering
+    (AllPairs/PPJoin family: Bayardo et al. WWW'07, Xiao et al.
+    WWW'08) — the lossless alternative to MinHash when the similarity
+    answer must be exact, not probabilistic.
+
+    Order all shingles by (global document frequency asc, shingle) —
+    rarest first. A document of set size m only needs its first
+    p = m - ceil(t*m) + 1 shingles as join keys: any pair with
+    Jaccard >= t MUST share a token inside both prefixes under a
+    global token order, so joining prefixes loses no true pair while
+    shrinking the candidate join by ~t per side. Candidates then pass
+    a length filter (t <= min/max sizes) and an exact intersection
+    count. Versus the brute all-pairs join this is the standard
+    set-similarity-join shape that survives corpus scale: join keys
+    are the RAREST tokens, so bucket sizes are small by construction
+    (the inverse of LSH's skew-guard problem).
+
+    Threshold is the rational thd_num/thd_den and the output carries
+    integer (n_shared, n_union) instead of a rounded float — the
+    comparison and the emitted values are BIGINT-exact in any engine,
+    so no cross-engine rounding hazard exists at all.
+
+    Returns (id_a, id_b, n_shared, n_union) with id_a < id_b and
+    thd_den * n_shared >= thd_num * n_union.
+    """
+    from pyspark.sql import Window
+
+    sizes = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    freq = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("id").orderBy(F.col("df").asc(), F.col("shingle").asc())
+    ranked = (
+        shingles.join(freq, "shingle")
+        .withColumn("rnk", F.row_number().over(w))
+        .join(sizes, "id")
+    )
+    # prefix length: m - ceil(t*m) + 1, integer-exact ceil
+    pref_len = (
+        F.col("n_sh")
+        - F.floor((F.lit(thd_num) * F.col("n_sh") + F.lit(thd_den - 1)) / F.lit(thd_den))
+        + F.lit(1)
+    )
+    prefix = (
+        ranked.filter(F.col("rnk") <= pref_len)
+        .select("id", "shingle", "n_sh")
+    )
+    if cleanup is not None:
+        prefix = prefix.persist()
+        cleanup.append(prefix)
+    a = prefix.select(F.col("id").alias("id_a"), "shingle",
+                      F.col("n_sh").alias("n_a"))
+    b = prefix.select(F.col("id").alias("id_b"), "shingle",
+                      F.col("n_sh").alias("n_b"))
+    cand = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        # Jaccard >= t  =>  t <= |min set| / |max set|
+        .filter(F.lit(thd_den) * F.least("n_a", "n_b")
+                >= F.lit(thd_num) * F.greatest("n_a", "n_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    shared = (
+        cand.join(shingles.withColumnRenamed("id", "id_a"), "id_a")
+        .join(
+            shingles.withColumnRenamed("id", "id_b")
+            .withColumnRenamed("shingle", "shingle_b"), "id_b")
+        .filter(F.col("shingle") == F.col("shingle_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shared.join(sizes.select(F.col("id").alias("id_a"),
+                                 F.col("n_sh").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"),
+                           F.col("n_sh").alias("n_b")), "id_b")
+        .withColumn("n_union", (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast("long"))
+        .filter(F.lit(thd_den) * F.col("n_shared") >= F.lit(thd_num) * F.col("n_union"))
+        .select("id_a", "id_b", F.col("n_shared").cast("long").alias("n_shared"), "n_union")
+    )

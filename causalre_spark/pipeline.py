@@ -235,6 +235,44 @@ def write_bucketed_graph(spark: SparkSession, triples: DataFrame,
     return spark.table(name)
 
 
+def extract_docs(pages: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Per-document extraction stage (the expensive Arrow-UDF crossing),
+    shared by the full and incremental pipelines."""
+    eng = pages.filter(F.col("lang") == "en")
+    if cfg.salt_input:
+        # salted repartition for pathological input layouts (e.g. one
+        # giant file per hot domain). Deliberate tradeoff: an explicit
+        # repartition is user-specified partitioning, which AQE will
+        # NOT coalesce — so this is opt-in; by default the parquet
+        # scan's size-based splits (maxPartitionBytes) balance the
+        # UDF stage with zero shuffle.
+        eng = eng.repartition(
+            cfg.shuffle_partitions,
+            F.expr(f"pmod({md5_long_sql_spark('url')}, {cfg.salt_buckets * cfg.shuffle_partitions})"))
+    elif cfg.length_bucket:
+        # S4 UDF batching discipline (SURVEY §4): range-partition by
+        # document length so each Arrow batch holds similar-length
+        # docs — dense padded batches in the encoder UDF instead of
+        # worst-case padding. Opt-in: it shuffles the html payload,
+        # which only pays off when the encoder is the bottleneck
+        # (real transformer weights), not for the fast profile.
+        eng = eng.repartitionByRange(cfg.shuffle_partitions, F.length("text"))
+    return eng.select("url", "html", F.col("text").alias("expected_text")) \
+        .mapInPandas(make_doc_extract_udf(cfg), schema=DOC_EXTRACT_SCHEMA)
+
+
+def explode_spans(docs: DataFrame) -> DataFrame:
+    return docs.select("url", F.explode("spans").alias("sp")).select(
+        "url", "sp.start", "sp.end", "sp.tag_score", "sp.filter_score",
+        "sp.span_type", "sp.text")
+
+
+def explode_rels(docs: DataFrame) -> DataFrame:
+    return docs.select("url", F.explode("rels").alias("r")).select(
+        "url", "r.h_start", "r.h_end", "r.t_start", "r.t_end",
+        "r.rel_score", "r.rel_type", "r.h_text", "r.t_text")
+
+
 def run_pipeline(
     spark: SparkSession,
     pages: DataFrame,
@@ -253,30 +291,7 @@ def run_pipeline(
     io = StageIO(spark, workdir, resume,
                  table_namespace=cfg.extra.get("table_namespace"))
 
-    def _docs() -> DataFrame:
-        eng = pages.filter(F.col("lang") == "en")
-        if cfg.salt_input:
-            # salted repartition for pathological input layouts (e.g. one
-            # giant file per hot domain). Deliberate tradeoff: an explicit
-            # repartition is user-specified partitioning, which AQE will
-            # NOT coalesce — so this is opt-in; by default the parquet
-            # scan's size-based splits (maxPartitionBytes) balance the
-            # UDF stage with zero shuffle.
-            eng = eng.repartition(
-                cfg.shuffle_partitions,
-                F.expr(f"pmod({md5_long_sql_spark('url')}, {cfg.salt_buckets * cfg.shuffle_partitions})"))
-        elif cfg.length_bucket:
-            # S4 UDF batching discipline (SURVEY §4): range-partition by
-            # document length so each Arrow batch holds similar-length
-            # docs — dense padded batches in the encoder UDF instead of
-            # worst-case padding. Opt-in: it shuffles the html payload,
-            # which only pays off when the encoder is the bottleneck
-            # (real transformer weights), not for the fast profile.
-            eng = eng.repartitionByRange(cfg.shuffle_partitions, F.length("text"))
-        return eng.select("url", "html", F.col("text").alias("expected_text")) \
-            .mapInPandas(make_doc_extract_udf(cfg), schema=DOC_EXTRACT_SCHEMA)
-
-    docs = io.checkpoint("docs", _docs)
+    docs = io.checkpoint("docs", lambda: extract_docs(pages, cfg))
     if verify_extraction:
         bad = docs.filter(~F.col("text_ok")).count()
         if bad:
@@ -287,60 +302,136 @@ def run_pipeline(
         timings["n_docs"] = docs.count()
         timings["docs_secs"] = round(_time.time() - _t0, 2)
 
-    def _spans() -> DataFrame:
-        return docs.select("url", F.explode("spans").alias("sp")).select(
-            "url", "sp.start", "sp.end", "sp.tag_score", "sp.filter_score",
-            "sp.span_type", "sp.text")
+    kept = io.checkpoint("spans", lambda: explode_spans(docs)).persist()
+    rels = io.checkpoint("relations", lambda: explode_rels(docs)).persist()
 
-    kept = io.checkpoint("spans", _spans).persist()
+    entities, triples = _link_and_materialize(spark, io, kept, rels, cfg, workdir)
+    io.write_metrics()
+    return {
+        "docs": docs,
+        "spans": kept,
+        "relations": rels,
+        "entities": entities,
+        "triples": triples,
+    }
 
-    def _rels() -> DataFrame:
-        return docs.select("url", F.explode("rels").alias("r")).select(
-            "url", "r.h_start", "r.h_end", "r.t_start", "r.t_end",
-            "r.rel_score", "r.rel_type", "r.h_text", "r.t_text")
 
-    rels = io.checkpoint("relations", _rels).persist()
+def _link_and_materialize(spark, io: StageIO, kept: DataFrame, rels: DataFrame,
+                          cfg: PipelineConfig, workdir: str | None,
+                          ) -> tuple[DataFrame, DataFrame]:
+    """Global tail shared by run_pipeline and run_incremental: entity
+    linking over all kept mention surfaces + canonical triple
+    materialization (S5 partitioned sink).
 
-    # early-exit: no extracted relations -> no triples, so the whole
-    # linking/canonicalization stage graph (LSH + jaccard verify + CC +
-    # canonical joins — most of the wall-clock on trigger-free corpora)
-    # is provably unnecessary. The empty answer is still oracle-gated:
-    # tests/test_pipeline_parity.py asserts exact (possibly empty)
-    # triple-set equality vs the single-process oracle on driver testdata.
+    early-exit: no extracted relations -> no triples, so the whole
+    linking/canonicalization stage graph (LSH + jaccard verify + CC +
+    canonical joins — most of the wall-clock on trigger-free corpora)
+    is provably unnecessary. The empty answer is still oracle-gated:
+    tests/test_pipeline_parity.py asserts exact (possibly empty)
+    triple-set equality vs the single-process oracle on driver testdata.
+    """
     if rels.isEmpty():
         entities = io.checkpoint("entities", lambda: spark.createDataFrame(
             [], "form string, canonical_id long, canonical_form string"))
         triples = io.checkpoint("triples", lambda: spark.createDataFrame(
             [], "cause_id long, cause string, predicate string, "
                 "effect_id long, effect string, n_evidence long, max_score float"))
-        io.write_metrics()
-        return {"docs": docs, "spans": kept, "relations": rels,
-                "entities": entities, "triples": triples}
-
-    def _entities() -> DataFrame:
-        return linking.link_mentions(kept.select("text"), cfg)
+        return entities, triples
 
     # persisted: consumed twice (cause-side and effect-side broadcasts)
-    entities = io.checkpoint("entities", _entities).persist()
+    entities = io.checkpoint(
+        "entities", lambda: linking.link_mentions(kept.select("text"), cfg)
+    ).persist()
 
     _stage_caches: list[DataFrame] = []
-
-    def _triples() -> DataFrame:
-        return canonical_triples(kept, rels, entities, cleanup=_stage_caches)
 
     # S5: the graph table is partitioned by a cause-id bucket so
     # downstream graph queries (all-edges-of-entity) prune partitions;
     # 64 buckets keeps files large at production scale while bounding
     # per-partition size (hash of the canonical id is uniform)
-    triples = io.checkpoint("triples", _triples,
-                            partition_expr="pmod(cause_id, 64)",
-                            table_format=cfg.table_format)
+    triples = io.checkpoint(
+        "triples",
+        lambda: canonical_triples(kept, rels, entities, cleanup=_stage_caches),
+        partition_expr="pmod(cause_id, 64)",
+        table_format=cfg.table_format)
     if workdir is not None:
         # triples materialized to the sink -> the broadcast dictionary's
         # cache is dead weight; release it (sweep sessions run many
         # pipelines and must not accumulate cached blocks)
         for df_ in _stage_caches:
             df_.unpersist()
+    return entities, triples
+
+
+def run_incremental(
+    spark: SparkSession,
+    pages: DataFrame,
+    prev_workdir: str,
+    workdir: str,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    resume: bool = True,
+    verify_extraction: bool = True,
+) -> dict[str, DataFrame]:
+    """Incremental (delta) pipeline run over a Common-Crawl-style corpus
+    that grows by appends: re-encode ONLY pages whose url is absent from
+    a previous run's docs sink, then rebuild the global stages over
+    previous ∪ delta per-document outputs.
+
+    Scale rationale: the per-document encoder UDF dominates pipeline
+    wall-clock (~80% in BENCH/BASELINE.md's stage decomposition), and a
+    web corpus arrives as monthly crawl deltas — re-encoding 10^12
+    already-processed pages to absorb a 10^10-page delta is the
+    difference between an overnight job and an impossible one. The
+    anti-join against the processed-url set is a shuffle on the url key
+    (uniform; no skew), and at production scale maps onto an Iceberg
+    MERGE/snapshot-diff over the docs table.
+
+    Entity canonicalization is deliberately NOT incremental: canonical
+    ids are min-ids over MinHash-LSH + connected-component clusters, and
+    one new mention can merge two existing clusters — patching cluster
+    ids in place cannot match a from-scratch run. Re-linking reads only
+    the (tiny, already-extracted) mention-surface table, never the html.
+    tests/test_resume.py asserts the parity contract:
+    incremental(half1 -> +half2) == full(all), triple for triple.
+
+    Returns the same dict as run_pipeline; per-doc sinks for THIS run
+    hold only the delta ('docs'/'spans'/'relations' are the unions).
+    """
+    prev = StageIO(spark, prev_workdir, resume=True,
+                   table_namespace=cfg.extra.get("table_namespace"))
+    for stage in ("docs", "spans", "relations"):
+        if not prev.done(stage):
+            raise RuntimeError(
+                f"incremental run requires completed stage {stage!r} in "
+                f"{prev_workdir} (run run_pipeline there first)")
+    prev_docs = spark.read.parquet(prev._path("docs"))
+    prev_spans = spark.read.parquet(prev._path("spans"))
+    prev_rels = spark.read.parquet(prev._path("relations"))
+
+    io = StageIO(spark, workdir, resume,
+                 table_namespace=cfg.extra.get("table_namespace"))
+
+    def _delta_docs() -> DataFrame:
+        fresh = pages.join(prev_docs.select("url"), "url", "left_anti")
+        return extract_docs(fresh, cfg)
+
+    delta_docs = io.checkpoint("docs", _delta_docs)
+    if verify_extraction:
+        bad = delta_docs.filter(~F.col("text_ok")).count()
+        if bad:
+            raise AssertionError(f"extraction not byte-identical for {bad} pages")
+    delta_docs = delta_docs.persist()
+
+    delta_spans = io.checkpoint("spans", lambda: explode_spans(delta_docs))
+    delta_rels = io.checkpoint("relations", lambda: explode_rels(delta_docs))
+
+    docs = prev_docs.unionByName(delta_docs)
+    kept = prev_spans.unionByName(delta_spans).persist()
+    rels = prev_rels.unionByName(delta_rels).persist()
+
+    entities, triples = _link_and_materialize(spark, io, kept, rels, cfg, workdir)
+    io.metrics.append({"stage": "_delta", "partition": -1,
+                       "rows": int(delta_docs.count())})
     io.write_metrics()
     return {
         "docs": docs,

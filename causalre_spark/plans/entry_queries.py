@@ -775,6 +775,41 @@ WHERE round(s.n_shared / (ca.n_sh + cb.n_sh - s.n_shared), 4) >= 0.3
 """
 
 
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """EXACT n-gram-Jaccard near-dup join via prefix filtering
+    (dedup.ngram_jaccard_pairs). The oracle is the brute all-pairs
+    formulation (join on ANY shared shingle); the Spark side joins only
+    rarest-first prefixes plus a length filter — the prefix-filter
+    theorem makes the two result sets identical, so the oracle proves
+    the scale plan lossless. Integer (n_shared, n_union) output: zero
+    cross-engine float hazard."""
+    docs = _t(spark, sf_dir, "documents")
+    # persisted: consumed by freq ranking, the prefix self-join, and the
+    # exact intersection count (3-way fan-out of the shingle projection)
+    sh = dedup.word_shingles(docs, n=3).persist()
+    return dedup.ngram_jaccard_pairs(sh, thd_num=3, thd_den=10)
+
+
+SQL_DEDUP_NGRAM_JACCARD = f"""
+WITH norm AS (SELECT doc_id AS id, string_split({NORMALIZE_SQL_DUCK.format(x="text")}, ' ') AS toks
+              FROM documents),
+sh AS (SELECT DISTINCT id, array_to_string(toks[i:i+2], ' ') AS shingle
+       FROM (SELECT id, toks,
+                    unnest(generate_series(1, greatest(1, len(toks) - 2))) AS i
+             FROM norm) q),
+counts AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+shared AS (SELECT x.id AS id_a, y.id AS id_b, count(*) AS n_shared
+           FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.id < y.id
+           GROUP BY x.id, y.id)
+SELECT s.id_a, s.id_b, s.n_shared,
+       ca.n_sh + cb.n_sh - s.n_shared AS n_union
+FROM shared s
+JOIN counts ca ON ca.id = s.id_a
+JOIN counts cb ON cb.id = s.id_b
+WHERE 10 * s.n_shared >= 3 * (ca.n_sh + cb.n_sh - s.n_shared)
+"""
+
+
 def q_dedup_simhash(spark, sf_dir):
     return dedup.simhash16(_t(spark, sf_dir, "documents"))
 
@@ -1237,16 +1272,7 @@ def q_kg_2hop(spark, sf_dir):
     10^12 triples the self-join on the edge key runs exchange-free over
     co-bucketed files; here the identical join semantics are validated
     against an exact DuckDB oracle at test scale."""
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "source",
-        F.element_at(F.split("text", " "), 1).alias("tok1"))
-    e1 = docs.join(
-        docs.groupBy("lang", "tok1").agg(F.min("doc_id").alias("dst")),
-        ["lang", "tok1"]).select(F.col("doc_id").alias("src"), "dst")
-    e2 = docs.join(
-        docs.groupBy("source", "tok1").agg(F.min("doc_id").alias("dst")),
-        ["source", "tok1"]).select(F.col("doc_id").alias("src"), "dst")
-    edges = e1.unionByName(e2).filter(F.col("src") != F.col("dst")).distinct()
+    edges = _doc_graph_edges(spark, sf_dir)
     two = (
         edges.alias("x")
         .join(edges.alias("y"), F.col("x.dst") == F.col("y.src"))
@@ -1287,17 +1313,8 @@ def q_kg_pagerank(spark, sf_dir):
     N-normalized (~1.0 scale) and rounded to 4dp so the cross-engine
     comparison is insensitive to float summation order."""
     D = 0.85
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "source",
-        F.element_at(F.split("text", " "), 1).alias("tok1"))
-    e1 = docs.join(
-        docs.groupBy("lang", "tok1").agg(F.min("doc_id").alias("dst")),
-        ["lang", "tok1"]).select(F.col("doc_id").alias("src"), "dst")
-    e2 = docs.join(
-        docs.groupBy("source", "tok1").agg(F.min("doc_id").alias("dst")),
-        ["source", "tok1"]).select(F.col("doc_id").alias("src"), "dst")
-    edges = e1.unionByName(e2).filter(F.col("src") != F.col("dst")).distinct()
-    nodes = docs.select(F.col("doc_id").alias("node"))
+    edges = _doc_graph_edges(spark, sf_dir)
+    nodes = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("node"))
     n = nodes.count()  # one scalar action; the iteration itself is lazy
     outdeg = edges.groupBy("src").agg(
         F.count(F.lit(1)).cast("double").alias("outdeg"))
@@ -1363,6 +1380,85 @@ r{i + 1} AS (SELECT nd.node,
             "\nSELECT node AS doc_id, "
             "floor(rank * (SELECT n FROM nn) * 10000.0 + 0.3141592653589793)"
             " / 10000.0 AS pagerank FROM r3")
+
+
+def _doc_graph_edges(spark, sf_dir) -> DataFrame:
+    """The deterministic doc graph shared by cc_components / kg_2hop /
+    kg_pagerank / kg_triangles / kg_degree_stats: directed distinct
+    edges doc -> min doc of its (lang, tok1) and (source, tok1) groups."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source",
+        F.element_at(F.split("text", " "), 1).alias("tok1"))
+    e1 = docs.join(
+        docs.groupBy("lang", "tok1").agg(F.min("doc_id").alias("dst")),
+        ["lang", "tok1"]).select(F.col("doc_id").alias("src"), "dst")
+    e2 = docs.join(
+        docs.groupBy("source", "tok1").agg(F.min("doc_id").alias("dst")),
+        ["source", "tok1"]).select(F.col("doc_id").alias("src"), "dst")
+    return e1.unionByName(e2).filter(F.col("src") != F.col("dst")).distinct()
+
+
+_DUCK_GRAPH_CTE = """
+docs AS (SELECT doc_id, lang, source, string_split(text, ' ')[1] AS tok1
+         FROM documents),
+e1 AS (SELECT d.doc_id AS src, m.dst
+       FROM docs d JOIN (SELECT lang, tok1, min(doc_id) AS dst
+                         FROM docs GROUP BY lang, tok1) m
+       ON d.lang = m.lang AND d.tok1 = m.tok1),
+e2 AS (SELECT d.doc_id AS src, m.dst
+       FROM docs d JOIN (SELECT source, tok1, min(doc_id) AS dst
+                         FROM docs GROUP BY source, tok1) m
+       ON d.source = m.source AND d.tok1 = m.tok1),
+edges AS (SELECT DISTINCT src, dst FROM (SELECT * FROM e1 UNION ALL SELECT * FROM e2) u
+          WHERE src != dst)
+"""
+
+
+def q_kg_triangles(spark, sf_dir):
+    """Degree-ordered triangle enumeration (Cohen's MapReduce algorithm /
+    Suri & Vassilvitskii WWW'11): direct every undirected edge from the
+    lower-(degree, id) endpoint to the higher one, join wedges on the
+    middle node, close against the directed edge set. Each triangle is
+    enumerated EXACTLY once, and wedge fan-out is bounded by the
+    out-degree under the degree order — O(m^{3/2}) work instead of the
+    naive per-node neighborhood square; at 10^12-edge scale this
+    ordering is the difference between a runnable join and a hot-node
+    explosion (a celebrity node of degree d contributes d² wedges naive,
+    but only out-deg² ≈ sqrt(m)² ordered). The oracle is the naive
+    id-ordered 3-way join — same triangle set, proving the ordered plan
+    lossless. Output is id-canonical (a < b < c)."""
+    from causalre_spark.operators import graph
+
+    return graph.triangles(graph.undirected(_doc_graph_edges(spark, sf_dir)))
+
+
+SQL_KG_TRIANGLES = f"""
+WITH {_DUCK_GRAPH_CTE},
+und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM edges)
+SELECT x.u AS a, x.v AS b, y.v AS c
+FROM und x JOIN und y ON x.v = y.u
+JOIN und z ON z.u = x.u AND z.v = y.v
+"""
+
+
+def q_kg_degree_stats(spark, sf_dir):
+    """Degree-distribution histogram of the doc graph (undirected):
+    degree -> node count. The scan-shape every graph-pipeline health
+    check runs first at scale — two hash aggregations, no joins."""
+    from causalre_spark.operators import graph
+
+    return graph.degree_histogram(
+        graph.undirected(_doc_graph_edges(spark, sf_dir)))
+
+
+SQL_KG_DEGREE_STATS = f"""
+WITH {_DUCK_GRAPH_CTE},
+und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM edges),
+deg AS (SELECT node, count(*) AS deg
+        FROM (SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und) n
+        GROUP BY node)
+SELECT deg, count(*) AS n_nodes FROM deg GROUP BY deg
+"""
 
 
 def q_skew_salted_agg(spark, sf_dir):
@@ -1758,6 +1854,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # dedup family (training-data ops)
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_wide": q_dedup_simhash_wide,
     # text analysis family
@@ -1781,6 +1878,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # graph-join + skew-handling shapes (kg_construct scale patterns)
     "kg_2hop": q_kg_2hop,
     "kg_pagerank": q_kg_pagerank,
+    "kg_triangles": q_kg_triangles,
+    "kg_degree_stats": q_kg_degree_stats,
     "skew_salted_agg": q_skew_salted_agg,
     # classic relational + events
     "tpch_q1": q_tpch_q1,
@@ -1820,6 +1919,7 @@ ORACLES: dict[str, str] = {
     "f3_sigmoid_decode": SQL_F3,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
+    "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "dedup_simhash_wide": SQL_DEDUP_SIMHASH_WIDE,
     "text_quality": SQL_TEXT_QUALITY,
@@ -1839,6 +1939,8 @@ ORACLES: dict[str, str] = {
     "cc_components": SQL_CC_COMPONENTS,
     "kg_2hop": SQL_KG_2HOP,
     "kg_pagerank": _duck_pagerank(),
+    "kg_triangles": SQL_KG_TRIANGLES,
+    "kg_degree_stats": SQL_KG_DEGREE_STATS,
     "skew_salted_agg": SQL_SKEW_SALTED_AGG,
     "tpch_q1": SQL_TPCH_Q1,
     "tpch_segment_revenue": SQL_TPCH_SEGMENT_REVENUE,

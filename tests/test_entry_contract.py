@@ -16,6 +16,7 @@ SUBSET = [
     "dedup_exact", "dedup_simhash", "text_fingerprint",
     "sim_cosine_topk", "cc_components", "events_sessionize",
     "kg_2hop", "kg_pagerank", "skew_salted_agg",
+    "kg_triangles", "kg_degree_stats", "dedup_ngram_jaccard",
 ]
 
 

@@ -181,3 +181,63 @@ def test_bucketed_graph_join_has_no_exchange(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         spark.sql("DROP TABLE IF EXISTS kg_triples_test")
+
+
+def test_incremental_matches_full(spark):
+    """run_incremental parity contract: processing half the corpus, then
+    an incremental run over the full corpus, yields triple-for-triple
+    the same graph as one full run — while re-encoding ONLY the delta
+    (the new run's docs sink holds just the unprocessed pages)."""
+    from causalre_spark.functions.hashing import md5_long_sql_spark
+    from causalre_spark.pipeline import run_incremental
+    from pyspark.sql import functions as F
+
+    wd_full = "/tmp/causalre_test_wd_incr_full"
+    wd_half = "/tmp/causalre_test_wd_incr_half"
+    wd_inc = "/tmp/causalre_test_wd_incr_delta"
+    for wd in (wd_full, wd_half, wd_inc):
+        shutil.rmtree(wd, ignore_errors=True)
+
+    pages = synth_pages_df(spark, 40, partitions=4)
+    half = pages.filter(F.expr(f"pmod({md5_long_sql_spark('url')}, 2) = 0"))
+
+    def _full_triples(res):
+        return {(r.cause, r.predicate, r.effect, r.n_evidence)
+                for r in res["triples"].collect()}
+
+    full = _full_triples(run_pipeline(spark, pages, workdir=wd_full))
+    prev = run_pipeline(spark, half, workdir=wd_half)
+    inc = run_incremental(spark, pages, prev_workdir=wd_half, workdir=wd_inc)
+    assert _full_triples(inc) == full
+    assert full, "synthetic corpus should produce triples"
+
+    # the incremental run encoded only the delta
+    n_all = spark.read.parquet(os.path.join(wd_full, "docs")).count()
+    n_prev = spark.read.parquet(os.path.join(wd_half, "docs")).count()
+    n_delta = spark.read.parquet(os.path.join(wd_inc, "docs")).count()
+    assert n_delta == n_all - n_prev
+    assert 0 < n_delta < n_all
+
+    # and records the delta size in its lineage metrics
+    metrics = spark.read.parquet(os.path.join(wd_inc, "_metrics"))
+    delta_rows = [r["rows"] for r in metrics.filter("stage = '_delta'").collect()]
+    assert delta_rows == [n_delta]
+
+    # resume over the incremental workdir: identical result, delta not recomputed
+    inc2 = run_incremental(spark, pages, prev_workdir=wd_half, workdir=wd_inc)
+    assert _full_triples(inc2) == full
+
+    for wd in (wd_full, wd_half, wd_inc):
+        shutil.rmtree(wd, ignore_errors=True)
+
+
+def test_incremental_requires_completed_prev(spark):
+    import pytest as _pytest
+
+    from causalre_spark.pipeline import run_incremental
+
+    pages = synth_pages_df(spark, 4, partitions=1)
+    with _pytest.raises(RuntimeError, match="incremental run requires"):
+        run_incremental(spark, pages,
+                        prev_workdir="/tmp/causalre_missing_prev_wd",
+                        workdir="/tmp/causalre_test_wd_incr_err")
