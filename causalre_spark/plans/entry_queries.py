@@ -1554,6 +1554,90 @@ GROUP BY c_mktsegment
 """
 
 
+def q_tpch_q3_topk(spark, sf_dir):
+    """TPC-H Q3 shape (shipping priority): 3-way fact join + revenue
+    aggregation + global top-10. The tail compiles to
+    TakeOrderedAndProject (orderBy + limit — no single-partition global
+    sort); the segment filter on customer prunes before the join, and
+    AQE picks broadcast for the filtered build side at small SF while
+    the same plan shuffle-joins at 100 TB."""
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp"))
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_TPCH_Q3_TOPK = """
+SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       o_orderdate
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+
+def q_tpch_q5_local_supplier(spark, sf_dir):
+    """TPC-H Q5 shape (local supplier volume): the star-join pattern —
+    two big fact tables joined with three dimensions, the small dims
+    (nation, region) broadcast EXPLICITLY so the fact side never
+    shuffles for them; the local-supplier condition
+    (c_nationkey = s_nationkey) rides the supplier equi-join. This is
+    the canonical broadcast-vs-shuffle decision the 100 TB plan hinges
+    on: region/nation are KBs at any scale, supplier is per-SF."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    region = F.broadcast(
+        _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supp, (F.col("l_suppkey") == F.col("s_suppkey"))
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+    )
+
+
+SQL_TPCH_Q5_LOCAL = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
 def q_tpch_rollup(spark, sf_dir):
     """Grouping-sets breadth (SURVEY §2.4 note: free in Spark): ROLLUP
     over (returnflag, linestatus) with grouping-level counts — subtotal
@@ -1883,6 +1967,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "skew_salted_agg": q_skew_salted_agg,
     # classic relational + events
     "tpch_q1": q_tpch_q1,
+    "tpch_q3_topk": q_tpch_q3_topk,
+    "tpch_q5_local_supplier": q_tpch_q5_local_supplier,
     "tpch_segment_revenue": q_tpch_segment_revenue,
     "tpch_rollup": q_tpch_rollup,
     "events_sessionize": q_events_sessionize,
@@ -1943,6 +2029,8 @@ ORACLES: dict[str, str] = {
     "kg_degree_stats": SQL_KG_DEGREE_STATS,
     "skew_salted_agg": SQL_SKEW_SALTED_AGG,
     "tpch_q1": SQL_TPCH_Q1,
+    "tpch_q3_topk": SQL_TPCH_Q3_TOPK,
+    "tpch_q5_local_supplier": SQL_TPCH_Q5_LOCAL,
     "tpch_segment_revenue": SQL_TPCH_SEGMENT_REVENUE,
     "tpch_rollup": SQL_TPCH_ROLLUP,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,

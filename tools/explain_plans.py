@@ -109,6 +109,42 @@ def main() -> int:
     checks.append(("kg_2hop: no Python eval",
                    "BatchEvalPython" not in p and "ArrowEval" not in p, p))
 
+    # 9. TPC-H Q3 tail: global top-10 must be TakeOrderedAndProject, and
+    # the segment/date filters must reach the parquet scans
+    p = plan_of(Q.q_tpch_q3_topk(spark, SF))
+    sections.append(("tpch_q3 top-k tail", p))
+    checks.append(("tpch_q3: TakeOrderedAndProject tail",
+                   "TakeOrderedAndProject" in p, p))
+    checks.append(("tpch_q3: segment filter pushed to scan",
+                   "BUILDING" in p.split("PushedFilters")[1][:400]
+                   if "PushedFilters" in p else False, p))
+
+    # 10. TPC-H Q5: nation/region dims broadcast (explicit), no Python
+    p = plan_of(Q.q_tpch_q5_local_supplier(spark, SF))
+    sections.append(("tpch_q5 star join", p))
+    checks.append(("tpch_q5: dims broadcast", "BroadcastHashJoin" in p, p))
+    checks.append(("tpch_q5: no Python eval",
+                   "BatchEvalPython" not in p and "ArrowEval" not in p, p))
+
+    # 11. ngram-jaccard prefix join: equi hash join on the shingle key
+    # (never a cartesian/NLJ), all-JVM
+    p = plan_of(Q.q_dedup_ngram_jaccard(spark, SF))
+    sections.append(("ngram-jaccard prefix join", p))
+    checks.append(("ngram_jaccard: no cartesian product",
+                   "CartesianProduct" not in p
+                   and "BroadcastNestedLoopJoin" not in p, p))
+    checks.append(("ngram_jaccard: no Python eval",
+                   "BatchEvalPython" not in p and "ArrowEval" not in p, p))
+
+    # 12. triangles: joins are equi-joins; no cartesian, no Python
+    p = plan_of(Q.q_kg_triangles(spark, SF))
+    sections.append(("kg triangles (degree-ordered)", p))
+    checks.append(("kg_triangles: no cartesian product",
+                   "CartesianProduct" not in p
+                   and "BroadcastNestedLoopJoin" not in p, p))
+    checks.append(("kg_triangles: no Python eval",
+                   "BatchEvalPython" not in p and "ArrowEval" not in p, p))
+
     os.makedirs(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH"), exist_ok=True)
     out_path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH", "PLANS.md")
     with open(out_path, "w") as f:
