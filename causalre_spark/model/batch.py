@@ -45,6 +45,14 @@ class DocEncoding:
             self.table.append(np.maximum(prev[: L - size + 1], prev[size // 2 : L - size // 2 + 1]))
             k += 1
             size *= 2
+        # flat view of all levels + per-level row offsets: table_lookup
+        # becomes ONE fancy index instead of a per-level masked-assign
+        # loop (the loop was the hottest line of the whole fast path —
+        # ~2 ms/doc of np.unique + boolean masks)
+        self._tab_offsets = np.cumsum(
+            [0] + [t.shape[0] for t in self.table[:-1]], dtype=np.int64)
+        self._tab_flat = (np.concatenate(self.table, axis=0)
+                          if len(self.table) > 1 else self.table[0])
         # prefix sums for range mean (sequential accumulation, float32)
         self.p_reps = np.concatenate(
             [np.zeros((1, self.reps.shape[1]), dtype=np.float32),
@@ -61,11 +69,7 @@ class DocEncoding:
         return np.maximum(a, b)
 
     def table_lookup(self, k: np.ndarray, idx: np.ndarray) -> np.ndarray:
-        out = np.empty((idx.shape[0], self.reps.shape[1]), dtype=np.float32)
-        for level in np.unique(k):
-            m = k == level
-            out[m] = self.table[int(level)][idx[m]]
-        return out
+        return self._tab_flat[self._tab_offsets[k] + idx]
 
 
 def tagger_logits_batch(enc: DocEncoding) -> tuple[np.ndarray, np.ndarray]:
@@ -91,9 +95,13 @@ def decode_spans_batch(
     if b_idx.size == 0 or e_idx.size == 0:
         z = np.zeros(0, dtype=np.int64)
         return z, z, np.zeros(0, dtype=np.float32)
-    bb, ee = np.meshgrid(b_idx, e_idx, indexing="ij")
-    mask = (ee >= bb) & ((ee - bb) < cfg.max_span_width)
-    bs, es = bb[mask], ee[mask]
+    # broadcasted band mask; nonzero walks row-major — identical pair
+    # order to the earlier meshgrid+boolean-mask formulation, without
+    # materializing the two index grids
+    diff = e_idx[None, :] - b_idx[:, None]
+    mask = (diff >= 0) & (diff < cfg.max_span_width)
+    bi, ei = np.nonzero(mask)
+    bs, es = b_idx[bi], e_idx[ei]
     scores = ((b_logits[bs] + e_logits[es]) / 2.0).astype(np.float32)
     starts, ends = bs.astype(np.int64), es.astype(np.int64) + 1
     # worst-case cap: keep the top candidates by tagger score before the

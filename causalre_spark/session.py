@@ -22,6 +22,15 @@ def get_spark(
     extra_conf: dict | None = None,
 ) -> SparkSession:
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # One BLAS thread per Python worker: N workers x K BLAS threads
+    # oversubscribes the executor (measured 27% per-doc slowdown in the
+    # encoder UDF from OpenBLAS coordination alone on tiny matmuls —
+    # the model's arrays are far below multi-thread break-even). Local
+    # mode: workers fork from this process, inheriting the env;
+    # clusters: executorEnv carries it to every executor JVM.
+    for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS",
+                "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     # Under spark-submit the master (and cluster sizing) comes from the
     # submit command; hard-coding .master() here would silently hijack a
     # real cluster back to local mode. Only default to local[cores] when
@@ -46,6 +55,9 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.python.worker.reuse", "true")
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
