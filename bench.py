@@ -114,8 +114,15 @@ def scaling_run(cores: int, corpus_path: str) -> dict:
     # a production job compiles once and then runs for hours)
     warm = run_pipeline(spark, pages.limit(3000), verify_extraction=False)
     warm["triples"].count()
-    for k in ("docs", "spans", "relations", "entities"):
+    for k in ("docs", "spans", "relations", "entities", "triples"):
         warm[k].unpersist()
+    # drop EVERY cached block the warm pipeline left behind (its internal
+    # broadcast dictionaries are only released when a workdir is set),
+    # then re-materialize the pages cache — the timed run must start from
+    # exactly one warm cache: the input
+    spark.catalog.clearCache()
+    pages.persist()
+    pages.agg({"html": "count"}).collect()
     timings: dict = {}
     t0 = time.time()
     res = run_pipeline(spark, pages, verify_extraction=False, timings=timings)

@@ -282,11 +282,15 @@ def connected_components(
         # gate on BOTH node and edge counts before taking the driver
         # path: a dense near-dup graph can have edges >> nodes, and an
         # unconditional edge collect would land the whole graph on the
-        # driver. Measure with a bounded count first (edges is persisted,
-        # so the follow-up collect on the small path re-reads the cache)
-        # instead of pulling max+1 rows through py4j just to count them.
+        # driver. A FULL count (no py4j row transfer) rather than a
+        # bounded limit+count: the limit's incremental-job strategy only
+        # materializes the partitions it touches, so the persisted edge
+        # cache could be left partial and the follow-up collect would
+        # recompute the jaccard-verify subtree; the full count both
+        # measures and completes the cache in one pass. (Counting all
+        # edges is work the distributed path would do anyway.)
         edges = edges.persist()
-        n_edges_bounded = edges.limit(driver_max_edges + 1).count()
+        n_edges_bounded = edges.count()
         if n_edges_bounded <= driver_max_edges:
             edge_rows = edges.select("form_a", "form_b").collect()
             node_list = [r["form"] for r in nodes.select("form").collect()]
@@ -360,8 +364,13 @@ def link_mentions(
     # sides) — without the cache the 8-way minhash groupBy runs 3x
     sigs = minhash_signatures(sh, cfg.minhash_hashes).persist()
     cleanup: list[DataFrame] = [forms, sh, sigs]
+    # persisted: the candidate stream feeds jaccard verification, whose
+    # output (edges) is itself consumed twice by connected_components
+    # (count gate + collect/contract) — without the cache an eviction or
+    # re-reference recomputes the banded self-join from scratch
     cands = lsh_candidate_pairs(sigs, cfg.minhash_hashes, cfg.minhash_band_size,
-                                dedup=False, max_bucket=cfg.lsh_max_bucket)
+                                dedup=False, max_bucket=cfg.lsh_max_bucket).persist()
+    cleanup.append(cands)
     edges = verify_jaccard(cands, sh, cfg.link_jaccard_thd, n_forms=n_forms,
                            cleanup=cleanup)
     labels = connected_components(forms, edges, cfg.cc_max_iters, n_nodes=n_forms)
