@@ -10,7 +10,7 @@ queries()      — one entry per implemented operator from SURVEY.md §2
                  typed decode, grouping sets, IVF ANN, rel loose
                  matching, gold-data eval, graph 2-hop join + fixed-
                  iteration PageRank, salted skew aggregation):
-                 57 queries, 54 with exact DuckDB oracles.
+                 62 queries, 59 with exact DuckDB oracles.
 oracle_sql()   — exact DuckDB twins for every relational operator; the
                  three UDF-backed pipeline queries (pipeline_spans,
                  causal_triples, causal_triples_seeded) are rows-only by

@@ -99,20 +99,34 @@ def scaling_run(cores: int, corpus_path: str) -> dict:
     from causalre_spark.session import get_spark
 
     # shuffle width is a data-volume knob, not a cluster-size knob: both
-    # legs use the same width so the comparison isolates compute parallelism
+    # legs use the same width so the comparison isolates compute parallelism.
+    # -Xms pins the committed heap so G1 cannot uncommit the regions the
+    # warm pass faulted in (this VM populates memory at a measured
+    # ~60-100 MB/s — hypervisor-side per-page cost; pre-touching 24 GB
+    # takes >4 min, so re-faulting between warm and timed passes would
+    # re-smear minutes of kernel time into the timed section).
     spark = get_spark(app=f"bench_scale_{cores}", cores=cores,
                       extra_conf={"spark.sql.shuffle.partitions":
-                                  os.environ.get("SPARK_GRAFT_SCALE_SHUFFLE", "8")})
+                                  os.environ.get("SPARK_GRAFT_SCALE_SHUFFLE", "8"),
+                                  "spark.driver.extraJavaOptions":
+                                  os.environ.get("SPARK_GRAFT_SCALE_XMS",
+                                                 "-Xms32g")})
     pages = spark.read.parquet(corpus_path).persist()
     # force a full materialization so the timed section excludes disk I/O
     # (parquet count() alone is metadata-only)
     pages.agg({"html": "count"}).collect()
     n_pages = pages.count()
-    # warmup: run the full pipeline once on a small slice so the timed
-    # run measures steady-state throughput, not one-time plan
-    # compilation/codegen/class-loading (~60s of per-SESSION constant —
-    # a production job compiles once and then runs for hours)
-    warm = run_pipeline(spark, pages.limit(3000), verify_extraction=False)
+    # warmup: one UNTIMED full-size pass. A small-slice warm is not
+    # enough on this VM: the first full-size run pays (a) Spark 4's ICU
+    # collation class-init when not disabled, (b) whole-stage codegen +
+    # JIT, (c) python worker spin-up (numpy import + frozen-weight
+    # build), and — dominant here — (d) first-touch page population of
+    # the multi-GB cache/shuffle heap at the VM's ~60-100 MB/s fault
+    # rate (measured: an 8.6M-row distinct took 215 s cold and 4 s
+    # warm with identical plans). A production job pays these once per
+    # executor lifetime and then runs for hours; the timed pass below
+    # measures that steady state.
+    warm = run_pipeline(spark, pages, verify_extraction=False)
     warm["triples"].count()
     for k in ("docs", "spans", "relations", "entities", "triples"):
         warm[k].unpersist()
@@ -137,6 +151,8 @@ def scaling_run(cores: int, corpus_path: str) -> dict:
         "secs": round(secs, 2),
         "extract_secs": timings.get("docs_secs"),
         "tail_secs": round(secs - timings.get("docs_secs", 0), 2),
+        "explode_secs": timings.get("explode_secs"),
+        "linking_secs": timings.get("linking_secs"),
         "docs_per_sec": round(n_pages / secs, 2),
         "triples_per_sec": round(n_triples / secs, 2),
     }
@@ -209,7 +225,15 @@ def write_baseline_md(scale_lo: dict, scale_hi: dict, eff: float,
             "effective physical cores shared with co-tenants: a 16-worker "
             "leg measures tenant contention, not pipeline scaling — both "
             "legs must run uncontended for the 4x comparison to measure "
-            "the algorithm.\n\n"
+            "the algorithm. Each leg runs one UNTIMED full-size warm "
+            "pass first: this VM populates fresh memory at a measured "
+            "~60-100 MB/s (hypervisor per-page cost), so the first "
+            "full-size pass smears minutes of kernel page-zeroing into "
+            "whatever stage first touches the multi-GB caches (an "
+            "8.6M-row distinct: 215 s cold, 4 s warm, identical plans); "
+            "the timed pass measures the steady state a long-running "
+            "production job actually operates in, with -Xms pinned so "
+            "G1 cannot uncommit the warmed heap between passes.\n\n"
             f"## Headline operator times ({sf_dir}, local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}])\n\n"
             "Min over interleaved passes; all samples shown so a plan\n"
             "regression is distinguishable from a co-tenant burst.\n\n"
@@ -247,14 +271,16 @@ def main() -> None:
     }
 
     if not os.environ.get("SPARK_GRAFT_SKIP_SCALING"):
-        # 500k pages (~2x the r02 corpus): profiling the 250k job showed
-        # ~31s of per-job FIXED cost (driver/JVM/small-graph collects) in
-        # a 126s hi-leg run — at that job size the 2v8 ratio measures
-        # fixed overhead as much as the algorithm. A production scaling
-        # measurement uses a job long enough to amortize constants; the
-        # amortization leg (2x pages, same cores) separately demonstrates
-        # the constants-amortize trend.
-        n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "500000"))
+        # 250k pages: the full-size UNTIMED warm pass (scaling_run)
+        # now absorbs every per-job fixed cost (class init, codegen,
+        # python worker spin-up, and this VM's slow first-touch page
+        # population), so the timed pass measures steady-state
+        # throughput even at the smaller corpus — r02's argument for
+        # 500k (fixed costs were ~25% of a 126s hi leg) no longer
+        # applies, and the smaller corpus halves bench wall-clock. The
+        # amortization leg (2x pages, same cores) still demonstrates
+        # the constants-amortize trend at 500k.
+        n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "250000"))
         from causalre_spark.session import get_spark
 
         spark = get_spark(app="bench_gen", cores=cores)

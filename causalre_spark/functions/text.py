@@ -13,10 +13,15 @@ from causalre_spark.functions.hashing import md5_long
 
 # Normalization v2 (FROZEN): lowercase; ASCII punctuation -> space;
 # collapse space runs; trim. Non-ASCII characters pass through
-# unchanged. Implemented with translate + split/filter/join because
-# Spark's regexp_replace costs ~50-100x more per row than translate in
-# whole-stage codegen — at 10^12 mention instances the regexp variant
-# IS the pipeline bottleneck.
+# unchanged. Implemented as translate + regexp_replace(' +') + trim:
+# every operator in the chain participates in whole-stage codegen. The
+# previous formulation (split + filter(s -> s != '') + concat_ws)
+# computed the same string, but higher-order array lambdas NEVER
+# codegen — the whole projection fell back to interpreted eval
+# (~45 us/row, measured via thread dump: ArrayFilter.eval +
+# StringTranslate.nullSafeEval), and Catalyst's filter pushdown
+# replicated it below the distinct onto every mention INSTANCE, which
+# at 500k pages was ~10 min of single-stage CPU in the linking tail.
 PUNCT = "".join(chr(c) for c in range(33, 127) if not chr(c).isalnum())
 _SPACES = " " * len(PUNCT)
 _TRANS = str.maketrans(PUNCT, _SPACES)
@@ -32,10 +37,25 @@ def _sql_quote(s: str, backslash_escapes: bool) -> str:
 # Spark SQL twin (backslash IS an escape char in Spark string literals).
 # Braces inside the punctuation literal are doubled so these templates
 # remain str.format-safe ({x} is the only live placeholder).
+_PUNCT_LIT = (_sql_quote(PUNCT, backslash_escapes=True)
+              .replace("{", "{{").replace("}", "}}"))
 NORMALIZE_SQL = (
-    "concat_ws(' ', filter(split(translate(lower({x}), "
-    + _sql_quote(PUNCT, backslash_escapes=True).replace("{", "{{").replace("}", "}}")
-    + f", '{_SPACES}'), ' '), s -> s != ''))"
+    "trim(regexp_replace(translate(lower({x}), "
+    + _PUNCT_LIT
+    + f", '{_SPACES}'), ' +', ' '))"
+)
+
+# Cheap raw-row predicate equivalent to `normalize(x) != ''` (true iff
+# any non-punctuation, non-space character survives). Safe to let
+# Catalyst push below a distinct: translate+lower+trim are codegen'd
+# and ~20x cheaper than the full normalize (no regexp) — use this
+# BEFORE the distinct instead of filtering the normalized form after
+# it, so the optimizer never replicates the expensive expression onto
+# per-instance rows.
+NONEMPTY_FORM_SQL = (
+    "trim(translate(lower({x}), "
+    + _PUNCT_LIT
+    + f", '{_SPACES}')) != ''"
 )
 
 

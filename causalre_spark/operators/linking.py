@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from causalre_spark.config import DEFAULT_CONFIG, PipelineConfig
 from causalre_spark.functions.hashing import md5_long_sql_spark
-from causalre_spark.functions.text import NORMALIZE_SQL
+from causalre_spark.functions.text import NONEMPTY_FORM_SQL, NORMALIZE_SQL
 
 
 def normalized_forms(mentions: DataFrame, text_col: str = "text") -> DataFrame:
@@ -39,9 +39,18 @@ def normalized_forms(mentions: DataFrame, text_col: str = "text") -> DataFrame:
     row — raw-distinct mentions are orders of magnitude fewer than
     mention instances at any corpus size."""
     return (
-        mentions.select(F.col(text_col).alias("_raw")).distinct()
+        mentions.select(F.col(text_col).alias("_raw"))
+        # cheap codegen'd raw-level predicate INSTEAD of filtering the
+        # normalized form after the distinct: a post-distinct
+        # `filter(form != '')` gets substituted through the projection
+        # and pushed below BOTH aggregates by Catalyst, re-evaluating
+        # the full normalize per mention INSTANCE (measured: ~10 min of
+        # CPU at 500k pages). The raw predicate is equivalent
+        # (normalize(x) = '' iff no non-punct char survives) and is
+        # exactly what we WANT pushed to the scan.
+        .filter(F.expr(NONEMPTY_FORM_SQL.format(x="_raw")))
+        .distinct()
         .select(F.expr(NORMALIZE_SQL.format(x="_raw")).alias("form"))
-        .filter(F.col("form") != "")
         .distinct()
     )
 
@@ -51,9 +60,11 @@ def mention_form_map(mentions: DataFrame, text_col: str = "text") -> DataFrame:
     mentions — broadcast-join this instead of re-normalizing per
     instance row."""
     return (
-        mentions.select(F.col(text_col).alias("text")).distinct()
+        mentions.select(F.col(text_col).alias("text"))
+        # same pushdown trap as normalized_forms: filter raw, not form
+        .filter(F.expr(NONEMPTY_FORM_SQL.format(x="text")))
+        .distinct()
         .withColumn("form", F.expr(NORMALIZE_SQL.format(x="text")))
-        .filter(F.col("form") != "")
     )
 
 

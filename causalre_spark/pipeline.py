@@ -304,8 +304,19 @@ def run_pipeline(
 
     kept = io.checkpoint("spans", lambda: explode_spans(docs)).persist()
     rels = io.checkpoint("relations", lambda: explode_rels(docs)).persist()
+    if timings is not None:
+        # materialize the explodes eagerly so the tail decomposes into
+        # attributable stages (spans/rels vs linking vs triples) instead
+        # of lazy work landing wherever the first action happens to be
+        _t0 = _time.time()
+        kept.count(); rels.count()
+        timings["explode_secs"] = round(_time.time() - _t0, 2)
+        _t0 = _time.time()
 
     entities, triples = _link_and_materialize(spark, io, kept, rels, cfg, workdir)
+    if timings is not None:
+        entities.count()
+        timings["linking_secs"] = round(_time.time() - _t0, 2)
     io.write_metrics()
     return {
         "docs": docs,

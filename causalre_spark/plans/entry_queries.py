@@ -1722,6 +1722,227 @@ FROM events GROUP BY event_type
 """
 
 # --------------------------------------------------------------------------
+# Temporal joins + sampling + corpus weighting (scale patterns a
+# training-data pipeline needs beyond the reference's own operators)
+# --------------------------------------------------------------------------
+
+def q_asof_join_orders(spark, sf_dir):
+    """As-of join: each event picks the user's most recent order at or
+    before the event date. Spark lacks a native ASOF JOIN; the scalable
+    formulation is union-tag + running `last(ignorenulls)` over a
+    per-key window — ONE shuffle by join key, no per-event probe join,
+    no range explosion. The oracle uses DuckDB's native ASOF JOIN, so
+    the two engines reach the same answer by entirely different
+    algorithms. Ties inside a day are removed up front (max orderkey
+    per (custkey, date)) so the as-of pick is deterministic."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        F.unix_date(F.to_date(F.col("ts").cast("timestamp"))).alias("t"))
+    dim = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey"),
+                 F.to_date("o_orderdate").alias("o_date"))
+        .agg(F.max("o_orderkey").alias("o_orderkey"),
+             F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice"))
+    )
+    d = dim.select(
+        F.col("o_custkey").alias("user_id"),
+        F.unix_date("o_date").alias("t"),
+        F.lit(0).alias("kind"),
+        F.lit(None).cast("long").alias("event_id"),
+        "o_orderkey", "o_totalprice")
+    e = ev.select(
+        "user_id", "t", F.lit(1).alias("kind"), "event_id",
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("double").alias("o_totalprice"))
+    # kind orders dim rows before event rows at equal date: the as-of
+    # predicate is inclusive (event date >= order date)
+    w = (Window.partitionBy("user_id").orderBy("t", "kind", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        d.unionByName(e)
+        .withColumn("last_orderkey",
+                    F.last("o_orderkey", ignorenulls=True).over(w))
+        .withColumn("last_totalprice",
+                    F.last("o_totalprice", ignorenulls=True).over(w))
+        .withColumn("last_t",
+                    F.last(F.when(F.col("kind") == 0, F.col("t")),
+                           ignorenulls=True).over(w))
+        .filter((F.col("kind") == 1) & F.col("last_orderkey").isNotNull())
+        .select("event_id", "user_id", "last_orderkey",
+                F.round("last_totalprice", 4).alias("last_totalprice"),
+                (F.col("t") - F.col("last_t")).cast("long")
+                .alias("days_since_order"))
+    )
+
+
+SQL_ASOF_JOIN_ORDERS = """
+WITH dim AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS o_date,
+         max(o_orderkey) AS o_orderkey,
+         max_by(o_totalprice, o_orderkey) AS o_totalprice
+  FROM orders GROUP BY 1, 2)
+SELECT e.event_id, e.user_id, d.o_orderkey AS last_orderkey,
+       round(d.o_totalprice, 4) AS last_totalprice,
+       CAST(date_diff('day', d.o_date, CAST(e.ts AS DATE)) AS BIGINT)
+         AS days_since_order
+FROM events e ASOF JOIN dim d
+  ON e.user_id = d.o_custkey AND CAST(e.ts AS DATE) >= d.o_date
+"""
+
+_RANGE_WIN_US = 300_000_000  # 5 minutes in microseconds
+
+
+def q_range_join_errors(spark, sf_dir):
+    """Bucketed range join: events falling in the 5-minute window after
+    each error event. A naive theta-join (t0 < t <= t0+W) is a
+    cartesian at scale; the classic fix is to replicate each window
+    into the fixed-width time buckets it overlaps (<= 2 when bucket
+    width == window width) and equi-join on the bucket id, keeping the
+    exact range predicate as a post-filter. Each event lives in exactly
+    one bucket, so no dedup pass is needed. The oracle runs the plain
+    inequality join — same answer, different plan."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"))
+    win = F.lit(_RANGE_WIN_US)
+    errors = (ev.filter(F.col("event_type") == "error")
+              .select(F.col("event_id").alias("error_id"),
+                      F.col("t").alias("t0")))
+    w = errors.select(
+        "error_id", "t0",
+        F.explode(F.array(F.floor(F.col("t0") / win),
+                          F.floor(F.col("t0") / win) + 1)).alias("b"))
+    e = ev.withColumn("b", F.floor(F.col("t") / win))
+    return (
+        F.broadcast(w).join(e, "b")
+        .filter((F.col("t") > F.col("t0"))
+                & (F.col("t") <= F.col("t0") + win)
+                & (F.col("event_id") != F.col("error_id")))
+        .groupBy("error_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"),
+             F.round(F.sum("value"), 4).alias("sum_value"),
+             F.min("event_id").alias("first_hit"))
+    )
+
+
+SQL_RANGE_JOIN_ERRORS = f"""
+WITH w AS (SELECT event_id AS error_id, epoch_us(ts) AS t0
+           FROM events WHERE event_type = 'error')
+SELECT w.error_id, count(*) AS n_hits,
+       round(sum(e.value), 4) AS sum_value,
+       min(e.event_id) AS first_hit
+FROM w JOIN events e
+  ON epoch_us(e.ts) > w.t0 AND epoch_us(e.ts) <= w.t0 + {_RANGE_WIN_US}
+     AND e.event_id <> w.error_id
+GROUP BY w.error_id
+"""
+
+
+def q_sample_hash(spark, sf_dir):
+    """Deterministic Bernoulli sampling by content-key hash — THE
+    reproducible way to downsample a 10^12-doc corpus: no RNG state,
+    no shuffle, pushdown-friendly, and the same rows come back on
+    every engine and every rerun (rand()-based sampling is none of
+    those). Rate 25% = first 4 hex chars of md5 below '4000'."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+                < "4000")
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+SQL_SAMPLE_HASH = """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
+"""
+
+
+def q_tfidf_topk(spark, sf_dir):
+    """TF-IDF top-10 terms per document, fully relational: explode
+    tokens, two hash aggregations (term frequency, document frequency),
+    broadcast the single-row corpus size, per-doc WindowGroupLimit
+    top-k. At 100 TB every stage is a map-side-combinable aggregate;
+    nothing is collected. Ties break on term so ranking is
+    deterministic across engines."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = (docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term"))
+           .filter(F.length("term") >= 3))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    wk = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        tf.join(dfc, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score",
+                    F.col("tf")
+                    * F.log((F.col("n_docs") + F.lit(1.0))
+                            / (F.col("df") + F.lit(1.0))))
+        .withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= 10)
+        .select("doc_id", "term", "tf", "df",
+                F.round("score", 5).alias("tfidf"), "rk")
+    )
+
+
+SQL_TFIDF_TOPK = """
+WITH tok AS (
+  SELECT doc_id, t AS term
+  FROM documents, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS u(t)
+  WHERE length(t) >= 3),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+df_ AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df_.df,
+         tf.tf * ln((n.n_docs + 1.0) / (df_.df + 1.0)) AS score
+  FROM tf JOIN df_ USING (term) CROSS JOIN n),
+ranked AS (
+  SELECT doc_id, term, tf, df, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term) AS rk
+  FROM scored)
+SELECT doc_id, term, tf, df, round(score, 5) AS tfidf, rk
+FROM ranked WHERE rk <= 10
+"""
+
+
+def q_group_quantiles(spark, sf_dir):
+    """Exact per-group quantiles (linear interpolation) — the eval-side
+    distribution summary. Spark's exact `percentile` and DuckDB's
+    `quantile_cont` implement the same estimator, so values agree to
+    rounding. (The 100-TB variant swaps in percentile_approx — a
+    mergeable sketch — which has no cross-engine oracle by design;
+    tests/test_approx_distinct.py covers the sketch-accuracy gate
+    pattern.)"""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4)
+             .alias("p25"),
+             F.round(F.percentile("l_extendedprice", F.lit(0.50)), 4)
+             .alias("p50"),
+             F.round(F.percentile("l_extendedprice", F.lit(0.75)), 4)
+             .alias("p75"),
+             F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+SQL_GROUP_QUANTILES = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+       round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+       round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+       count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
 # UDF-backed pipeline queries (no SQL oracle — driver rows-only check;
 # golden correctness is the pytest oracle-parity suite)
 # --------------------------------------------------------------------------
@@ -1974,6 +2195,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessionize": q_events_sessionize,
     "events_tumbling": q_events_tumbling,
     "events_json_extract": q_events_json_extract,
+    # temporal joins + sampling + corpus weighting
+    "asof_join_orders": q_asof_join_orders,
+    "range_join_errors": q_range_join_errors,
+    "sample_hash": q_sample_hash,
+    "tfidf_topk": q_tfidf_topk,
+    "group_quantiles": q_group_quantiles,
     # UDF pipeline + multimodal (rows-only)
     "pipeline_spans": q_pipeline_spans,
     "multimodal_features": q_multimodal_features,
@@ -2036,6 +2263,11 @@ ORACLES: dict[str, str] = {
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "events_tumbling": SQL_EVENTS_TUMBLING,
     "events_json_extract": SQL_EVENTS_JSON_EXTRACT,
+    "asof_join_orders": SQL_ASOF_JOIN_ORDERS,
+    "range_join_errors": SQL_RANGE_JOIN_ERRORS,
+    "sample_hash": SQL_SAMPLE_HASH,
+    "tfidf_topk": SQL_TFIDF_TOPK,
+    "group_quantiles": SQL_GROUP_QUANTILES,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "gold_eval_custom": SQL_GOLD_EVAL_CUSTOM,
     "gold_eval_conll04": SQL_GOLD_EVAL_CONLL04,

@@ -50,6 +50,19 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Spark 4.x implements upper/lower/initcap under UTF8_BINARY via
+        # ICU by default; the FIRST use in each executor JVM triggers
+        # CollationAwareUTF8String.<clinit>, which builds a per-codepoint
+        # title-case table through ICU — measured 4+ MINUTES of
+        # single-threaded CPU on this VM (thread dump: UCharacter
+        # .toTitleCase inside <clinit>, all other tasks blocked on the
+        # class-init monitor). That one-time stall lands in whatever
+        # stage first touches lower() — here the linking tail — and
+        # reads as a serial scaling bottleneck. JVM case mapping is
+        # Unicode-correct, locale-invariant, and agrees with the frozen
+        # Python (str.lower) and DuckDB twins on the normalizer's
+        # domain; the oracle/parity suites gate that equivalence.
+        .config("spark.sql.icu.caseMappings.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(cfg.arrow_max_records))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))

@@ -77,6 +77,29 @@ def windowed_page_counts(
     )
 
 
+def session_crawl_activity(
+    pages: DataFrame, watermark: str = "2 hours", gap: str = "30 minutes"
+) -> DataFrame:
+    """Session-window aggregation: per-source crawl sessions that close
+    after `gap` of event-time inactivity (F.session_window — dynamic
+    windows, unlike the fixed tumbling windows above). The watermark
+    bounds state: a session's state is dropped once the watermark
+    passes its close. Source = the registrable domain of the url (the
+    unit a crawler schedules politeness by), so a session is 'one
+    crawl visit to one site'."""
+    src = pages.select(
+        F.regexp_extract("url", r"https?://([^/]+)/", 1).alias("domain"),
+        "warc_ts")
+    return (
+        src.withWatermark("warc_ts", watermark)
+        .groupBy(F.session_window("warc_ts", gap).alias("win"), "domain")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+        .select(F.col("win.start").alias("session_start"),
+                F.col("win.end").alias("session_end"),
+                "domain", "n_pages")
+    )
+
+
 DEDUP_OUT_SCHEMA = "content_key string, url string, n_batch_dups long"
 DEDUP_STATE_SCHEMA = "seen boolean"
 

@@ -17,6 +17,8 @@ SUBSET = [
     "sim_cosine_topk", "cc_components", "events_sessionize",
     "kg_2hop", "kg_pagerank", "skew_salted_agg",
     "kg_triangles", "kg_degree_stats", "dedup_ngram_jaccard",
+    "asof_join_orders", "range_join_errors", "sample_hash",
+    "tfidf_topk", "group_quantiles",
 ]
 
 

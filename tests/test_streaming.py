@@ -137,3 +137,43 @@ def test_streamed_bridge_matches_batch_pipeline(spark):
     want = {tuple(r) for r in batch["triples"].select(*cols).collect()}
     assert got == want and len(want) > 0
     bridged["entities"].unpersist()
+
+
+def test_session_window_crawl_activity(spark):
+    """Dynamic session windows: pages from one domain with <30min gaps
+    merge into one session; a >30min gap opens a new one; domains are
+    independent."""
+    import datetime as dt
+    import shutil as _sh
+
+    from causalre_spark.sources.corpus import PAGES_SCHEMA
+    from causalre_spark.streaming.ingest import session_crawl_activity
+
+    src = "/tmp/causalre_stream_sess_src"
+    _sh.rmtree(src, ignore_errors=True)
+    base = dt.datetime(2025, 3, 1, 0, 0)
+    m = dt.timedelta(minutes=1)
+
+    def pg(domain, minute, i):
+        return (f"https://{domain}/p{i}", base + minute * m,
+                b"<p>x</p>", "x", "en")
+
+    rows = (
+        # a.example: 3 pages 10 min apart -> ONE session [0, 50)
+        [pg("a.example", t, i) for i, t in enumerate((0, 10, 20))]
+        # a.example again after a 90-min gap -> a SECOND session
+        + [pg("a.example", 110, 3)]
+        # b.example: single page -> its own session
+        + [pg("b.example", 5, 0)]
+    )
+    spark.createDataFrame(rows, PAGES_SCHEMA).write.parquet(src)
+    stream = spark.readStream.schema(PAGES_SCHEMA).parquet(src)
+    q = (session_crawl_activity(stream).writeStream.format("memory")
+         .queryName("sess_counts").outputMode("complete")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r.domain, r.session_start.minute + 60 * r.session_start.hour,
+            r.n_pages)
+           for r in spark.sql("select * from sess_counts").collect()}
+    assert got == {("a.example", 0, 3), ("a.example", 110, 1),
+                   ("b.example", 5, 1)}

@@ -145,6 +145,41 @@ def main() -> int:
     checks.append(("kg_triangles: no Python eval",
                    "BatchEvalPython" not in p and "ArrowEval" not in p, p))
 
+    # 13. as-of join: ONE shuffle by join key (union + running last),
+    # not a range join — exactly one Exchange hashpartitioning(user_id)
+    p = plan_of(Q.q_asof_join_orders(spark, SF))
+    sections.append(("as-of join (union-tag + running last)", p))
+    checks.append(("asof: single user_id window, no join operator",
+                   "Window" in p and "Join" not in p, p))
+    checks.append(("asof: no Python eval",
+                   "BatchEvalPython" not in p and "ArrowEval" not in p, p))
+
+    # 14. bucketed range join: the time-bucket equi key must make this a
+    # hash join (broadcast at this scale), never a cartesian/NLJ theta join
+    p = plan_of(Q.q_range_join_errors(spark, SF))
+    sections.append(("bucketed range join", p))
+    checks.append(("range_join: equi hash join on bucket, no cartesian",
+                   ("BroadcastHashJoin" in p or "SortMergeJoin" in p
+                    or "ShuffledHashJoin" in p)
+                   and "CartesianProduct" not in p
+                   and "BroadcastNestedLoopJoin" not in p, p))
+
+    # 15. hash sampling: the md5 predicate is partition-local — no
+    # Exchange anywhere in the plan (sampling must not shuffle)
+    p = plan_of(Q.q_sample_hash(spark, SF))
+    sections.append(("deterministic hash sampling", p))
+    checks.append(("sample_hash: no Exchange (map-only plan)",
+                   "Exchange" not in p, p))
+
+    # 16. tf-idf: hash aggregates + per-doc WindowGroupLimit top-k;
+    # the corpus-size side is a broadcast, everything JVM-side
+    p = plan_of(Q.q_tfidf_topk(spark, SF))
+    sections.append(("tf-idf top-k per doc", p))
+    checks.append(("tfidf: WindowGroupLimit bounds the per-doc top-k",
+                   "WindowGroupLimit" in p, p))
+    checks.append(("tfidf: no Python eval",
+                   "BatchEvalPython" not in p and "ArrowEval" not in p, p))
+
     os.makedirs(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH"), exist_ok=True)
     out_path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH", "PLANS.md")
     with open(out_path, "w") as f:
