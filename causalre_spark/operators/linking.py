@@ -143,35 +143,51 @@ def verify_jaccard(
     broadcast_max_forms: int = 200_000, n_forms: int | None = None,
     cleanup: list | None = None,
 ) -> DataFrame:
-    """Exact Jaccard on collected shingle arrays; keeps edges >= thd.
+    """Exact Jaccard via shared-shingle counting; keeps edges >= thd.
 
-    When the form dictionary is small enough, both lookup sides are
-    broadcast so the (much larger) candidate-pair stream never shuffles —
-    the join is map-side and the array intersect/union runs in codegen.
-    Beyond the threshold it degrades to a shuffle join automatically.
-    Pass n_forms when already known to avoid an extra count job.
-    Frames persisted here are appended to `cleanup` (if given) so the
-    caller can unpersist them after its terminal action — long sessions
-    (run_sweep) must not accumulate cached blocks."""
-    sets = shingles.groupBy("form").agg(F.collect_set("shingle").alias("sh"))
-    if (n_forms if n_forms is not None else sets.count()) <= broadcast_max_forms:
-        sets = sets.persist()
-        if cleanup is not None:
-            cleanup.append(sets)
-        sets = F.broadcast(sets)
+    Explode-join formulation (same shape as dedup.jaccard_verify — the
+    one the 100-TB plan wants): distinct candidate pairs equi-join the
+    (form, shingle) stream on both endpoints, count shared shingles per
+    pair, and n_union = n_a + n_b - n_shared. Everything is codegen'd
+    hash joins + aggregates over narrow rows. The previous formulation
+    (broadcast collect_set arrays + array_intersect/array_union) builds
+    two SQLOpenHashSets and does ~|a|+|b| boxed element reads PER PAIR
+    in ArrayIntersect.nullSafeEval — interpreted, allocation-heavy, and
+    the hottest executor frames in thread dumps of the 2-core scaling
+    leg. Zero-overlap pairs drop out of the shared join, which is
+    correct for any thd > 0.
+
+    Pass n_forms when already known (kept for API compatibility; the
+    count side is a tiny broadcast either way). Frames persisted here
+    are appended to `cleanup` (if given) so the caller can unpersist
+    them after its terminal action — long sessions (run_sweep) must not
+    accumulate cached blocks."""
+    assert thd > 0.0, "explode-join verify requires a positive threshold"
+    counts = shingles.groupBy("form").agg(F.count(F.lit(1)).alias("n_sh"))
+    counts = counts.persist()
+    if cleanup is not None:
+        cleanup.append(counts)
+    p = pairs.select("form_a", "form_b").distinct()
+    shared = (
+        p.join(shingles.select(F.col("form").alias("form_a"), "shingle"),
+               "form_a")
+        .join(shingles.select(F.col("form").alias("form_b"), "shingle"),
+              ["form_b", "shingle"])
+        .groupBy("form_a", "form_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
     return (
-        pairs.join(sets.withColumnRenamed("form", "form_a")
-                        .withColumnRenamed("sh", "sh_a"), "form_a")
-        .join(sets.withColumnRenamed("form", "form_b")
-                  .withColumnRenamed("sh", "sh_b"), "form_b")
-        .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b"))
-            / F.size(F.array_union("sh_a", "sh_b")),
-        )
+        shared.join(F.broadcast(counts.select(F.col("form").alias("form_a"),
+                                              F.col("n_sh").alias("n_a"))),
+                    "form_a")
+        .join(F.broadcast(counts.select(F.col("form").alias("form_b"),
+                                        F.col("n_sh").alias("n_b"))),
+              "form_b")
+        .withColumn("jaccard",
+                    F.col("n_shared")
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_shared")))
         .filter(F.col("jaccard") >= thd)
         .select("form_a", "form_b", "jaccard")
-        .distinct()
     )
 
 

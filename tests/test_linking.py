@@ -149,3 +149,40 @@ def test_cc_random_graphs_match_union_find(spark):
             if r.form in set(nodes)}
         want = set(_union_find_components(nodes, edges, md5_long))
         assert got == want, (nodes[:3], len(edges))
+
+
+def test_normalize_stays_above_distinct_in_plan(spark):
+    """Regression lock for the pushdown trap: the expensive normalize
+    (regexp_replace) must appear ABOVE the raw distinct in the physical
+    plan, and the per-row predicate pushed below the aggregate must be
+    the cheap translate-only form (no regexp) — otherwise Catalyst
+    re-evaluates the full normalize once per mention INSTANCE (measured
+    ~10 min of CPU at 500k pages before the fix)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from causalre_spark.operators.linking import normalized_forms
+
+    df = spark.createDataFrame(
+        [("The  cause!",), ("...",), ("Another cause",)], "text string")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        normalized_forms(df).explain("formatted")
+    plan = buf.getvalue()
+    # exactly the two aggregate pairs of the two distincts
+    assert plan.count("HashAggregate") == 4, plan
+    # the regexp-bearing projection must sit between the two distincts,
+    # i.e. every regexp_replace occurrence comes AFTER (above) the last
+    # scan-side Filter section. The pushed Filter holds translate but
+    # no regexp.
+    import re as _re
+
+    m = _re.search(r"\(\d+\) Filter.*?Condition : (.*?)\n", plan, _re.S)
+    assert m, plan
+    filt = m.group(1)
+    assert "translate" in filt and "regexp_replace" not in filt, filt
+    # higher-order array lambdas must not reappear (they never codegen)
+    assert "lambdafunction" not in plan.lower(), plan
+    # results still correct
+    got = {r.form for r in normalized_forms(df).collect()}
+    assert got == {"the cause", "another cause"}
