@@ -8,9 +8,11 @@ queries()      — one entry per implemented operator from SURVEY.md §2
                  plus the training-data-pipeline families (dedup,
                  similarity, text analysis, linking, CC, multimodal,
                  typed decode, grouping sets, IVF ANN, rel loose
-                 matching, gold-data eval, graph 2-hop join + fixed-
-                 iteration PageRank, salted skew aggregation):
-                 62 queries, 59 with exact DuckDB oracles.
+                 matching, gold-data eval, gazetteer extraction fitted
+                 on the reference train split, URL canonicalization
+                 dedup, graph 2-hop join + fixed-iteration PageRank,
+                 salted skew aggregation): 67 queries, 64 with exact
+                 DuckDB oracles.
 oracle_sql()   — exact DuckDB twins for every relational operator; the
                  three UDF-backed pipeline queries (pipeline_spans,
                  causal_triples, causal_triples_seeded) are rows-only by

@@ -234,6 +234,12 @@ def write_baseline_md(scale_lo: dict, scale_hi: dict, eff: float,
             "the timed pass measures the steady state a long-running "
             "production job actually operates in, with -Xms pinned so "
             "G1 cannot uncommit the warmed heap between passes.\n\n"
+            + ("TRUE multi-executor legs (spark-submit --py-files, "
+               "local-cluster separate executor JVMs + netty shuffle, "
+               "1 vs 4 executors): see **BENCH/CLUSTER.md** "
+               "(tools/cluster_probe.py).\n\n"
+               if os.path.exists(os.path.join(REPO, "BENCH", "CLUSTER.md"))
+               else "") +
             f"## Headline operator times ({sf_dir}, local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}])\n\n"
             "Min over interleaved passes; all samples shown so a plan\n"
             "regression is distinguishable from a co-tenant burst.\n\n"

@@ -68,11 +68,16 @@ def mention_form_map(mentions: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def form_shingles(forms: DataFrame, k: int) -> DataFrame:
+def form_shingles(forms: DataFrame, k: int, key: str = "form") -> DataFrame:
     """(form, shingle) pairs — char k-shingles; short forms shingle to
-    themselves (matches functions.text.char_shingles)."""
+    themselves (matches functions.text.char_shingles).
+
+    `key` selects the column carried through as the output 'form' id
+    (the shingle text is always cut from the 'form' string column):
+    link_mentions passes key='fid' so every downstream shuffle joins on
+    a fixed-width BIGINT instead of the surface string."""
     return forms.select(
-        "form",
+        F.col(key).alias("form"),
         F.explode(
             F.expr(
                 f"array_distinct(transform(sequence(1, greatest(1, length(form) - {k} + 1)),"
@@ -282,11 +287,15 @@ def connected_components(
     nodes: DataFrame, edges: DataFrame, max_iters: int = 20,
     rows_per_partition: int = 10_000, n_nodes: int | None = None,
     driver_max_nodes: int = 2_000_000, driver_max_edges: int = 5_000_000,
+    keyed: bool = False,
 ) -> DataFrame:
     """Connected components over (form_a, form_b) edges.
 
     Returns (form, component) where component = min md5_long(form) over
-    the component.
+    the component. With `keyed=True` the node column already IS the
+    md5-derived BIGINT id (link_mentions' int-keyed chain): labels are
+    identical, the id conversion joins are skipped, and the returned
+    'form' column is the BIGINT key.
 
     Adaptive physical strategy (same spirit as Catalyst's broadcast-vs-
     shuffle join selection): a mention graph that fits on the driver is
@@ -323,25 +332,34 @@ def connected_components(
             node_list = [r["form"] for r in nodes.select("form").collect()]
             edge_list = [(r["form_a"], r["form_b"]) for r in edge_rows]
             edges.unpersist()
-            assigned = _union_find_components(node_list, edge_list, md5_long)
-            return spark.createDataFrame(assigned, "form string, component long")
+            assigned = _union_find_components(
+                node_list, edge_list, (lambda x: x) if keyed else md5_long)
+            return spark.createDataFrame(
+                assigned,
+                f"form {'long' if keyed else 'string'}, component long")
     max_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     parts = max(1, min(max_parts, n_nodes // rows_per_partition + 1))
     # node id space = md5_long(form): star contraction needs a totally
     # ordered id, and min-id == min-hash keeps the canonical-id contract
+    fh_expr = (F.col("form") if keyed
+               else F.expr(md5_long_sql_spark("form")))
     with_h = (
-        nodes.select("form", F.expr(md5_long_sql_spark("form")).alias("fh"))
+        nodes.select("form", fh_expr.alias("fh"))
         .repartition(parts, "form")
         .localCheckpoint()
     )
-    edge_ids = (
-        edges.select("form_a", "form_b")
-        .join(with_h.select(F.col("form").alias("form_a"),
-                            F.col("fh").alias("a")), "form_a")
-        .join(with_h.select(F.col("form").alias("form_b"),
-                            F.col("fh").alias("b")), "form_b")
-        .select("a", "b")
-    )
+    if keyed:
+        edge_ids = edges.select(F.col("form_a").alias("a"),
+                                F.col("form_b").alias("b"))
+    else:
+        edge_ids = (
+            edges.select("form_a", "form_b")
+            .join(with_h.select(F.col("form").alias("form_a"),
+                                F.col("fh").alias("a")), "form_a")
+            .join(with_h.select(F.col("form").alias("form_b"),
+                                F.col("fh").alias("b")), "form_b")
+            .select("a", "b")
+        )
     comp = _star_components(edge_ids, max_iters, parts)
     edges.unpersist()
     return (
@@ -385,12 +403,24 @@ def link_mentions(
     — and long sweep sessions must not accumulate cached blocks."""
     forms = normalized_forms(mentions, text_col).persist()
     n_forms = forms.count()  # single materialization/count, reused below
-    sh = form_shingles(forms, cfg.shingle_size).persist()
+    # Int-keyed chain: every shuffle from here to CC — the signature
+    # groupBy, the band self-join, the three jaccard-verify joins, the
+    # star contraction — keys on the 60-bit md5-derived fid (the SAME
+    # id canonical_entities/CC already use) instead of the surface
+    # string. Measured motivation: at 250k pages the verify explode-join
+    # alone moved ~26M rows of (form_a, form_b, shingle) string triples
+    # through 3 exchanges and took 200 s of the 8-core leg; fixed-width
+    # BIGINT keys shrink those rows ~4x and make every sort/compare an
+    # integer op. Surface strings re-enter only at the final canonical
+    # join over |forms| rows.
+    fmap = forms.select(
+        "form", F.expr(md5_long_sql_spark("form")).alias("fid")).persist()
+    sh = form_shingles(fmap, cfg.shingle_size, key="fid").persist()
     # persisted: the banded plan under the max_bucket guard references the
     # signature aggregation THREE times (bucket sizes + both self-join
     # sides) — without the cache the 8-way minhash groupBy runs 3x
     sigs = minhash_signatures(sh, cfg.minhash_hashes).persist()
-    cleanup: list[DataFrame] = [forms, sh, sigs]
+    cleanup: list[DataFrame] = [forms, fmap, sh, sigs]
     # persisted: the candidate stream feeds jaccard verification, whose
     # output (edges) is itself consumed twice by connected_components
     # (count gate + collect/contract) — without the cache an eviction or
@@ -400,7 +430,18 @@ def link_mentions(
     cleanup.append(cands)
     edges = verify_jaccard(cands, sh, cfg.link_jaccard_thd, n_forms=n_forms,
                            cleanup=cleanup)
-    labels = connected_components(forms, edges, cfg.cc_max_iters, n_nodes=n_forms)
+    labels_fid = connected_components(
+        fmap.select(F.col("fid").alias("form")), edges, cfg.cc_max_iters,
+        n_nodes=n_forms, keyed=True)
+    # materialize the (tiny, |forms|-row) string labels BEFORE releasing
+    # the caches: the returned plan must not re-derive forms/fmap after
+    # unpersist (the forms distinct is the expensive upstream job)
+    labels = (
+        labels_fid.withColumnRenamed("form", "fid")
+        .join(fmap, "fid")
+        .select("form", "component")
+        .localCheckpoint()
+    )
     for df_ in cleanup:
         df_.unpersist()
     return canonical_entities(labels)

@@ -63,6 +63,16 @@ def get_spark(
         # Python (str.lower) and DuckDB twins on the normalizer's
         # domain; the oracle/parity suites gate that equivalence.
         .config("spark.sql.icu.caseMappings.enabled", "false")
+        # columnar-cache compression runs DictionaryEncoding
+        # .gatherCompressibilityStats over every cached string column:
+        # one UTF8String.clone + boxed HashMap op PER ROW, interpreted.
+        # Thread dumps of the scaling leg showed a single cache-build
+        # task burning 25+ min in exactly these frames on the persisted
+        # linking intermediates (high-cardinality short strings), made
+        # worse by this VM's ~60-100 MB/s page-population rate. Our
+        # caches are short-lived working sets on a 128 GiB box — build
+        # speed matters, the ~2x size saving does not.
+        .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(cfg.arrow_max_records))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))

@@ -180,6 +180,18 @@ def main() -> int:
     checks.append(("tfidf: no Python eval",
                    "BatchEvalPython" not in p and "ArrowEval" not in p, p))
 
+    # 17. gazetteer tagging: the lexicon match must be a broadcast hash
+    # join (map-join — corpus never shuffles) and the whole chain stays
+    # JVM-side. The tiny widths dimension joins via a deliberate
+    # broadcast nested-loop (it IS a flatmap over <=|widths| rows), so
+    # no BNLJ-absence assertion here.
+    p = plan_of(Q.q_gazetteer_spans(spark, SF))
+    sections.append(("gazetteer tagging (broadcast lexicon map-join)", p))
+    checks.append(("gazetteer: lexicon match is BroadcastHashJoin",
+                   "BroadcastHashJoin" in p, p))
+    checks.append(("gazetteer: no Python eval",
+                   "BatchEvalPython" not in p and "ArrowEval" not in p, p))
+
     os.makedirs(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH"), exist_ok=True)
     out_path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH", "PLANS.md")
     with open(out_path, "w") as f:
