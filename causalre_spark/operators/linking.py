@@ -390,7 +390,8 @@ def canonical_entities(labels: DataFrame) -> DataFrame:
 
 
 def link_mentions(
-    mentions: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG, text_col: str = "text"
+    mentions: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG, text_col: str = "text",
+    form_map: DataFrame | None = None,
 ) -> DataFrame:
     """Full linking stage: mentions -> (form, canonical_id, canonical_form).
 
@@ -400,8 +401,17 @@ def link_mentions(
     the jaccard verification). All intermediates are unpersisted before
     return: connected_components' output is materialized (driver
     union-find or localCheckpoint), so nothing downstream re-reads them
-    — and long sweep sessions must not accumulate cached blocks."""
-    forms = normalized_forms(mentions, text_col).persist()
+    — and long sweep sessions must not accumulate cached blocks.
+
+    form_map: optional pre-built (text -> form) dictionary (the
+    mention_form_map projection). The pipeline computes it ONCE and
+    shares it here and with canonical_triples — otherwise each stage
+    re-runs the raw-mention distinct + normalization, the single most
+    expensive relational pass of the tail."""
+    if form_map is not None:
+        forms = form_map.select("form").distinct().persist()
+    else:
+        forms = normalized_forms(mentions, text_col).persist()
     n_forms = forms.count()  # single materialization/count, reused below
     # Int-keyed chain: every shuffle from here to CC — the signature
     # groupBy, the band self-join, the three jaccard-verify joins, the

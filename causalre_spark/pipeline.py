@@ -157,7 +157,8 @@ class StageIO:
 
 
 def canonical_triples(kept: DataFrame, rels: DataFrame, entities: DataFrame,
-                      cleanup: list | None = None) -> DataFrame:
+                      cleanup: list | None = None,
+                      form_map: DataFrame | None = None) -> DataFrame:
     """(kept spans, relations, entities) -> deduped canonical triples.
 
     Shared by the batch pipeline and the streaming->batch bridge
@@ -167,9 +168,15 @@ def canonical_triples(kept: DataFrame, rels: DataFrame, entities: DataFrame,
     map-side twice (head/tail) and never shuffles or re-normalizes.
     The dictionary is persisted (two broadcast consumers); the handle is
     appended to `cleanup` for release after the caller's terminal action.
+
+    form_map: optional pre-built (text -> form) dictionary shared with
+    link_mentions (see _link_and_materialize) — skips a second full
+    distinct+normalize pass over the mention table.
     """
+    if form_map is None:
+        form_map = linking.mention_form_map(kept.select("text"))
     canon_map = (
-        linking.mention_form_map(kept.select("text"))
+        form_map
         .join(entities, "form")
         .select("text", "canonical_id", "canonical_form")
         .persist()
@@ -349,12 +356,22 @@ def _link_and_materialize(spark, io: StageIO, kept: DataFrame, rels: DataFrame,
                 "effect_id long, effect string, n_evidence long, max_score float"))
         return entities, triples
 
+    _stage_caches: list[DataFrame] = []
+
+    # the (raw mention text -> normalized form) dictionary is the ONE
+    # full pass over the distinct mention surfaces; build it once and
+    # share it between linking (which only needs the form column) and
+    # the canonical triple join (which keys raw text to canonical ids).
+    # Without sharing, each stage re-runs the distinct + normalization —
+    # the most expensive relational scan of the tail, paid twice.
+    rawmap = linking.mention_form_map(kept.select("text")).persist()
+    _stage_caches.append(rawmap)
+
     # persisted: consumed twice (cause-side and effect-side broadcasts)
     entities = io.checkpoint(
-        "entities", lambda: linking.link_mentions(kept.select("text"), cfg)
+        "entities", lambda: linking.link_mentions(
+            kept.select("text"), cfg, form_map=rawmap)
     ).persist()
-
-    _stage_caches: list[DataFrame] = []
 
     # S5: the graph table is partitioned by a cause-id bucket so
     # downstream graph queries (all-edges-of-entity) prune partitions;
@@ -362,7 +379,8 @@ def _link_and_materialize(spark, io: StageIO, kept: DataFrame, rels: DataFrame,
     # per-partition size (hash of the canonical id is uniform)
     triples = io.checkpoint(
         "triples",
-        lambda: canonical_triples(kept, rels, entities, cleanup=_stage_caches),
+        lambda: canonical_triples(kept, rels, entities, cleanup=_stage_caches,
+                                  form_map=rawmap),
         partition_expr="pmod(cause_id, 64)",
         table_format=cfg.table_format)
     if workdir is not None:

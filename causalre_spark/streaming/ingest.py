@@ -189,6 +189,10 @@ def link_streamed_batch(
                     "effect_id long, effect string, n_evidence long, "
                     "max_score float"),
         }
-    entities = linking.link_mentions(kept.select("text"), cfg).persist()
-    triples = canonical_triples(kept, rels, entities)
+    # one (text -> form) dictionary shared by linking and the canonical
+    # triple join, exactly like the batch pipeline's tail
+    rawmap = linking.mention_form_map(kept.select("text")).persist()
+    entities = linking.link_mentions(
+        kept.select("text"), cfg, form_map=rawmap).persist()
+    triples = canonical_triples(kept, rels, entities, form_map=rawmap)
     return {"entities": entities, "triples": triples}

@@ -186,3 +186,31 @@ def test_normalize_stays_above_distinct_in_plan(spark):
     # results still correct
     got = {r.form for r in normalized_forms(df).collect()}
     assert got == {"the cause", "another cause"}
+
+
+def test_form_map_sharing_parity(spark):
+    """link_mentions/canonical_triples with a pre-built shared form_map
+    must produce exactly the same entities/triples as without (the
+    pipeline's one-pass mention-dictionary optimization)."""
+    from pyspark.sql import functions as F
+    from causalre_spark.operators.linking import mention_form_map
+    from causalre_spark.pipeline import canonical_triples
+
+    cfg = DEFAULT_CONFIG
+    df = spark.createDataFrame([(m,) for m in MENTIONS], "text string")
+    rawmap = mention_form_map(df).persist()
+    base = {tuple(r) for r in link_mentions(df, cfg).collect()}
+    shared = {tuple(r) for r in link_mentions(df, cfg, form_map=rawmap).collect()}
+    assert base == shared
+
+    kept = df
+    rels = spark.createDataFrame(
+        [("heavy rain", "severe flooding", 0.9, "causal"),
+         ("budget cuts", "policy change", 0.8, "causal")],
+        "h_text string, t_text string, rel_score float, rel_type string")
+    entities = link_mentions(df, cfg, form_map=rawmap).persist()
+    t_base = {tuple(r) for r in canonical_triples(kept, rels, entities).collect()}
+    t_shared = {tuple(r) for r in canonical_triples(
+        kept, rels, entities, form_map=rawmap).collect()}
+    assert t_base == t_shared and len(t_shared) == 2
+    rawmap.unpersist(); entities.unpersist()

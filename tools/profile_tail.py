@@ -83,7 +83,9 @@ def main() -> None:
     # --- link_mentions, unrolled (operators/linking.py) ---
     mentions = kept.select("text")
     step("rels.isEmpty gate", lambda: rels.isEmpty())
-    forms = L.normalized_forms(mentions, "text").persist()
+    rawmap = L.mention_form_map(mentions, "text").persist()
+    step("rawmap distinct+normalize", lambda: rawmap.count())
+    forms = rawmap.select("form").distinct().persist()
     n_forms = step("forms distinct+count", lambda: forms.count())
     fmap = forms.select(
         "form", F.expr(md5_long_sql_spark("form")).alias("fid")).persist()
@@ -110,8 +112,10 @@ def main() -> None:
 
     # --- triples (canonical_triples + dedup agg) ---
     caches: list = []
-    triples = P.canonical_triples(kept, rels, entities, cleanup=caches)
+    triples = P.canonical_triples(kept, rels, entities, cleanup=caches,
+                                  form_map=rawmap)
     step("triples count", lambda: triples.count())
+    rawmap.unpersist()
     for d in caches:
         d.unpersist()
 
