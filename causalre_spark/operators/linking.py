@@ -23,7 +23,7 @@ Design (all DataFrame algebra, zero Python UDFs):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from causalre_spark.config import DEFAULT_CONFIG, PipelineConfig
@@ -371,14 +371,19 @@ def connected_components(
 def canonical_entities(labels: DataFrame) -> DataFrame:
     """(form, canonical_id, canonical_form): canonical = the form whose
     md5_long equals the component minimum (deterministic; tie-broken by
-    form for the astronomically-unlikely 48-bit collision)."""
-    with_h = labels.withColumn("fh", F.expr(md5_long_sql_spark("form")))
-    w = Window.partitionBy("component").orderBy(F.col("fh").asc(), F.col("form").asc())
-    canon = (
-        with_h.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(F.col("component"), F.col("form").alias("canonical_form"))
-    )
+    form for the astronomically-unlikely 48-bit collision).
+
+    min_by aggregation, not a row_number window: the agg partial-combines
+    map-side (each input partition contributes one candidate per
+    component before the shuffle) and skips the per-partition sort a
+    window requires — at web scale the canonical-pick over 10^9 forms is
+    one ordinary hash aggregate. Struct ordering is lexicographic by
+    field, matching the old orderBy(fh, form)."""
+    canon = labels.groupBy("component").agg(
+        F.min_by(
+            "form",
+            F.struct(F.expr(md5_long_sql_spark("form")).alias("fh"),
+                     F.col("form"))).alias("canonical_form"))
     return (
         labels.join(canon, "component")
         .select(
