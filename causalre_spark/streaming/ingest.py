@@ -190,9 +190,17 @@ def link_streamed_batch(
                     "max_score float"),
         }
     # one (text -> form) dictionary shared by linking and the canonical
-    # triple join, exactly like the batch pipeline's tail
+    # triple join, exactly like the batch pipeline's tail. Intermediates
+    # are released before return (localCheckpoint materializes triples
+    # first); only `entities` is handed back persisted — caller-owned,
+    # it is the bridge's other product.
+    cleanup: list = []
     rawmap = linking.mention_form_map(kept.select("text")).persist()
+    cleanup.append(rawmap)
     entities = linking.link_mentions(
         kept.select("text"), cfg, form_map=rawmap).persist()
-    triples = canonical_triples(kept, rels, entities, form_map=rawmap)
+    triples = canonical_triples(kept, rels, entities, cleanup=cleanup,
+                                form_map=rawmap).localCheckpoint()
+    for df_ in cleanup:
+        df_.unpersist()
     return {"entities": entities, "triples": triples}
