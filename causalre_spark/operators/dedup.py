@@ -100,22 +100,38 @@ def minhash_lsh_pairs(
 
 def jaccard_verify(pairs: DataFrame, shingles: DataFrame, thd: float) -> DataFrame:
     """Exact n-gram Jaccard on candidate pairs (explode-join formulation —
-    no array collection, scales to large shingle sets)."""
+    no array collection, scales to large shingle sets).
+
+    Same physical shape as linking.verify_jaccard (see rationale there):
+    size prefilter before the explode-join — J >= t implies
+    min(n_a,n_b)/max(n_a,n_b) >= t; the 1e-4 slack keeps the filter
+    exact-safe under the 4dp rounding of the reported jaccard
+    (round-half-up can lift a true J of thd-5e-5 onto the threshold) — counts
+    folded through the groupBy, and shuffle_hash hints so the wide
+    pair×shingle stream is hash-joined instead of sorted twice. The
+    per-doc count table is NOT broadcast (doc ids are unbounded at
+    corpus scale, unlike linking's form vocabulary)."""
     counts = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    p = (
+        pairs.join(counts.withColumnRenamed("id", "id_a")
+                   .withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(counts.withColumnRenamed("id", "id_b")
+              .withColumnRenamed("n_sh", "n_b"), "id_b")
+        .filter((F.least("n_a", "n_b") / F.greatest("n_a", "n_b"))
+                >= thd - 1e-4)
+    )
     shared = (
-        pairs.join(shingles.withColumnRenamed("id", "id_a"), "id_a")
+        p.join(shingles.withColumnRenamed("id", "id_a").hint("shuffle_hash"),
+               "id_a")
         .join(shingles.withColumnRenamed("id", "id_b")
-              .withColumnRenamed("shingle", "shingle_b"), "id_b")
+              .withColumnRenamed("shingle", "shingle_b").hint("shuffle_hash"),
+              "id_b")
         .filter(F.col("shingle") == F.col("shingle_b"))
-        .groupBy("id_a", "id_b")
+        .groupBy("id_a", "id_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
     return (
-        shared.join(counts.withColumnRenamed("id", "id_a")
-                    .withColumnRenamed("n_sh", "n_a"), "id_a")
-        .join(counts.withColumnRenamed("id", "id_b")
-              .withColumnRenamed("n_sh", "n_b"), "id_b")
-        .withColumn(
+        shared.withColumn(
             "jaccard",
             F.round(F.col("n_shared") /
                     (F.col("n_a") + F.col("n_b") - F.col("n_shared")), 4),

@@ -87,18 +87,28 @@ def form_shingles(forms: DataFrame, k: int, key: str = "form") -> DataFrame:
     )
 
 
-def minhash_signatures(shingles: DataFrame, n_hashes: int) -> DataFrame:
+def minhash_signatures(shingles: DataFrame, n_hashes: int,
+                       base_col: str | None = None) -> DataFrame:
     """form -> h0..h{n-1} minhash signature (one shuffle).
 
     ONE md5 per shingle row projected as the base, then n_hashes cheap
     Carter-Wegman integer derivations (functions.hashing rationale) —
     the md5-per-row count is the dominant CPU constant of signature
-    computation at corpus scale."""
+    computation at corpus scale.
+
+    base_col: name of an ALREADY-COMPUTED md5-long column to use as the
+    base hash (link_mentions materializes it once on the persisted
+    shingle frame and shares it with the jaccard-verify join keys —
+    signatures are bit-identical either way)."""
     from causalre_spark.functions.hashing import cw_hash_sql
 
-    based = shingles.withColumn("_bh", F.expr(md5_long_sql_spark("shingle")))
+    if base_col is None:
+        based = shingles.withColumn("_bh", F.expr(md5_long_sql_spark("shingle")))
+        base_col = "_bh"
+    else:
+        based = shingles
     aggs = [
-        F.min(F.expr(cw_hash_sql("_bh", seed))).alias(f"h{seed}")
+        F.min(F.expr(cw_hash_sql(base_col, seed))).alias(f"h{seed}")
         for seed in range(n_hashes)
     ]
     return based.groupBy("form").agg(*aggs)
@@ -166,31 +176,55 @@ def verify_jaccard(
     count side is a tiny broadcast either way). Frames persisted here
     are appended to `cleanup` (if given) so the caller can unpersist
     them after its terminal action — long sessions (run_sweep) must not
-    accumulate cached blocks."""
+    accumulate cached blocks.
+
+    Physical shape (measured on the 250k-page bench corpus, 8 cores —
+    1.07M LSH candidate pairs for 22k true edges, a 50:1 FP ratio):
+      * size prefilter FIRST: J(a,b) >= t implies min(|a|,|b|) /
+        max(|a|,|b|) >= t, so pairs failing the broadcast shingle-count
+        ratio check never reach the explode-join. Exact-safe (never
+        drops a true edge); prunes ~15% here, far more on corpora with
+        varied form lengths.
+      * counts are folded into the pre-join and CARRIED THROUGH the
+        groupBy — no post-aggregation join back to the count table.
+      * shuffle_hash hints on both shingle joins: Spark's default
+        sort-merge join sorts the ~25M-row pair×shingle stream twice;
+        the SMJ UnsafeExternalSorter's pointer-array growth was the
+        hottest frame in jstack samples of the scaling legs (and on
+        this VM each fresh sorter page pays slow first-touch
+        population). Build-side here is a shingle-stream partition,
+        uniformly keyed, which is exactly when SHJ beats SMJ."""
     assert thd > 0.0, "explode-join verify requires a positive threshold"
     counts = shingles.groupBy("form").agg(F.count(F.lit(1)).alias("n_sh"))
     counts = counts.persist()
     if cleanup is not None:
         cleanup.append(counts)
-    p = pairs.select("form_a", "form_b").distinct()
+    # broadcast the count lookup only while the form vocabulary is known
+    # to be small; past the cap fall back to shuffled joins (AQE may
+    # still pick a broadcast at runtime from actual sizes)
+    small = n_forms is not None and n_forms <= broadcast_max_forms
+    ca = counts.select(F.col("form").alias("form_a"),
+                       F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col("form").alias("form_b"),
+                       F.col("n_sh").alias("n_b"))
+    p = (
+        pairs.select("form_a", "form_b").distinct()
+        .join(F.broadcast(ca) if small else ca, "form_a")
+        .join(F.broadcast(cb) if small else cb, "form_b")
+        .filter((F.least("n_a", "n_b") / F.greatest("n_a", "n_b")) >= thd)
+    )
     shared = (
-        p.join(shingles.select(F.col("form").alias("form_a"), "shingle"),
-               "form_a")
-        .join(shingles.select(F.col("form").alias("form_b"), "shingle"),
-              ["form_b", "shingle"])
-        .groupBy("form_a", "form_b")
+        p.join(shingles.select(F.col("form").alias("form_a"), "shingle")
+               .hint("shuffle_hash"), "form_a")
+        .join(shingles.select(F.col("form").alias("form_b"), "shingle")
+              .hint("shuffle_hash"), ["form_b", "shingle"])
+        .groupBy("form_a", "form_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
     return (
-        shared.join(F.broadcast(counts.select(F.col("form").alias("form_a"),
-                                              F.col("n_sh").alias("n_a"))),
-                    "form_a")
-        .join(F.broadcast(counts.select(F.col("form").alias("form_b"),
-                                        F.col("n_sh").alias("n_b"))),
-              "form_b")
-        .withColumn("jaccard",
-                    F.col("n_shared")
-                    / (F.col("n_a") + F.col("n_b") - F.col("n_shared")))
+        shared.withColumn("jaccard",
+                          F.col("n_shared")
+                          / (F.col("n_a") + F.col("n_b") - F.col("n_shared")))
         .filter(F.col("jaccard") >= thd)
         .select("form_a", "form_b", "jaccard")
     )
@@ -430,11 +464,19 @@ def link_mentions(
     # join over |forms| rows.
     fmap = forms.select(
         "form", F.expr(md5_long_sql_spark("form")).alias("fid")).persist()
-    sh = form_shingles(fmap, cfg.shingle_size, key="fid").persist()
+    # the md5-long of each shingle is computed ONCE on the persisted
+    # frame and shared by (a) the minhash base hash and (b) the
+    # jaccard-verify join keys — the verify joins then move only
+    # (BIGINT, BIGINT) rows instead of carrying the shingle string
+    # (identical edges modulo 64-bit md5 collisions between distinct
+    # shingles of one candidate pair, ~2^-64 per pair; the minhash
+    # signatures are bit-identical since md5 was already their base)
+    sh = form_shingles(fmap, cfg.shingle_size, key="fid").withColumn(
+        "_bh", F.expr(md5_long_sql_spark("shingle"))).persist()
     # persisted: the banded plan under the max_bucket guard references the
     # signature aggregation THREE times (bucket sizes + both self-join
     # sides) — without the cache the 8-way minhash groupBy runs 3x
-    sigs = minhash_signatures(sh, cfg.minhash_hashes).persist()
+    sigs = minhash_signatures(sh, cfg.minhash_hashes, base_col="_bh").persist()
     cleanup: list[DataFrame] = [forms, fmap, sh, sigs]
     # persisted: the candidate stream feeds jaccard verification, whose
     # output (edges) is itself consumed twice by connected_components
@@ -443,8 +485,9 @@ def link_mentions(
     cands = lsh_candidate_pairs(sigs, cfg.minhash_hashes, cfg.minhash_band_size,
                                 dedup=False, max_bucket=cfg.lsh_max_bucket).persist()
     cleanup.append(cands)
-    edges = verify_jaccard(cands, sh, cfg.link_jaccard_thd, n_forms=n_forms,
-                           cleanup=cleanup)
+    edges = verify_jaccard(
+        cands, sh.select("form", F.col("_bh").alias("shingle")),
+        cfg.link_jaccard_thd, n_forms=n_forms, cleanup=cleanup)
     labels_fid = connected_components(
         fmap.select(F.col("fid").alias("form")), edges, cfg.cc_max_iters,
         n_nodes=n_forms, keyed=True)
