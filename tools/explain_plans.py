@@ -192,6 +192,33 @@ def main() -> int:
     checks.append(("gazetteer: no Python eval",
                    "BatchEvalPython" not in p and "ArrowEval" not in p, p))
 
+    # 18. linking jaccard-verify (the pipeline tail's dominant stage):
+    # the pair x shingle stream must be SHUFFLED HASH joined (the
+    # shuffle_hash hint — jstack showed the default sort-merge join's
+    # UnsafeExternalSorter dominating the tail on 25M+ rows), the
+    # shingle-count size prefilter must sit BEFORE those wide joins, and
+    # everything stays JVM-side. Built from the same linking operators
+    # the pipeline calls (operators/linking.py verify_jaccard).
+    from causalre_spark.operators.linking import (
+        form_shingles, lsh_candidate_pairs, minhash_signatures,
+        normalized_forms, verify_jaccard)
+
+    forms = normalized_forms(
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select(F.expr(Q.FORM_EXPR).alias("text")))
+    sh = form_shingles(forms, 3)
+    sigs = minhash_signatures(sh, 4)
+    cands = lsh_candidate_pairs(sigs, 4, 2)
+    edges = verify_jaccard(cands, sh, 0.6, n_forms=1000)
+    p = plan_of(edges)
+    sections.append(("linking jaccard-verify (size prefilter + SHJ)", p))
+    checks.append(("verify: shingle joins are ShuffledHashJoin (hint honored)",
+                   "ShuffledHashJoin" in p, p))
+    checks.append(("verify: size prefilter present (least/greatest ratio)",
+                   "least(" in p and "greatest(" in p, p))
+    checks.append(("verify: no Python eval",
+                   "BatchEvalPython" not in p and "ArrowEval" not in p, p))
+
     os.makedirs(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH"), exist_ok=True)
     out_path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH", "PLANS.md")
     with open(out_path, "w") as f:
