@@ -1136,6 +1136,60 @@ WHERE rn <= 10
 """
 
 
+def q_ann_recall(spark, sf_dir):
+    """Recall@10 of each ANN index variant vs brute-force ground truth.
+
+    The number a user actually tunes an ANN index by: for each of the
+    three escalating index structures (sign-LSH bucket scan, random-
+    hyperplane multiprobe, IVF n_probe lists), how many of the true
+    top-10 cosine neighbors does the pruned scan recover? Ground truth
+    and all three approximations are the already-oracle-checked queries;
+    recall is a left-semi join + count per variant — pure relational,
+    so the whole quality measurement is itself DuckDB-verifiable."""
+    emb = _t(spark, sf_dir, "embeddings")
+    truth = similarity.cosine_topk(emb, query_id=0, k=10).select("vec_id")
+    variants = [
+        ("bucketed", similarity.ann_topk_bucketed(emb, query_id=0, k=10,
+                                                  n_bits=4)),
+        ("ivf", similarity.ann_topk_ivf(emb, query_id=0, k=10,
+                                        n_centroids=8, n_probe=2,
+                                        dim=EMB_DIM)),
+        ("multiprobe", similarity.ann_topk_multiprobe(emb, query_id=0, k=10,
+                                                      n_planes=8, n_probes=2,
+                                                      dim=EMB_DIM)),
+    ]
+    out = None
+    for name, approx in variants:
+        hits = (
+            truth.join(approx.select("vec_id"), "vec_id", "left_semi")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+            .select(F.lit(name).alias("variant"), F.lit(10).cast("long").alias("k"),
+                    "n_hits", F.round(F.col("n_hits") / F.lit(10.0), 4).alias("recall"))
+        )
+        out = hits if out is None else out.unionByName(hits)
+    return out
+
+
+def _duck_ann_recall() -> str:
+    truth = f"""
+{_DUCK_COS}
+SELECT vec_id FROM (SELECT *, row_number() OVER (ORDER BY cosine DESC, vec_id) AS rn FROM scored) r
+WHERE rn <= 10
+"""
+    legs = []
+    for name, sql in (("bucketed", SQL_ANN_TOPK_BUCKETED),
+                      ("ivf", _duck_ivf_topk()),
+                      ("multiprobe", _duck_multiprobe())):
+        legs.append(
+            f"SELECT '{name}' AS variant, count(*) AS n_hits "
+            f"FROM ({truth}) t JOIN (SELECT vec_id FROM ({sql}) _a) a USING (vec_id)")
+    u = "\nUNION ALL\n".join(legs)
+    return f"""
+SELECT variant, CAST(10 AS BIGINT) AS k, n_hits, round(n_hits / 10.0, 4) AS recall
+FROM ({u}) legs
+"""
+
+
 def q_dedup_cosine(spark, sf_dir):
     """Embedding-cosine near-dup pairs: sign-LSH blocking + exact cosine."""
     return similarity.cosine_near_dup_pairs(
@@ -2511,6 +2565,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk_multiprobe": q_ann_topk_multiprobe,
     "ann_ivf_assign": q_ann_ivf_assign,
     "ann_topk_ivf": q_ann_topk_ivf,
+    "ann_recall": q_ann_recall,
     "dedup_cosine": q_dedup_cosine,
     # entity linking pieces + CC
     "link_minhash_sigs": q_link_minhash_sigs,
@@ -2589,6 +2644,7 @@ ORACLES: dict[str, str] = {
     "ann_topk_multiprobe": _duck_multiprobe(),
     "ann_ivf_assign": _duck_ivf_assign(),
     "ann_topk_ivf": _duck_ivf_topk(),
+    "ann_recall": _duck_ann_recall(),
     "dedup_cosine": SQL_DEDUP_COSINE,
     "link_minhash_sigs": SQL_LINK_MINHASH_SIGS,
     "link_lsh_pairs": SQL_LINK_LSH_PAIRS,
