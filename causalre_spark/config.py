@@ -58,6 +58,17 @@ class PipelineConfig:
                                     # variants also collide in small buckets)
 
     # --- execution knobs (ours) ---
+    link_driver_max_forms: int = 200_000
+                                    # adaptive cutover for the linking tail
+                                    # (same spirit as Catalyst's broadcast-vs-
+                                    # shuffle selection and the CC driver
+                                    # union-find gate): a form vocabulary at
+                                    # or below this collects to the driver
+                                    # (~20 B/form -> a few MB) and links
+                                    # single-process; above it, the
+                                    # distributed MinHash-LSH + star-
+                                    # contraction path runs. Labels are
+                                    # identical either way (pytest-gated).
     shuffle_partitions: int = 32
     arrow_max_records: int = 512    # size-capped Arrow batches (input_hint)
     salt_buckets: int = 8           # hot-domain salting

@@ -428,6 +428,54 @@ def canonical_entities(labels: DataFrame) -> DataFrame:
     )
 
 
+def link_forms_driver(forms: list[str], cfg: PipelineConfig = DEFAULT_CONFIG,
+                      ) -> list[tuple[str, int, str]]:
+    """Single-process linking over an already-normalized form vocabulary:
+    char-shingles -> minhash -> LSH bands (with the same oversized-bucket
+    skew guard) -> exact-jaccard verify -> union-find CC -> canonical
+    pick (min md5_long, tie-broken by form).
+
+    This is the small-graph physical strategy behind link_mentions'
+    adaptive cutover (cfg.link_driver_max_forms) — the same pattern as
+    connected_components' driver union-find: a vocabulary that fits on
+    the driver links in O(E α(N)) with zero Spark jobs per step, and the
+    labels are defined to be identical to the distributed path's
+    (component id = min md5_long(form); canonical form = its carrier).
+    Deliberately implemented with union-find rather than the oracle's
+    min-label propagation so oracle-vs-driver parity tests compare two
+    independent algorithms, not one function with two names."""
+    from causalre_spark.functions.hashing import md5_long
+    from causalre_spark.functions.text import (char_shingles, jaccard,
+                                               minhash_signature)
+
+    forms = sorted(set(forms))
+    sh = {f: char_shingles(f, cfg.shingle_size) for f in forms}
+    n_bands = cfg.minhash_hashes // cfg.minhash_band_size
+    buckets: dict[tuple, list[str]] = {}
+    for f in forms:
+        sig = minhash_signature(sh[f], cfg.minhash_hashes)
+        for band in range(n_bands):
+            lo = band * cfg.minhash_band_size
+            key = (band, tuple(sig[lo:lo + cfg.minhash_band_size]))
+            buckets.setdefault(key, []).append(f)
+    edges: list[tuple[str, str]] = []
+    for members in buckets.values():
+        if cfg.lsh_max_bucket and len(members) > cfg.lsh_max_bucket:
+            continue  # same skew guard as lsh_candidate_pairs
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                a, b = members[i], members[j]
+                if jaccard(sh[a], sh[b]) >= cfg.link_jaccard_thd:
+                    edges.append((a, b))
+    labeled = _union_find_components(forms, edges, md5_long)
+    by_comp: dict[int, list[str]] = {}
+    for f, comp in labeled:
+        by_comp.setdefault(comp, []).append(f)
+    canon = {comp: min(members, key=lambda f: (md5_long(f), f))
+             for comp, members in by_comp.items()}
+    return [(f, comp, canon[comp]) for f, comp in labeled]
+
+
 def link_mentions(
     mentions: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG, text_col: str = "text",
     form_map: DataFrame | None = None,
@@ -452,6 +500,19 @@ def link_mentions(
     else:
         forms = normalized_forms(mentions, text_col).persist()
     n_forms = forms.count()  # single materialization/count, reused below
+    if n_forms <= cfg.link_driver_max_forms:
+        # adaptive small-vocabulary cutover (see link_forms_driver):
+        # collecting |forms| short strings is a few MB; the whole
+        # LSH/verify/CC/canonical chain on a vocabulary this size is
+        # otherwise ~50 tiny Spark jobs whose per-job scheduling latency
+        # (measured ~150-250 ms each on this host) dominates the actual
+        # work at any parallelism — the classic small-side cutover.
+        form_list = [r["form"] for r in forms.select("form").collect()]
+        forms.unpersist()
+        spark = mentions.sparkSession
+        return spark.createDataFrame(
+            link_forms_driver(form_list, cfg),
+            "form string, canonical_id long, canonical_form string")
     # Int-keyed chain: every shuffle from here to CC — the signature
     # groupBy, the band self-join, the three jaccard-verify joins, the
     # star contraction — keys on the 60-bit md5-derived fid (the SAME

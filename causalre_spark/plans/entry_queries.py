@@ -810,6 +810,47 @@ WHERE 10 * s.n_shared >= 3 * (ca.n_sh + cb.n_sh - s.n_shared)
 """
 
 
+def q_dedup_blocking_recall(spark, sf_dir):
+    """Pair completeness of MinHash-LSH blocking: of the EXACT
+    Jaccard >= 0.3 near-dup pairs (prefix-filtered all-pairs ground
+    truth — dedup.ngram_jaccard_pairs), what fraction does the banded
+    LSH + verify path recover? The one-row answer (n_true, n_detected,
+    n_hit, recall) is the number an entity-resolution engineer tunes
+    bands/hashes by — and at 100 TB it is the ONLY affordable way to
+    know what the blocking drops, measured here on a sampled slice with
+    the same relational plan. One shared shingle projection feeds the
+    truth side, the signature aggregation, and both verify sides."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = dedup.word_shingles(docs, n=3).persist()
+    truth = dedup.ngram_jaccard_pairs(sh, thd_num=3, thd_den=10) \
+        .select("id_a", "id_b")
+    cand = dedup.minhash_lsh_pairs(sh, n_hashes=6, band_size=2)
+    det = dedup.jaccard_verify(cand, sh, thd=0.3).select("id_a", "id_b")
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    n_det = det.agg(F.count(F.lit(1)).alias("n_detected"))
+    n_hit = truth.join(det, ["id_a", "id_b"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_hit"))
+    return (
+        n_true.crossJoin(n_det).crossJoin(n_hit)
+        .select("n_true", "n_detected", "n_hit",
+                F.round(F.col("n_hit") / F.greatest(F.col("n_true"), F.lit(1)),
+                        4).alias("recall"))
+    )
+
+
+def _duck_blocking_recall() -> str:
+    return f"""
+WITH truth AS (SELECT id_a, id_b FROM ({SQL_DEDUP_NGRAM_JACCARD}) _t),
+det AS (SELECT id_a, id_b FROM ({SQL_DEDUP_MINHASH}) _d),
+hit AS (SELECT count(*) AS n_hit FROM truth JOIN det USING (id_a, id_b))
+SELECT (SELECT count(*) FROM truth) AS n_true,
+       (SELECT count(*) FROM det) AS n_detected,
+       n_hit,
+       round(n_hit / greatest((SELECT count(*) FROM truth), 1), 4) AS recall
+FROM hit
+"""
+
+
 def q_dedup_simhash(spark, sf_dir):
     return dedup.simhash16(_t(spark, sf_dir, "documents"))
 
@@ -2550,6 +2591,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_blocking_recall": q_dedup_blocking_recall,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_wide": q_dedup_simhash_wide,
     # text analysis family
@@ -2631,6 +2673,7 @@ ORACLES: dict[str, str] = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
+    "dedup_blocking_recall": _duck_blocking_recall(),
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "dedup_simhash_wide": SQL_DEDUP_SIMHASH_WIDE,
     "text_quality": SQL_TEXT_QUALITY,

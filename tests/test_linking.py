@@ -21,6 +21,32 @@ def test_spark_matches_oracle(spark):
     assert got == want
 
 
+def test_driver_path_matches_distributed_path(spark):
+    """The adaptive small-vocabulary cutover (link_forms_driver) and the
+    distributed MinHash-LSH + star-contraction path must assign the
+    exact same (form, canonical_id, canonical_form) triples."""
+    from dataclasses import replace
+
+    df = spark.createDataFrame([(m,) for m in MENTIONS], "text string")
+    fast = {tuple(r) for r in link_mentions(df, DEFAULT_CONFIG).collect()}
+    dist = {tuple(r) for r in link_mentions(
+        df, replace(DEFAULT_CONFIG, link_driver_max_forms=0)).collect()}
+    assert fast == dist and len(fast) > 0
+
+
+def test_distributed_path_matches_oracle(spark):
+    """Force the distributed path (cutover disabled) against the oracle —
+    test_spark_matches_oracle now exercises the driver path by default,
+    so this keeps the star-contraction chain oracle-gated too."""
+    from dataclasses import replace
+
+    cfg = replace(DEFAULT_CONFIG, link_driver_max_forms=0)
+    df = spark.createDataFrame([(m,) for m in MENTIONS], "text string")
+    got = {r["form"]: (r["canonical_id"], r["canonical_form"])
+           for r in link_mentions(df, cfg).collect()}
+    assert got == link_entities(MENTIONS, DEFAULT_CONFIG)
+
+
 def test_variants_cluster_together():
     canon = link_entities(MENTIONS, DEFAULT_CONFIG)
     assert canon["heavy rain"] == canon["heavy rains"]
