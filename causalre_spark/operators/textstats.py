@@ -113,3 +113,119 @@ def fingerprints(docs: DataFrame, id_col: str = "doc_id",
         F.col(id_col),
         F.expr(md5_long_sql_spark(joined)).alias("fingerprint"),
     )
+
+
+def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Gopher/MassiveText-style intra-document repetition signals
+    (Rae et al. 2021, table A1 — public paper), adapted to word
+    structure since the corpus text carries no line breaks:
+
+      - dup_word_frac:    1 - |distinct words| / |words|
+      - dup_trigram_frac: 1 - |distinct word 3-grams| / |3-grams|
+      - top_bigram_frac:  chars covered by the most frequent word
+                          2-gram / chars of the normalized text
+      - keep:             Gopher-inspired fixed thresholds
+                          (top_bigram_frac <= 0.20 per the paper's
+                          top-2-gram rule; dup_trigram_frac <= 0.60)
+
+    Scale shape: the n-gram families are per-doc array expressions
+    (whole-stage codegen); only the top-bigram argmax leaves the row —
+    an explode + two hash aggregations keyed by doc_id (uniform key,
+    map-side partial agg), no window. Tie-break for the top bigram is
+    (count desc, bigram desc) via max(struct(cnt, bigram)) so the
+    result is total-order deterministic under any partitioning.
+    """
+    norm = NORMALIZE_SQL.format(x=text_col)
+    base = docs.select(
+        F.col(id_col),
+        F.expr(f"split({norm}, ' ')").alias("toks"),
+        F.length(F.expr(norm)).alias("n_norm_chars"),
+    )
+    grams = base.select(
+        id_col, "n_norm_chars",
+        F.expr("size(toks)").cast("long").alias("n_words"),
+        F.expr("size(array_distinct(toks))").cast("long").alias("n_distinct_words"),
+        # sequence(1, n) is DESCENDING when n < 1, so guard short docs
+        F.expr(
+            "case when size(toks) < 2 then array() else "
+            "transform(sequence(1, size(toks) - 1),"
+            " i -> concat(toks[i-1], ' ', toks[i])) end"
+        ).alias("bigrams"),
+        F.expr(
+            "case when size(toks) < 3 then cast(array() as array<string>) else "
+            "transform(sequence(1, size(toks) - 2),"
+            " i -> concat(toks[i-1], ' ', toks[i], ' ', toks[i+1])) end"
+        ).alias("trigrams"),
+    )
+    # fractions are FLOOR-truncated at 5dp (floor(x*1e5)/1e5) instead of
+    # round()ed: both engines compute the same IEEE double for d/n, and
+    # floor of that double is engine-independent, while round() goes
+    # through Spark's BigDecimal/Double.toString path and can flip a
+    # .xxxxx5 tie against DuckDB's C round (same trap quality_score's
+    # 5dp comment documents — truncation removes the tie entirely).
+    trunc5 = "floor(({x}) * 100000) / 100000"
+    per_doc = grams.select(
+        id_col, "n_norm_chars", "n_words",
+        F.expr(trunc5.format(
+            x="1.0 - n_distinct_words / greatest(n_words, 1)"))
+        .alias("dup_word_frac"),
+        F.expr(trunc5.format(
+            x="case when size(trigrams) = 0 then 0.0 else "
+              "1.0 - size(array_distinct(trigrams)) / size(trigrams) end"))
+        .alias("dup_trigram_frac"),
+        F.explode_outer("bigrams").alias("bigram"),
+    )
+    counts = (per_doc
+              .groupBy(id_col, "n_norm_chars", "n_words",
+                       "dup_word_frac", "dup_trigram_frac", "bigram")
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    top = (counts
+           .groupBy(id_col, "n_norm_chars", "n_words",
+                    "dup_word_frac", "dup_trigram_frac")
+           .agg(F.max(F.struct(F.col("cnt"), F.col("bigram"))).alias("t")))
+    return top.select(
+        id_col, "n_words", "dup_word_frac", "dup_trigram_frac",
+        F.col("t.bigram").alias("top_bigram"),
+        F.when(F.col("t.bigram").isNull(), F.lit(0.0))
+        .otherwise(F.expr(trunc5.format(
+            x="t.cnt * length(t.bigram) / greatest(n_norm_chars, 1)")))
+        .alias("top_bigram_frac"),
+    ).withColumn(
+        "keep",
+        (F.col("top_bigram_frac") <= 0.20) & (F.col("dup_trigram_frac") <= 0.60),
+    )
+
+
+def quality_percentile_gate(docs: DataFrame, lo: float = 0.1,
+                            hi: float = 0.9) -> DataFrame:
+    """Per-language percentile gating of the quality score — the
+    corpus-relative variant of fixed-threshold filtering every LLM
+    data pipeline runs (keep the [p10, p90] band per language so one
+    language's score distribution does not set another's bar).
+
+    This oracle-checked variant uses EXACT interpolated percentiles
+    (Spark `percentile` == DuckDB `quantile_cont`) so the filter
+    algebra is verifiable cross-engine; at 100 TB the thresholds come
+    from `approx_percentile` over the same aggregation shape (one
+    pass, mergeable sketch) and everything downstream is identical.
+    The per-lang threshold table is a broadcast dimension.
+    """
+    q = quality_scores(docs).join(
+        docs.select("doc_id", "lang"), "doc_id")
+    # floor-truncated at 6dp (not round) — same cross-engine tie
+    # rationale as repetition_stats; both engines linear-interpolate
+    # (n-1)*p over identical doubles, so the raw percentile is bitwise
+    # equal and the truncation is engine-independent.
+    thr = (q.groupBy("lang")
+           .agg(F.expr(f"floor(percentile(quality_score, {lo}d) * 1e6) / 1e6")
+                .alias("p_lo"),
+                F.expr(f"floor(percentile(quality_score, {hi}d) * 1e6) / 1e6")
+                .alias("p_hi"),
+                F.count(F.lit(1)).alias("n_docs")))
+    kept = (q.join(F.broadcast(thr), "lang")
+            .where(F.col("quality_score").between(F.col("p_lo"), F.col("p_hi")))
+            .groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept")))
+    return (thr.join(kept, "lang", "left")
+            .select("lang", "n_docs", "p_lo", "p_hi",
+                    F.coalesce("n_kept", F.lit(0)).alias("n_kept")))

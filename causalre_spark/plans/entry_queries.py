@@ -971,6 +971,109 @@ SELECT *, {case} AS predicted_lang FROM scored
 SQL_TEXT_LANGID = _duck_langid()
 
 
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style intra-doc repetition filter signals
+    (operators/textstats.repetition_stats; Rae et al. 2021 table A1
+    adapted to word structure — the corpus has no line breaks)."""
+    return textstats.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+SQL_TEXT_REPETITION = f"""
+WITH base AS (
+  SELECT doc_id, string_split(norm, ' ') AS toks, length(norm) AS n_norm_chars
+  FROM (SELECT doc_id, {NORMALIZE_SQL_DUCK.format(x='text')} AS norm FROM documents)),
+wstats AS (
+  SELECT doc_id, n_norm_chars, len(toks) AS n_words,
+         len(list_distinct(toks)) AS n_distinct_words
+  FROM base),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[]) ELSE
+           list_transform(range(1, len(toks)),
+                          i -> toks[i] || ' ' || toks[i+1]) END AS bigrams,
+         CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[]) ELSE
+           list_transform(range(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         END AS trigrams
+  FROM base),
+tgs AS (
+  SELECT doc_id, len(trigrams) AS n_tri,
+         len(list_distinct(trigrams)) AS n_dtri
+  FROM grams WHERE len(trigrams) > 0),
+bgc AS (
+  SELECT doc_id, bigram, count(*) AS cnt
+  FROM (SELECT doc_id, unnest(bigrams) AS bigram FROM grams) u
+  GROUP BY doc_id, bigram),
+top AS (
+  SELECT doc_id, bigram, cnt
+  FROM bgc
+  QUALIFY row_number() OVER (PARTITION BY doc_id
+                             ORDER BY cnt DESC, bigram DESC) = 1),
+merged AS (
+  SELECT w.doc_id,
+         CAST(w.n_words AS BIGINT) AS n_words,
+         floor((1.0 - w.n_distinct_words * 1.0 / greatest(w.n_words, 1)) * 100000)
+           / 100000 AS dup_word_frac,
+         floor(coalesce(1.0 - t.n_dtri * 1.0 / t.n_tri, 0.0) * 100000)
+           / 100000 AS dup_trigram_frac,
+         p.bigram AS top_bigram,
+         CASE WHEN p.bigram IS NULL THEN 0.0
+              ELSE floor(p.cnt * length(p.bigram) * 1.0
+                         / greatest(w.n_norm_chars, 1) * 100000) / 100000
+         END AS top_bigram_frac
+  FROM wstats w
+  LEFT JOIN tgs t USING (doc_id)
+  LEFT JOIN top p USING (doc_id))
+SELECT *, (top_bigram_frac <= 0.20 AND dup_trigram_frac <= 0.60) AS keep
+FROM merged
+"""
+
+
+def q_quality_percentile(spark, sf_dir):
+    """Per-language percentile quality gate
+    (operators/textstats.quality_percentile_gate): exact interpolated
+    p10/p90 thresholds per lang + kept-count — the corpus-relative
+    filter every LLM data pipeline runs; production swaps
+    approx_percentile into the same aggregation shape."""
+    return textstats.quality_percentile_gate(_t(spark, sf_dir, "documents"))
+
+
+SQL_QUALITY_PERCENTILE = f"""
+WITH base AS (
+  SELECT doc_id, lang, text, {_DUCK_NORM_TOKS} AS toks,
+         {NORMALIZE_SQL_DUCK.format(x='text')} AS norm
+  FROM documents),
+feat AS (
+  SELECT doc_id, lang,
+    CAST(len(toks) AS BIGINT) AS n_tokens,
+    round((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+          * 1.0 / greatest(length(text), 1), 4) AS punct_ratio,
+    round(len(list_filter(toks, t -> list_contains(
+          ['the','a','of','to','and','in','is','was'], t)))
+          * 1.0 / greatest(len(toks), 1), 4) AS stopword_ratio
+  FROM base),
+q AS (
+  SELECT doc_id, lang,
+         round((CASE WHEN n_tokens >= 10 THEN 0.4 ELSE 0.0 END)
+               + (1 - punct_ratio) * 0.3
+               + least(stopword_ratio * 3, 1.0) * 0.3, 5) AS quality_score
+  FROM feat),
+thr AS (
+  SELECT lang,
+         floor(quantile_cont(quality_score, 0.1) * 1e6) / 1e6 AS p_lo,
+         floor(quantile_cont(quality_score, 0.9) * 1e6) / 1e6 AS p_hi,
+         count(*) AS n_docs
+  FROM q GROUP BY lang),
+kept AS (
+  SELECT q.lang, count(*) AS n_kept
+  FROM q JOIN thr USING (lang)
+  WHERE q.quality_score BETWEEN thr.p_lo AND thr.p_hi
+  GROUP BY q.lang)
+SELECT t.lang, t.n_docs, t.p_lo, t.p_hi, coalesce(k.n_kept, 0) AS n_kept
+FROM thr t LEFT JOIN kept k USING (lang)
+"""
+
+
 def q_text_fingerprint(spark, sf_dir):
     return textstats.fingerprints(_t(spark, sf_dir, "documents"))
 
@@ -2596,6 +2699,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash_wide": q_dedup_simhash_wide,
     # text analysis family
     "text_quality": q_text_quality,
+    "text_repetition": q_text_repetition,
+    "quality_percentile": q_quality_percentile,
     "text_token_stats": q_text_token_stats,
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
@@ -2677,6 +2782,8 @@ ORACLES: dict[str, str] = {
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "dedup_simhash_wide": SQL_DEDUP_SIMHASH_WIDE,
     "text_quality": SQL_TEXT_QUALITY,
+    "text_repetition": SQL_TEXT_REPETITION,
+    "quality_percentile": SQL_QUALITY_PERCENTILE,
     "text_token_stats": SQL_TEXT_TOKEN_STATS,
     "text_langid": SQL_TEXT_LANGID,
     "text_fingerprint": SQL_TEXT_FINGERPRINT,
