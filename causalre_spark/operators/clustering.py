@@ -1,0 +1,126 @@
+"""Embedding clustering + semantic dedup (training-data pipeline ops).
+
+k-means (Lloyd) fitted BY DataFrame aggregation: assignment is a
+columnized argmin over centroid literal chains (the ivf_assign shape —
+similarity.py), the centroid update is one groupBy with per-dimension
+sums, and the k×dim means round-trip through the driver between
+iterations (model parameters, not data — the one collect is O(k·dim)).
+That is the classic 100 TB k-means plan: every iteration is a single
+map-side-combinable aggregation over the corpus, no shuffle of the
+vectors themselves, centroids broadcast as literals.
+
+semantic_dedup is SemDeDup (Abbas et al. 2023, public paper): cluster
+with k-means, then search near-duplicate pairs ONLY within a cluster —
+the fitted-clustering analogue of dedup's sign-LSH blocking; candidate
+pairs shrink from n² to Σ|cluster|².
+
+Determinism: init = the k lowest-id vectors; ties in the argmin break
+toward the smallest cluster id; the final outputs are integers (ids,
+cluster labels) or 4dp-rounded cosines, so cross-engine float-sum
+ordering cannot flip a row (same robustness contract as similarity.py's
+cosine oracles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from causalre_spark.operators.similarity import _dot, _dot_literal, _norm
+
+
+def _assign_to_centroids(emb: DataFrame, cents: dict[int, list[float]],
+                         id_col: str, vec_col: str) -> DataFrame:
+    """(id, cluster): nearest centroid by squared L2, via the monotone
+    equivalent argmax of (x·c − ½|c|²) — each score is one literal
+    addition chain column, then a k² scalar-compare CASE (two-step
+    columnized argmax, same rationale as similarity.ivf_assign)."""
+    cids = sorted(cents)
+    elem = lambda j: f"element_at({vec_col}, {j + 1})"  # noqa: E731
+    cols = [F.col(id_col)]
+    for c in cids:
+        halfsq = 0.5 * sum(v * v for v in cents[c])
+        cols.append(F.expr(
+            f"({_dot_literal(elem, cents[c])} - CAST({halfsq:.17e} AS DOUBLE))"
+        ).alias(f"_s{c}"))
+    with_s = emb.select(*cols)
+    arms = []
+    for c in cids:
+        cond = " AND ".join(f"_s{c} >= _s{o}" for o in cids if o != c)
+        arms.append(f"WHEN {cond or 'TRUE'} THEN {c}")
+    case = "CASE " + " ".join(arms) + f" ELSE {cids[-1]} END"
+    return with_s.select(F.col(id_col),
+                         F.expr(case).cast("long").alias("cluster"))
+
+
+def kmeans_assign(emb: DataFrame, k: int = 8, iters: int = 2,
+                  dim: int = 64, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Lloyd k-means over an embedding column; returns (id, cluster)
+    after `iters` assignment steps.
+
+    init: centroids = the k lowest-id vectors (deterministic under any
+    partitioning). Each iteration: assign (argmin L2 over centroid
+    literals), then re-estimate means with ONE aggregation producing
+    dim per-dimension sums + a count per cluster (partial-agg friendly;
+    the k×dim result is the only thing that ever reaches the driver).
+    Empty clusters drop out of the estimate and later argmins — both
+    engines see the same surviving cluster set."""
+    init = (emb.orderBy(F.col(id_col).asc()).limit(k)
+            .select(id_col, vec_col).collect())
+    init.sort(key=lambda r: r[id_col])
+    cents = {c: [float(x) for x in r[vec_col]] for c, r in enumerate(init)}
+
+    n_steps = max(1, iters)
+    assign = None
+    for step in range(n_steps):
+        assign = _assign_to_centroids(emb, cents, id_col, vec_col)
+        if step == n_steps - 1:
+            break  # the post-final-assignment update would go unused
+        means = (
+            emb.join(assign, id_col)
+            .groupBy("cluster")
+            .agg(*[F.sum(F.expr(f"cast(element_at({vec_col}, {j + 1}) as double)"))
+                   .alias(f"_m{j}") for j in range(dim)],
+                 F.count(F.lit(1)).alias("_n"))
+        ).collect()
+        cents = {int(r["cluster"]): [r[f"_m{j}"] / r["_n"] for j in range(dim)]
+                 for r in means}
+    return assign
+
+
+def kmeans_sizes(emb: DataFrame, k: int = 8, iters: int = 2,
+                 dim: int = 64, id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """(cluster, n_vectors) histogram of the fitted assignment — the
+    balance diagnostic (mirrors similarity.lsh_bucket_stats)."""
+    return (kmeans_assign(emb, k, iters, dim, id_col, vec_col)
+            .groupBy("cluster").agg(F.count(F.lit(1)).alias("n_vectors")))
+
+
+def semantic_dedup_pairs(emb: DataFrame, thd: float, k: int = 8,
+                         iters: int = 2, dim: int = 64,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup: near-duplicate pairs searched within fitted k-means
+    clusters only — (id_a, id_b, cosine) with rounded cosine >= thd,
+    id_a < id_b. Same exact-verify contract as
+    similarity.cosine_near_dup_pairs, with the learned clustering as
+    the blocker instead of sign-LSH."""
+    assign = kmeans_assign(emb, k, iters, dim, id_col, vec_col)
+    with_c = emb.join(assign, id_col)
+    a = with_c.select("cluster", F.col(id_col).alias("id_a"),
+                      F.col(vec_col).alias("va"))
+    b = with_c.select("cluster", F.col(id_col).alias("id_b"),
+                      F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            F.round(F.expr(_dot("va", "vb"))
+                    / (F.expr(_norm("va")) * F.expr(_norm("vb"))), 4),
+        )
+        .filter(F.col("cosine") >= thd)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1116,6 +1116,80 @@ WHERE rn <= 20
 """
 
 
+def q_kmeans_clusters(spark, sf_dir):
+    """Fitted k-means (Lloyd, 2 assignment steps, k=8) over the
+    embeddings table — operators/clustering.kmeans_assign; the learned
+    counterpart of the frozen IVF coarse quantizer."""
+    from causalre_spark.operators import clustering
+
+    return clustering.kmeans_assign(
+        _t(spark, sf_dir, "embeddings"), k=8, iters=2, dim=64)
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): cosine near-dup pairs searched
+    within fitted k-means clusters only —
+    operators/clustering.semantic_dedup_pairs."""
+    from causalre_spark.operators import clustering
+
+    return clustering.semantic_dedup_pairs(
+        _t(spark, sf_dir, "embeddings"), thd=0.2, k=8, iters=2, dim=64)
+
+
+def _duck_kmeans_chain(k: int = 8, dim: int = 64) -> str:
+    """Unrolled 2-step Lloyd CTE chain ending in a2(vec_id, cluster).
+
+    Mirrors clustering.kmeans_assign rule-for-rule: init = k lowest-id
+    vectors; score = x·c − ½|c|²; argmax tie-break = smallest cluster;
+    means = per-(cluster, dim) averages of the assigned members."""
+    return f"""
+dims AS (SELECT unnest(range(1, {dim + 1})) AS dim),
+e AS (SELECT vec_id, dim, embedding[dim]::DOUBLE AS val
+      FROM embeddings CROSS JOIN dims),
+init AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cluster
+         FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k}) q),
+c0 AS (SELECT i.cluster, e.dim, e.val AS cval FROM init i JOIN e USING (vec_id)),
+s1 AS (SELECT e.vec_id, c.cluster,
+              sum(e.val * c.cval) - 0.5 * sum(c.cval * c.cval) AS s
+       FROM e JOIN c0 c USING (dim) GROUP BY e.vec_id, c.cluster),
+a1 AS (SELECT vec_id, cluster FROM s1
+       QUALIFY row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY s DESC, cluster ASC) = 1),
+c1 AS (SELECT a.cluster, e.dim, sum(e.val) / count(*) AS cval
+       FROM a1 a JOIN e USING (vec_id) GROUP BY a.cluster, e.dim),
+s2 AS (SELECT e.vec_id, c.cluster,
+              sum(e.val * c.cval) - 0.5 * sum(c.cval * c.cval) AS s
+       FROM e JOIN c1 c USING (dim) GROUP BY e.vec_id, c.cluster),
+a2 AS (SELECT vec_id, cluster FROM s2
+       QUALIFY row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY s DESC, cluster ASC) = 1)
+"""
+
+
+SQL_KMEANS_CLUSTERS = f"""
+WITH {_duck_kmeans_chain()}
+SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM a2
+"""
+
+SQL_SEMANTIC_DEDUP = f"""
+WITH {_duck_kmeans_chain()},
+withc AS (SELECT emb.vec_id, emb.embedding, a2.cluster
+          FROM embeddings emb JOIN a2 USING (vec_id)),
+pairs AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+                 x.embedding AS va, y.embedding AS vb
+          FROM withc x JOIN withc y
+            ON x.cluster = y.cluster AND x.vec_id < y.vec_id),
+terms AS (SELECT id_a, id_b,
+                 sum(va[i] * vb[i]) AS dot,
+                 sum(va[i] * va[i]) AS na, sum(vb[i] * vb[i]) AS nb
+          FROM (SELECT id_a, id_b, va, vb,
+                       unnest(generate_series(1, len(va))) AS i FROM pairs) t
+          GROUP BY id_a, id_b)
+SELECT id_a, id_b, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cosine
+FROM terms WHERE round(dot / (sqrt(na) * sqrt(nb)), 4) >= 0.2
+"""
+
+
 def q_ann_lsh_buckets(spark, sf_dir):
     return similarity.lsh_bucket_stats(_t(spark, sf_dir, "embeddings"), n_bits=6)
 
@@ -2714,6 +2788,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk_ivf": q_ann_topk_ivf,
     "ann_recall": q_ann_recall,
     "dedup_cosine": q_dedup_cosine,
+    "kmeans_clusters": q_kmeans_clusters,
+    "semantic_dedup": q_semantic_dedup,
     # entity linking pieces + CC
     "link_minhash_sigs": q_link_minhash_sigs,
     "link_lsh_pairs": q_link_lsh_pairs,
@@ -2796,6 +2872,8 @@ ORACLES: dict[str, str] = {
     "ann_topk_ivf": _duck_ivf_topk(),
     "ann_recall": _duck_ann_recall(),
     "dedup_cosine": SQL_DEDUP_COSINE,
+    "kmeans_clusters": SQL_KMEANS_CLUSTERS,
+    "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "link_minhash_sigs": SQL_LINK_MINHASH_SIGS,
     "link_lsh_pairs": SQL_LINK_LSH_PAIRS,
     "cc_components": SQL_CC_COMPONENTS,
