@@ -219,6 +219,38 @@ def main() -> int:
     checks.append(("verify: no Python eval",
                    "BatchEvalPython" not in p and "ArrowEval" not in p, p))
 
+    # Gopher repetition signals: per-doc array expressions + two hash
+    # aggregations on doc_id; nothing may fall out of the JVM and no
+    # window may appear (the top-bigram argmax is max(struct), not
+    # row_number)
+    p = plan_of(Q.q_text_repetition(spark, SF))
+    sections.append(("text_repetition (Gopher signals)", p))
+    checks.append(("repetition: no Python eval",
+                   "BatchEvalPython" not in p and "ArrowEval" not in p, p))
+    checks.append(("repetition: hash-agg argmax, no Window",
+                   "HashAggregate" in p and "Window" not in p, p))
+
+    # percentile gate: threshold table must broadcast back onto the
+    # per-doc side
+    p = plan_of(Q.q_quality_percentile(spark, SF))
+    sections.append(("quality_percentile gate", p))
+    checks.append(("percentile gate: threshold join is broadcast",
+                   "BroadcastHashJoin" in p, p))
+
+    # fitted k-means: the assignment is centroid literals folded into
+    # projections — the plan over the embeddings scan must contain no
+    # join and no exchange beyond the argmax projection itself
+    from causalre_spark.operators import clustering as CL
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    p = plan_of(CL._assign_to_centroids(
+        emb, {c: [0.01 * (c + j) for j in range(64)] for c in range(8)},
+        "vec_id", "embedding"))
+    sections.append(("k-means assignment (columnized argmax)", p))
+    checks.append(("kmeans assign: no join/exchange, pure projection",
+                   "Join" not in p and "Exchange" not in p, p))
+    checks.append(("kmeans assign: no Python eval",
+                   "BatchEvalPython" not in p and "ArrowEval" not in p, p))
+
     os.makedirs(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH"), exist_ok=True)
     out_path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH", "PLANS.md")
     with open(out_path, "w") as f:
