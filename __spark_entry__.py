@@ -11,8 +11,10 @@ queries()      — one entry per implemented operator from SURVEY.md §2
                  matching, gold-data eval, gazetteer extraction fitted
                  on the reference train split, URL canonicalization
                  dedup, graph 2-hop join + fixed-iteration PageRank,
-                 salted skew aggregation): 67 queries, 64 with exact
-                 DuckDB oracles.
+                 salted skew aggregation, cross-doc dup-ngram stats,
+                 benchmark decontamination, stratified sampling,
+                 hot-group skew profiling, KG negative sampling):
+                 78 queries, 75 with exact DuckDB oracles.
 oracle_sql()   — exact DuckDB twins for every relational operator; the
                  three UDF-backed pipeline queries (pipeline_spans,
                  causal_triples, causal_triples_seeded) are rows-only by

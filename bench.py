@@ -39,6 +39,7 @@ HEADLINE = [
     "cc_components",        # iterative connected components
     "kg_2hop",              # graph 2-hop self-join (bucketed-table shape)
     "text_quality",         # codegen'd text featurization
+    "semantic_dedup",       # fitted k-means blocking + in-cluster cosine
     "tpch_q1",              # classic agg
     "events_sessionize",    # lag-window sessionization
     "pipeline_spans",       # UDF extraction + top-k + NMS + span text

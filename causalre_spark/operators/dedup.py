@@ -276,3 +276,84 @@ def ngram_jaccard_pairs(
         .filter(F.lit(thd_den) * F.col("n_shared") >= F.lit(thd_num) * F.col("n_union"))
         .select("id_a", "id_b", F.col("n_shared").cast("long").alias("n_shared"), "n_union")
     )
+
+
+def crossdoc_ngram_stats(shingles: DataFrame, min_docs: int = 2) -> DataFrame:
+    """Cross-document duplicated-n-gram statistics — the corpus-level
+    signal behind exact-substring train-set dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"),
+    approximated at word-n-gram granularity: the suffix-array pass that
+    paper runs on one machine is replaced by the n-gram occurrence join
+    a Spark cluster can run as two partial hash aggregations.
+
+    Input: (id, shingle) DISTINCT word n-grams per doc (word_shingles).
+    Output per doc: n_grams, n_dup (grams occurring in >= `min_docs`
+    distinct docs), dup_frac (4dp) — the filter column a curation
+    pipeline thresholds on.
+
+    Scale shape: shingle strings collapse to 48-bit md5 BIGINTs BEFORE
+    the wide shuffle, so the gram-frequency aggregation and the join
+    back move fixed-width integers, not strings. Both aggregations are
+    partial (map-side combine); the join key (gh) is the aggregation
+    key, so AQE coalesces the two shuffles onto one exchange footprint.
+    The hash space (2^48) makes cross-gram collisions negligible, and
+    the DuckDB oracle hashes with the SAME md5 derivation, so even a
+    collision cannot cause cross-engine disagreement.
+    """
+    g = shingles.select(
+        "id", F.expr(md5_long_sql_spark("shingle")).alias("gh"))
+    # shingles are distinct per doc -> count(*) = distinct-doc count
+    cnt = g.groupBy("gh").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        g.join(cnt, "gh")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("n_docs") >= min_docs, 1).otherwise(0))
+            .cast("long").alias("n_dup"),
+        )
+        .select(
+            F.col("id").alias("doc_id"), "n_grams", "n_dup",
+            F.round(F.col("n_dup") / F.col("n_grams"), 4).alias("dup_frac"),
+        )
+    )
+
+
+def contamination_stats(eval_shingles: DataFrame,
+                        bench_shingles: DataFrame,
+                        threshold: float = 0.5) -> DataFrame:
+    """Benchmark decontamination by n-gram overlap (the GPT-3 appendix-C
+    / PaLM eval-contamination shape): for every training document, the
+    fraction of its distinct word n-grams that also occur anywhere in a
+    held-out benchmark set; documents above `threshold` are flagged.
+
+    Scale shape: the benchmark side of a decontamination pass is small
+    (eval suites are MBs; the corpus is the 100 TB side), so its gram-key
+    set is DISTINCT-ed and broadcast — the corpus-side scan never
+    shuffles, making the whole pass map-side: explode, hash, broadcast
+    LEFT join, per-doc aggregate. Gram keys are 48-bit md5 BIGINTs (same
+    derivation on the DuckDB oracle side, so values agree bit-for-bit).
+    """
+    bench = (
+        bench_shingles
+        .select(F.expr(md5_long_sql_spark("shingle")).alias("gh"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    g = eval_shingles.select(
+        "id", F.expr(md5_long_sql_spark("shingle")).alias("gh"))
+    return (
+        g.join(F.broadcast(bench), "gh", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("long").alias("n_overlap"),
+        )
+        .select(
+            F.col("id").alias("doc_id"), "n_grams", "n_overlap",
+            F.round(F.col("n_overlap") / F.col("n_grams"), 4)
+            .alias("overlap_frac"),
+        )
+        .withColumn("contaminated", F.col("overlap_frac") > threshold)
+    )

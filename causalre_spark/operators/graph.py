@@ -85,3 +85,44 @@ def triangles(und: DataFrame) -> DataFrame:
          - F.least("x", "y", "z") - F.greatest("x", "y", "z")).alias("b"),
         F.greatest("x", "y", "z").alias("c"),
     )
+
+
+def negative_samples(edges: DataFrame, nodes: DataFrame,
+                     n_nodes: int) -> DataFrame:
+    """Deterministic negative sampling for KG-embedding training data:
+    for every positive edge (src, dst), propose the tail corruption
+    dst_neg = md5(src # dst) mod n_nodes, then keep only proposals that
+    (a) land on a real node, (b) differ from src, and (c) are NOT a
+    positive edge (anti-join) — the standard filtered-corruption scheme
+    of TransE-family training pipelines, minus the RNG: md5 over the
+    edge identity makes the draw reproducible across engines and reruns.
+
+    Output: (src, dst_neg) one candidate per positive edge that survives
+    the filters (dropped proposals are simply absent — the resample-on-
+    collision loop of a trainer is a per-epoch concern, not a corpus
+    materialization one).
+
+    Scale shape: the proposal is a map-only projection; the node-
+    validity check is an equi-join on the node id (broadcast when dims
+    are small, shuffle-hash otherwise), and the positive filter is a
+    LEFT ANTI join on (src, dst_neg) against the edge set itself —
+    the same key distribution as the edge table, so co-partitioned
+    bucketing (pipeline.write_bucketed_graph) makes it exchange-free.
+    """
+    from causalre_spark.functions.hashing import md5_long_sql_spark
+
+    edge_key = "concat(cast(src as string), '#', cast(dst as string))"
+    prop = edges.select(
+        "src",
+        (F.expr(md5_long_sql_spark(edge_key)) % F.lit(n_nodes))
+        .alias("dst_neg"),
+    ).filter(F.col("dst_neg") != F.col("src"))
+    valid = prop.join(
+        nodes.select(F.col(nodes.columns[0]).alias("dst_neg")), "dst_neg")
+    return (
+        valid.join(
+            edges.select("src", F.col("dst").alias("dst_neg")),
+            ["src", "dst_neg"], "left_anti")
+        .select("src", "dst_neg")
+        .distinct()
+    )

@@ -1,0 +1,77 @@
+"""Corpus sampling and skew-profiling operators (training-data
+pipeline ops): exact-quota stratified sampling and hot-group skew
+statistics. Pure DataFrame algebra with exact DuckDB oracle twins.
+
+Reproducibility contract (same as q_sample_hash): every selection is
+keyed on md5 of stable row identity — no RNG state, no rand() — so the
+same rows come back on every engine, every partitioning, every rerun.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from causalre_spark.functions.hashing import md5_long_sql_spark
+
+
+def stratified_sample(df: DataFrame, group_col: str, quota: int,
+                      id_col: str = "doc_id") -> DataFrame:
+    """Exact per-group quota sample: for each group, the `quota` rows
+    with the smallest md5(id) — a deterministic uniform draw (md5 is a
+    pseudo-random permutation of the id space) with an EXACT group size,
+    which Bernoulli sampling cannot give.
+
+    Returns (id, group, samp_rank) with samp_rank in 1..quota.
+
+    Scale shape: one shuffle on group_col; the row_number window is
+    WindowGroupLimit-optimized by Catalyst (rank <= k predicates push a
+    per-partition top-k below the exchange, so only ~quota rows per
+    group per input partition reach the shuffle — the same bounded-sort
+    physical shape as top-k spans). Group-count skew (one giant 'en'
+    group at web scale) is bounded by that pre-limit: every map task
+    emits at most `quota` rows per group regardless of input size.
+    """
+    key = F.expr(md5_long_sql_spark(f"cast({id_col} as string)"))
+    return (
+        df.select(F.col(id_col), F.col(group_col), key.alias("_skey"))
+        .withColumn("samp_rank", F.row_number().over(
+            Window.partitionBy(group_col).orderBy(
+                F.col("_skey").asc(), F.col(id_col).asc())))
+        .filter(F.col("samp_rank") <= quota)
+        .select(id_col, group_col, F.col("samp_rank").cast("long").alias("samp_rank"))
+    )
+
+
+def group_skew_stats(df: DataFrame, group_col: str,
+                     n_target_partitions: int = 20) -> DataFrame:
+    """Hot-group skew profile — the measurement that DRIVES salted
+    repartitioning (north_rule: "skew from hot domains handled with
+    salted repartitioning"): per group, its row count, corpus share,
+    whether it is hot (share > 2x the uniform share), and the salt
+    factor a two-phase salted aggregation should use so no salted
+    sub-group exceeds ~1/n_target_partitions of the corpus.
+
+    Scale shape: ONE partial hash aggregation over the corpus produces
+    the per-group counts; everything after runs on the tiny aggregated
+    frame (n_groups rows), where the unpartitioned totals window is a
+    deliberate single-partition op over kilobytes, not data.
+    """
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_rows"))
+    w = Window.partitionBy()  # totals over the n_groups-row aggregate
+    return (
+        counts
+        .withColumn("_total", F.sum("n_rows").over(w))
+        .withColumn("_ngroups", F.count(F.lit(1)).over(w))
+        .select(
+            group_col,
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("_total"), 4).alias("share"),
+            (F.col("n_rows") * F.col("_ngroups") > 2 * F.col("_total"))
+            .alias("is_hot"),
+            F.greatest(
+                F.lit(1),
+                F.ceil(F.col("n_rows") * n_target_partitions / F.col("_total")),
+            ).cast("long").alias("salt_factor"),
+        )
+    )

@@ -25,7 +25,7 @@ from causalre_spark.config import DEFAULT_CONFIG
 from causalre_spark.functions.hashing import md5_long_sql, md5_long_sql_spark, minhash_sql
 from causalre_spark.functions.text import NORMALIZE_SQL
 from causalre_spark.functions.text_duck import NORMALIZE_SQL_DUCK
-from causalre_spark.operators import dedup, similarity, textstats
+from causalre_spark.operators import dedup, sampling, similarity, textstats
 
 # --------------------------------------------------------------------------
 # shared fragments
@@ -2741,6 +2741,149 @@ FROM canon GROUP BY canon_url
 # registry
 # --------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# Corpus-curation additions (round 3): cross-doc duplicated-ngram stats,
+# benchmark decontamination, exact-quota stratified sampling, hot-group
+# skew profiling, and KG negative sampling.
+
+# shared DuckDB CTE: normalized distinct word 4-grams per doc (the duck
+# twin of dedup.word_shingles(n=4))
+_DUCK_SH4_CTE = f"""
+norm AS (SELECT doc_id AS id, string_split({NORMALIZE_SQL_DUCK.format(x="text")}, ' ') AS toks
+         FROM documents),
+sh AS (SELECT DISTINCT id, array_to_string(toks[i:i+3], ' ') AS shingle
+       FROM (SELECT id, toks,
+                    unnest(generate_series(1, greatest(1, len(toks) - 3))) AS i
+             FROM norm) q)
+"""
+
+
+def q_dedup_crossdoc(spark, sf_dir):
+    """Cross-document duplicated-4-gram statistics per doc (the Lee et
+    al. 2022 train-set dedup signal at n-gram granularity) — see
+    dedup.crossdoc_ngram_stats for the two-hash-agg scale shape."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.crossdoc_ngram_stats(
+        dedup.word_shingles(docs, n=4), min_docs=2)
+
+
+SQL_DEDUP_CROSSDOC = f"""
+WITH {_DUCK_SH4_CTE},
+g AS (SELECT id, {md5_long_sql("shingle")} AS gh FROM sh),
+cnt AS (SELECT gh, count(*) AS n_docs FROM g GROUP BY gh)
+SELECT g.id AS doc_id, count(*) AS n_grams,
+       CAST(sum(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       round(CAST(sum(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             / count(*), 4) AS dup_frac
+FROM g JOIN cnt c ON g.gh = c.gh
+GROUP BY g.id
+"""
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: overlap of each training doc's
+    distinct 4-grams with a held-out benchmark slice (docs with
+    doc_id % 97 == 0 stand in for the eval suite — at production scale
+    the benchmark grams come from their own small table, which is
+    exactly why contamination_stats broadcasts that side)."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = dedup.word_shingles(docs, n=4)
+    return dedup.contamination_stats(
+        sh.filter(F.col("id") % 97 != 0),
+        sh.filter(F.col("id") % 97 == 0),
+        threshold=0.5,
+    )
+
+
+SQL_DECONTAMINATE = f"""
+WITH {_DUCK_SH4_CTE},
+bench AS (SELECT DISTINCT {md5_long_sql("shingle")} AS gh FROM sh WHERE id % 97 = 0),
+g AS (SELECT id, {md5_long_sql("shingle")} AS gh FROM sh WHERE id % 97 <> 0),
+per AS (SELECT g.id, count(*) AS n_grams,
+               CAST(sum(CASE WHEN b.gh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap
+        FROM g LEFT JOIN bench b ON g.gh = b.gh
+        GROUP BY g.id)
+SELECT id AS doc_id, n_grams, n_overlap,
+       round(n_overlap / n_grams, 4) AS overlap_frac,
+       round(n_overlap / n_grams, 4) > 0.5 AS contaminated
+FROM per
+"""
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Exact per-language quota sample (40 docs/lang) keyed on md5 of
+    the doc id — deterministic stratified downsampling; see
+    sampling.stratified_sample for the WindowGroupLimit scale shape."""
+    return sampling.stratified_sample(
+        _t(spark, sf_dir, "documents"), "lang", 40)
+
+
+SQL_SAMPLE_STRATIFIED = f"""
+SELECT doc_id, lang, samp_rank FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY {md5_long_sql("CAST(doc_id AS VARCHAR)")}, doc_id
+         ) AS samp_rank
+  FROM documents) q
+WHERE samp_rank <= 40
+"""
+
+
+def q_domain_skew_stats(spark, sf_dir):
+    """Hot-group skew profile over the source column (the 'hot domain'
+    detector that drives salted repartitioning): per group, count,
+    corpus share, hot flag, and the salt factor a two-phase salted
+    aggregation should use. One partial hash agg over the corpus;
+    everything downstream runs on the n_groups-row aggregate."""
+    return sampling.group_skew_stats(
+        _t(spark, sf_dir, "documents"), "source", n_target_partitions=20)
+
+
+SQL_DOMAIN_SKEW_STATS = """
+WITH c AS (SELECT source, count(*) AS n_rows FROM documents GROUP BY source),
+t AS (SELECT source, n_rows,
+             sum(n_rows) OVER () AS total,
+             count(*) OVER () AS ngroups
+      FROM c)
+SELECT source, n_rows,
+       round(n_rows / total, 4) AS share,
+       (n_rows * ngroups > 2 * total) AS is_hot,
+       greatest(1, CAST(ceil(n_rows * 20.0 / total) AS BIGINT)) AS salt_factor
+FROM t
+"""
+
+
+def q_kg_negative_samples(spark, sf_dir):
+    """Deterministic filtered tail-corruption negatives over the doc
+    graph (KG-embedding training data; see graph.negative_samples for
+    the anti-join scale shape). n_nodes is one scalar count action; the
+    sampling itself is lazy relational algebra."""
+    from causalre_spark.operators import graph
+
+    docs = _t(spark, sf_dir, "documents")
+    return graph.negative_samples(
+        _doc_graph_edges(spark, sf_dir),
+        docs.select("doc_id"),
+        n_nodes=docs.count(),
+    )
+
+
+SQL_KG_NEGATIVE_SAMPLES = f"""
+WITH {_DUCK_GRAPH_CTE},
+prop AS (SELECT src,
+                ({md5_long_sql("concat(CAST(src AS VARCHAR), '#', CAST(dst AS VARCHAR))")})
+                % (SELECT count(*) FROM documents) AS dst_neg
+         FROM edges),
+valid AS (SELECT p.src, p.dst_neg
+          FROM prop p JOIN documents d ON d.doc_id = p.dst_neg
+          WHERE p.dst_neg <> p.src)
+SELECT DISTINCT v.src, v.dst_neg
+FROM valid v LEFT JOIN edges e ON e.src = v.src AND e.dst = v.dst_neg
+WHERE e.src IS NULL
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # span algebra (SURVEY §2.2/2.3/2.5)
     "p1_valid_span_counts": q_p1_valid_span_counts,
@@ -2771,6 +2914,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_blocking_recall": q_dedup_blocking_recall,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_wide": q_dedup_simhash_wide,
+    "dedup_crossdoc": q_dedup_crossdoc,
+    "decontaminate": q_decontaminate,
     # text analysis family
     "text_quality": q_text_quality,
     "text_repetition": q_text_repetition,
@@ -2799,6 +2944,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_pagerank": q_kg_pagerank,
     "kg_triangles": q_kg_triangles,
     "kg_degree_stats": q_kg_degree_stats,
+    "kg_negative_samples": q_kg_negative_samples,
     "skew_salted_agg": q_skew_salted_agg,
     # classic relational + events
     "tpch_q1": q_tpch_q1,
@@ -2813,6 +2959,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join_orders": q_asof_join_orders,
     "range_join_errors": q_range_join_errors,
     "sample_hash": q_sample_hash,
+    "sample_stratified": q_sample_stratified,
+    "domain_skew_stats": q_domain_skew_stats,
     "tfidf_topk": q_tfidf_topk,
     "group_quantiles": q_group_quantiles,
     # UDF pipeline + multimodal (rows-only)
@@ -2857,6 +3005,8 @@ ORACLES: dict[str, str] = {
     "dedup_blocking_recall": _duck_blocking_recall(),
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "dedup_simhash_wide": SQL_DEDUP_SIMHASH_WIDE,
+    "dedup_crossdoc": SQL_DEDUP_CROSSDOC,
+    "decontaminate": SQL_DECONTAMINATE,
     "text_quality": SQL_TEXT_QUALITY,
     "text_repetition": SQL_TEXT_REPETITION,
     "quality_percentile": SQL_QUALITY_PERCENTILE,
@@ -2881,6 +3031,7 @@ ORACLES: dict[str, str] = {
     "kg_pagerank": _duck_pagerank(),
     "kg_triangles": SQL_KG_TRIANGLES,
     "kg_degree_stats": SQL_KG_DEGREE_STATS,
+    "kg_negative_samples": SQL_KG_NEGATIVE_SAMPLES,
     "skew_salted_agg": SQL_SKEW_SALTED_AGG,
     "tpch_q1": SQL_TPCH_Q1,
     "tpch_q3_topk": SQL_TPCH_Q3_TOPK,
@@ -2893,6 +3044,8 @@ ORACLES: dict[str, str] = {
     "asof_join_orders": SQL_ASOF_JOIN_ORDERS,
     "range_join_errors": SQL_RANGE_JOIN_ERRORS,
     "sample_hash": SQL_SAMPLE_HASH,
+    "sample_stratified": SQL_SAMPLE_STRATIFIED,
+    "domain_skew_stats": SQL_DOMAIN_SKEW_STATS,
     "tfidf_topk": SQL_TFIDF_TOPK,
     "group_quantiles": SQL_GROUP_QUANTILES,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,

@@ -19,6 +19,8 @@ SUBSET = [
     "kg_triangles", "kg_degree_stats", "dedup_ngram_jaccard",
     "asof_join_orders", "range_join_errors", "sample_hash",
     "tfidf_topk", "group_quantiles",
+    "dedup_crossdoc", "decontaminate", "sample_stratified",
+    "domain_skew_stats", "kg_negative_samples",
 ]
 
 
