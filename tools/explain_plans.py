@@ -251,6 +251,50 @@ def main() -> int:
     checks.append(("kmeans assign: no Python eval",
                    "BatchEvalPython" not in p and "ArrowEval" not in p, p))
 
+    # corpus-curation additions (round 3)
+    # decontaminate: the benchmark gram side must broadcast so the
+    # corpus side never shuffles before the per-doc aggregate
+    p = plan_of(Q.q_decontaminate(spark, SF))
+    sections.append(("decontaminate (benchmark n-gram overlap)", p))
+    checks.append(("decontaminate: benchmark side is BroadcastHashJoin",
+                   "BroadcastHashJoin" in p, p))
+    checks.append(("decontaminate: no Python eval",
+                   "BatchEvalPython" not in p and "ArrowEval" not in p, p))
+
+    # crossdoc dup-ngram stats: two hash aggs + one equi-join on the
+    # 48-bit gram key; no Window, no Python
+    p = plan_of(Q.q_dedup_crossdoc(spark, SF))
+    sections.append(("dedup_crossdoc (dup-ngram stats)", p))
+    checks.append(("crossdoc: hash-agg pipeline, no Window",
+                   "HashAggregate" in p and "Window" not in p, p))
+    checks.append(("crossdoc: no Python eval",
+                   "BatchEvalPython" not in p and "ArrowEval" not in p, p))
+
+    # stratified sample: rank<=quota must push a per-partition
+    # WindowGroupLimit below the exchange
+    p = plan_of(Q.q_sample_stratified(spark, SF))
+    sections.append(("sample_stratified (exact-quota)", p))
+    checks.append(("stratified: WindowGroupLimit pre-limit present",
+                   "WindowGroupLimit" in p, p))
+
+    # skew profile: ONE corpus-wide hash agg; the totals window runs on
+    # the tiny aggregated frame (plan may single-partition it — fine),
+    # and nothing Python touches the corpus scan
+    p = plan_of(Q.q_domain_skew_stats(spark, SF))
+    sections.append(("domain_skew_stats (hot-group profile)", p))
+    checks.append(("skew stats: partial hash agg over scan",
+                   "HashAggregate" in p, p))
+    checks.append(("skew stats: no Python eval",
+                   "BatchEvalPython" not in p and "ArrowEval" not in p, p))
+
+    # negative sampling: positives filter must be an anti join
+    p = plan_of(Q.q_kg_negative_samples(spark, SF))
+    sections.append(("kg_negative_samples (filtered corruption)", p))
+    checks.append(("negatives: LeftAnti join against positives",
+                   "LeftAnti" in p, p))
+    checks.append(("negatives: no Python eval",
+                   "BatchEvalPython" not in p and "ArrowEval" not in p, p))
+
     os.makedirs(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH"), exist_ok=True)
     out_path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH", "PLANS.md")
     with open(out_path, "w") as f:
