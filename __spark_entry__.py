@@ -13,8 +13,9 @@ queries()      — one entry per implemented operator from SURVEY.md §2
                  dedup, graph 2-hop join + fixed-iteration PageRank,
                  salted skew aggregation, cross-doc dup-ngram stats,
                  benchmark decontamination, stratified sampling,
-                 hot-group skew profiling, KG negative sampling):
-                 78 queries, 75 with exact DuckDB oracles.
+                 hot-group skew profiling, KG negative sampling, DSIR
+                 importance weighting):
+                 79 queries, 76 with exact DuckDB oracles.
 oracle_sql()   — exact DuckDB twins for every relational operator; the
                  three UDF-backed pipeline queries (pipeline_spans,
                  causal_triples, causal_triples_seeded) are rows-only by

@@ -75,3 +75,63 @@ def group_skew_stats(df: DataFrame, group_col: str,
             ).cast("long").alias("salt_factor"),
         )
     )
+
+
+def dsir_log_weights(source_tokens: DataFrame, target_tokens: DataFrame,
+                     n_buckets: int = 64, alpha: float = 1.0) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every source
+    document by how target-like its hashed-unigram distribution is,
+    log w(doc) = sum_tokens ln(p_target(bucket) / p_source(bucket)),
+    with Laplace-smoothed bucket models fitted on the two corpora. The
+    weights feed importance resampling of a raw crawl toward a clean
+    target (the paper's use) — the selection op between quality
+    filtering and training.
+
+    Inputs are (id, tok) frames WITH multiplicity (token occurrences,
+    not distinct sets). Output: (doc_id, n_toks, log_weight[4dp]).
+
+    Scale shape: both bucket models are single partial hash aggs that
+    reduce to `n_buckets` rows — effectively free next to the scan. The
+    per-doc pass aggregates (id, bucket) counts, broadcast-joins the
+    tiny model (n_buckets rows), and re-aggregates per doc: the corpus
+    is shuffled once, on the doc id, which AQE coalesces with the final
+    aggregate. Nothing Python; ln() stays in codegen. 4dp rounding
+    absorbs float-summation-order and last-ulp libm differences across
+    engines (same policy as pagerank/group_quantiles).
+    """
+    spark = source_tokens.sparkSession
+    bexpr = (F.expr(md5_long_sql_spark("tok")) % n_buckets).alias("b")
+    src_b = source_tokens.select("id", bexpr)
+    tgt_b = target_tokens.select(bexpr)
+
+    all_b = spark.range(n_buckets).select(F.col("id").cast("long").alias("b"))
+    c_s = src_b.groupBy("b").agg(F.count(F.lit(1)).alias("c_s"))
+    c_t = tgt_b.groupBy("b").agg(F.count(F.lit(1)).alias("c_t"))
+    model = (
+        all_b.join(c_s, "b", "left").join(c_t, "b", "left")
+        .select(
+            "b",
+            F.coalesce("c_s", F.lit(0)).alias("c_s"),
+            F.coalesce("c_t", F.lit(0)).alias("c_t"),
+        )
+        .withColumn("_ts", F.sum("c_s").over(Window.partitionBy()))
+        .withColumn("_tt", F.sum("c_t").over(Window.partitionBy()))
+        .select(
+            "b",
+            (F.log((F.col("c_t") + alpha) / (F.col("_tt") + alpha * n_buckets))
+             - F.log((F.col("c_s") + alpha) / (F.col("_ts") + alpha * n_buckets))
+             ).alias("log_ratio"),
+        )
+    )
+    per_bucket = src_b.groupBy("id", "b").agg(F.count(F.lit(1)).alias("n_b"))
+    return (
+        per_bucket.join(F.broadcast(model), "b")
+        .groupBy("id")
+        .agg(
+            F.sum("n_b").alias("n_toks"),
+            F.round(F.sum(F.col("n_b") * F.col("log_ratio")), 4)
+            .alias("log_weight"),
+        )
+        .select(F.col("id").alias("doc_id"), "n_toks", "log_weight")
+    )

@@ -2854,6 +2854,48 @@ FROM t
 """
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights of every source doc against the held-out
+    benchmark slice (doc_id % 97 == 0 — the same target split
+    decontaminate uses), hashed-unigram bucket models with 64 buckets,
+    Laplace alpha=1. See sampling.dsir_log_weights for the
+    one-corpus-shuffle scale shape."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.col("doc_id").alias("id"),
+        F.explode(
+            F.expr(f"split({NORMALIZE_SQL.format(x='text')}, ' ')")
+        ).alias("tok"),
+    )
+    return sampling.dsir_log_weights(
+        toks.filter(F.col("id") % 97 != 0),
+        toks.filter(F.col("id") % 97 == 0),
+        n_buckets=64, alpha=1.0,
+    )
+
+
+SQL_DSIR_WEIGHTS = f"""
+WITH toks AS (SELECT doc_id AS id,
+                     unnest(string_split({NORMALIZE_SQL_DUCK.format(x="text")}, ' ')) AS tok
+              FROM documents),
+bk AS (SELECT id, ({md5_long_sql("tok")}) % 64 AS b FROM toks),
+allb AS (SELECT unnest(generate_series(0, 63)) AS b),
+cs AS (SELECT b, count(*) AS c_s FROM bk WHERE id % 97 <> 0 GROUP BY b),
+ct AS (SELECT b, count(*) AS c_t FROM bk WHERE id % 97 = 0 GROUP BY b),
+model0 AS (SELECT a.b, coalesce(cs.c_s, 0) AS c_s, coalesce(ct.c_t, 0) AS c_t
+           FROM allb a LEFT JOIN cs ON a.b = cs.b LEFT JOIN ct ON a.b = ct.b),
+model AS (SELECT b,
+                 ln((c_t + 1.0) / (sum(c_t) OVER () + 64.0))
+               - ln((c_s + 1.0) / (sum(c_s) OVER () + 64.0)) AS log_ratio
+          FROM model0),
+pb AS (SELECT id, b, count(*) AS n_b FROM bk WHERE id % 97 <> 0 GROUP BY id, b)
+SELECT pb.id AS doc_id, CAST(sum(n_b) AS BIGINT) AS n_toks,
+       round(sum(n_b * log_ratio), 4) AS log_weight
+FROM pb JOIN model m ON pb.b = m.b
+GROUP BY pb.id
+"""
+
+
 def q_kg_negative_samples(spark, sf_dir):
     """Deterministic filtered tail-corruption negatives over the doc
     graph (KG-embedding training data; see graph.negative_samples for
@@ -2961,6 +3003,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_hash": q_sample_hash,
     "sample_stratified": q_sample_stratified,
     "domain_skew_stats": q_domain_skew_stats,
+    "dsir_weights": q_dsir_weights,
     "tfidf_topk": q_tfidf_topk,
     "group_quantiles": q_group_quantiles,
     # UDF pipeline + multimodal (rows-only)
@@ -3046,6 +3089,7 @@ ORACLES: dict[str, str] = {
     "sample_hash": SQL_SAMPLE_HASH,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
     "domain_skew_stats": SQL_DOMAIN_SKEW_STATS,
+    "dsir_weights": SQL_DSIR_WEIGHTS,
     "tfidf_topk": SQL_TFIDF_TOPK,
     "group_quantiles": SQL_GROUP_QUANTILES,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,

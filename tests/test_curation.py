@@ -88,3 +88,39 @@ def test_negative_samples_filters(spark):
     assert got  # non-vacuous on this seed set
     assert not (got & pos)
     assert all(0 <= d < n and d != s for s, d in got)
+
+
+def test_dsir_log_weights_vs_python_twin(spark):
+    import math
+    from collections import Counter
+
+    B, ALPHA = 64, 1.0
+    src = {1: ["alpha", "beta", "beta"], 2: ["gamma"], 3: ["beta", "delta"]}
+    tgt = ["beta", "beta", "gamma", "epsilon"]
+
+    def bucket(tok):
+        return md5_long(tok) % B
+
+    c_s = Counter(bucket(t) for toks in src.values() for t in toks)
+    c_t = Counter(bucket(t) for t in tgt)
+    ts, tt = sum(c_s.values()), sum(c_t.values())
+
+    def log_ratio(b):
+        return (math.log((c_t[b] + ALPHA) / (tt + ALPHA * B))
+                - math.log((c_s[b] + ALPHA) / (ts + ALPHA * B)))
+
+    expect = {
+        d: (len(toks), round(sum(log_ratio(bucket(t)) for t in toks), 4))
+        for d, toks in src.items()
+    }
+
+    src_df = spark.createDataFrame(
+        [(d, t) for d, toks in src.items() for t in toks],
+        "id long, tok string")
+    tgt_df = spark.createDataFrame([(9, t) for t in tgt], "id long, tok string")
+    got = {r["doc_id"]: (r["n_toks"], r["log_weight"])
+           for r in sampling.dsir_log_weights(src_df, tgt_df, B, ALPHA).collect()}
+    assert got == expect
+    # model property: a target-only token must score above a source-only
+    # token (epsilon: target-only; delta: source-only)
+    assert log_ratio(bucket("epsilon")) > log_ratio(bucket("delta"))

@@ -20,7 +20,7 @@ SUBSET = [
     "asof_join_orders", "range_join_errors", "sample_hash",
     "tfidf_topk", "group_quantiles",
     "dedup_crossdoc", "decontaminate", "sample_stratified",
-    "domain_skew_stats", "kg_negative_samples",
+    "domain_skew_stats", "kg_negative_samples", "dsir_weights",
 ]
 
 

@@ -287,6 +287,15 @@ def main() -> int:
     checks.append(("skew stats: no Python eval",
                    "BatchEvalPython" not in p and "ArrowEval" not in p, p))
 
+    # DSIR: the 64-row bucket model must broadcast onto the per-doc
+    # bucket counts; nothing Python near the corpus scan
+    p = plan_of(Q.q_dsir_weights(spark, SF))
+    sections.append(("dsir_weights (importance weighting)", p))
+    checks.append(("dsir: bucket model join is broadcast",
+                   "BroadcastHashJoin" in p, p))
+    checks.append(("dsir: no Python eval",
+                   "BatchEvalPython" not in p and "ArrowEval" not in p, p))
+
     # negative sampling: positives filter must be an anti join
     p = plan_of(Q.q_kg_negative_samples(spark, SF))
     sections.append(("kg_negative_samples (filtered corruption)", p))
