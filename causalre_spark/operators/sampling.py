@@ -135,3 +135,34 @@ def dsir_log_weights(source_tokens: DataFrame, target_tokens: DataFrame,
         )
         .select(F.col("id").alias("doc_id"), "n_toks", "log_weight")
     )
+
+
+def mixing_weights(df: DataFrame, group_col: str,
+                   alpha: float = 0.7) -> DataFrame:
+    """Temperature-based corpus mixing weights (the multilingual
+    sampling rule of XLM-R / mT5: p_i proportional to n_i^alpha,
+    alpha < 1 upweights low-resource groups): per group, the raw share,
+    the temperature-adjusted sampling probability, and the boost factor
+    a data loader applies when drawing training batches.
+
+    Scale shape: one partial hash aggregation reduces the corpus to
+    n_groups rows; the normalization windows run on that tiny frame
+    (single-partition by design — kilobytes). 4dp rounding absorbs
+    float pow/summation-order differences across engines.
+    """
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy()
+    return (
+        counts
+        .withColumn("_pw", F.pow(F.col("n_docs"), F.lit(alpha)))
+        .withColumn("_total", F.sum("n_docs").over(w))
+        .withColumn("_pwsum", F.sum("_pw").over(w))
+        .select(
+            group_col,
+            "n_docs",
+            F.round(F.col("n_docs") / F.col("_total"), 4).alias("p_raw"),
+            F.round(F.col("_pw") / F.col("_pwsum"), 4).alias("p_temp"),
+            F.round((F.col("_pw") / F.col("_pwsum"))
+                    / (F.col("n_docs") / F.col("_total")), 4).alias("boost"),
+        )
+    )

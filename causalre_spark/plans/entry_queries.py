@@ -2854,6 +2854,28 @@ FROM t
 """
 
 
+def q_lang_mixing_weights(spark, sf_dir):
+    """Temperature-sampling mixing weights per language (alpha=0.7,
+    the XLM-R/mT5 multilingual rule) — see sampling.mixing_weights for
+    the one-agg scale shape."""
+    return sampling.mixing_weights(
+        _t(spark, sf_dir, "documents"), "lang", alpha=0.7)
+
+
+SQL_LANG_MIXING_WEIGHTS = """
+WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+t AS (SELECT lang, n_docs,
+             n_docs / sum(n_docs) OVER () AS p_raw,
+             pow(n_docs, 0.7) / sum(pow(n_docs, 0.7)) OVER () AS p_temp
+      FROM c)
+SELECT lang, n_docs,
+       round(p_raw, 4) AS p_raw,
+       round(p_temp, 4) AS p_temp,
+       round(p_temp / p_raw, 4) AS boost
+FROM t
+"""
+
+
 def q_dsir_weights(spark, sf_dir):
     """DSIR importance weights of every source doc against the held-out
     benchmark slice (doc_id % 97 == 0 — the same target split
@@ -3004,6 +3026,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_stratified": q_sample_stratified,
     "domain_skew_stats": q_domain_skew_stats,
     "dsir_weights": q_dsir_weights,
+    "lang_mixing_weights": q_lang_mixing_weights,
     "tfidf_topk": q_tfidf_topk,
     "group_quantiles": q_group_quantiles,
     # UDF pipeline + multimodal (rows-only)
@@ -3090,6 +3113,7 @@ ORACLES: dict[str, str] = {
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
     "domain_skew_stats": SQL_DOMAIN_SKEW_STATS,
     "dsir_weights": SQL_DSIR_WEIGHTS,
+    "lang_mixing_weights": SQL_LANG_MIXING_WEIGHTS,
     "tfidf_topk": SQL_TFIDF_TOPK,
     "group_quantiles": SQL_GROUP_QUANTILES,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,

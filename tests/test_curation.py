@@ -124,3 +124,16 @@ def test_dsir_log_weights_vs_python_twin(spark):
     # model property: a target-only token must score above a source-only
     # token (epsilon: target-only; delta: source-only)
     assert log_ratio(bucket("epsilon")) > log_ratio(bucket("delta"))
+
+
+def test_mixing_weights_upweights_low_resource(spark):
+    df = spark.createDataFrame(
+        [("en",)] * 4 + [("de",)], "lang string")
+    got = {r["lang"]: (r["n_docs"], r["p_raw"], r["p_temp"], r["boost"])
+           for r in sampling.mixing_weights(df, "lang", alpha=0.5).collect()}
+    # pw: en=2, de=1 -> p_temp en=2/3, de=1/3
+    assert got == {
+        "en": (4, 0.8, round(2 / 3, 4), round((2 / 3) / 0.8, 4)),
+        "de": (1, 0.2, round(1 / 3, 4), round((1 / 3) / 0.2, 4)),
+    }
+    assert got["de"][3] > 1.0 > got["en"][3]
