@@ -14,8 +14,9 @@ queries()      — one entry per implemented operator from SURVEY.md §2
                  salted skew aggregation, cross-doc dup-ngram stats,
                  benchmark decontamination, stratified sampling,
                  hot-group skew profiling, KG negative sampling, DSIR
-                 importance weighting, temperature mixing weights):
-                 80 queries, 77 with exact DuckDB oracles.
+                 importance weighting, temperature mixing weights,
+                 composite curation verdict, CC size histogram):
+                 82 queries, 79 with exact DuckDB oracles.
 oracle_sql()   — exact DuckDB twins for every relational operator; the
                  three UDF-backed pipeline queries (pipeline_spans,
                  causal_triples, causal_triples_seeded) are rows-only by

@@ -2854,6 +2854,91 @@ FROM t
 """
 
 
+def q_curation_verdict(spark, sf_dir):
+    """The composite per-doc curation decision a production corpus
+    pipeline materializes before training: quality gate (5dp composite
+    score), Gopher repetition gate, cross-doc duplicated-ngram gate,
+    and benchmark-contamination gate, each as an explicit reason flag
+    plus the final `keep` — so downstream can both filter and audit WHY
+    a doc was dropped. Thresholds chosen to split the synthetic corpus
+    non-vacuously (lowq ~10%, dup ~10%, repetitive ~2%; contamination
+    is all-clear on this corpus, which is itself the common real-world
+    outcome).
+
+    Scale shape: every signal frame is keyed on doc_id, so after the
+    first shuffle the 4-way join is co-partitioned (AQE reuses the
+    exchange); the shingle projection is persisted once and feeds both
+    the cross-doc counts and the two contamination sides. All component
+    operators are themselves oracle-gated — this query proves their
+    COMPOSITION agrees cross-engine too."""
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 97 != 0)
+    sh = dedup.word_shingles(docs, n=4).persist()
+    q = textstats.quality_scores(ev).select(
+        "doc_id", (F.col("quality_score") < 0.72).alias("flag_lowq"))
+    r = textstats.repetition_stats(ev).select(
+        "doc_id", (~F.col("keep")).alias("flag_repetitive"))
+    cd = (
+        dedup.crossdoc_ngram_stats(sh)
+        .filter(F.col("doc_id") % 97 != 0)
+        .select("doc_id", (F.col("dup_frac") > 0.15).alias("flag_dup"))
+    )
+    ct = dedup.contamination_stats(
+        sh.filter(F.col("id") % 97 != 0),
+        sh.filter(F.col("id") % 97 == 0),
+    ).select("doc_id", F.col("contaminated").alias("flag_contaminated"))
+    return (
+        q.join(r, "doc_id").join(cd, "doc_id").join(ct, "doc_id")
+        .select(
+            "doc_id", "flag_lowq", "flag_repetitive", "flag_dup",
+            "flag_contaminated",
+            (~(F.col("flag_lowq") | F.col("flag_repetitive")
+               | F.col("flag_dup") | F.col("flag_contaminated")))
+            .alias("keep"),
+        )
+    )
+
+
+SQL_CURATION_VERDICT = f"""
+WITH q AS (SELECT doc_id, quality_score FROM ({SQL_TEXT_QUALITY}) x),
+r AS (SELECT doc_id, keep FROM ({SQL_TEXT_REPETITION}) x),
+cd AS (SELECT doc_id, dup_frac FROM ({SQL_DEDUP_CROSSDOC}) x),
+ct AS (SELECT doc_id, contaminated FROM ({SQL_DECONTAMINATE}) x)
+SELECT q.doc_id,
+       (q.quality_score < 0.72) AS flag_lowq,
+       (NOT r.keep) AS flag_repetitive,
+       (cd.dup_frac > 0.15) AS flag_dup,
+       ct.contaminated AS flag_contaminated,
+       NOT ((q.quality_score < 0.72) OR (NOT r.keep)
+            OR (cd.dup_frac > 0.15) OR ct.contaminated) AS keep
+FROM q
+JOIN r ON q.doc_id = r.doc_id
+JOIN cd ON q.doc_id = cd.doc_id
+JOIN ct ON q.doc_id = ct.doc_id
+WHERE q.doc_id % 97 <> 0
+"""
+
+
+def q_cc_size_stats(spark, sf_dir):
+    """Component-size histogram of the entity-linking CC output — the
+    diagnostic an entity-resolution engineer reads to catch blocking
+    pathologies (a giant component = over-merged canon; all-singletons
+    = under-blocking). Two hash aggregations on top of the hardened
+    large-star/small-star labels."""
+    cc = q_cc_components(spark, sf_dir)
+    sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("size"))
+    return sizes.groupBy("size").agg(
+        F.count(F.lit(1)).alias("n_components"))
+
+
+SQL_CC_SIZE_STATS_TMPL = """
+SELECT size, count(*) AS n_components FROM (
+  SELECT component, count(*) AS size
+  FROM ({cc}) c GROUP BY component) s
+GROUP BY size
+"""
+
+
 def q_lang_mixing_weights(spark, sf_dir):
     """Temperature-sampling mixing weights per language (alpha=0.7,
     the XLM-R/mT5 multilingual rule) — see sampling.mixing_weights for
@@ -3027,6 +3112,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_skew_stats": q_domain_skew_stats,
     "dsir_weights": q_dsir_weights,
     "lang_mixing_weights": q_lang_mixing_weights,
+    "curation_verdict": q_curation_verdict,
+    "cc_size_stats": q_cc_size_stats,
     "tfidf_topk": q_tfidf_topk,
     "group_quantiles": q_group_quantiles,
     # UDF pipeline + multimodal (rows-only)
@@ -3114,6 +3201,8 @@ ORACLES: dict[str, str] = {
     "domain_skew_stats": SQL_DOMAIN_SKEW_STATS,
     "dsir_weights": SQL_DSIR_WEIGHTS,
     "lang_mixing_weights": SQL_LANG_MIXING_WEIGHTS,
+    "curation_verdict": SQL_CURATION_VERDICT,
+    "cc_size_stats": SQL_CC_SIZE_STATS_TMPL.format(cc=SQL_CC_COMPONENTS),
     "tfidf_topk": SQL_TFIDF_TOPK,
     "group_quantiles": SQL_GROUP_QUANTILES,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,

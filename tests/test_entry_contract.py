@@ -21,7 +21,7 @@ SUBSET = [
     "tfidf_topk", "group_quantiles",
     "dedup_crossdoc", "decontaminate", "sample_stratified",
     "domain_skew_stats", "kg_negative_samples", "dsir_weights",
-    "lang_mixing_weights",
+    "lang_mixing_weights", "curation_verdict", "cc_size_stats",
 ]
 
 
