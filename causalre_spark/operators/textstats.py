@@ -21,15 +21,21 @@ LANG_MARKERS = {
 
 
 def quality_scores(docs: DataFrame, id_col: str = "doc_id",
-                   text_col: str = "text") -> DataFrame:
+                   text_col: str = "text",
+                   extra_cols: tuple = ()) -> DataFrame:
     """Per-doc quality features: token count, mean token length,
     punctuation ratio, stopword ratio, and a combined score.
 
-    All expressions stay in whole-stage codegen (no UDFs)."""
+    All expressions stay in whole-stage codegen (no UDFs). A pure
+    projection, so it applies unchanged to a STREAMING frame
+    (streaming.curation_gate_stream); `extra_cols` passes additional
+    input columns through unchanged (e.g. upstream signal columns when
+    composing projections without a join)."""
     toks = f"split({NORMALIZE_SQL.format(x=text_col)}, ' ')"
     stop = "array('the','a','of','to','and','in','is','was')"
     return docs.select(
         F.col(id_col),
+        *[F.col(c) for c in extra_cols],
         F.expr(f"size({toks})").cast("long").alias("n_tokens"),
         F.round(F.expr(
             f"aggregate({toks}, 0L, (a, t) -> a + length(t)) / greatest(size({toks}), 1)"
@@ -194,6 +200,44 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
     ).withColumn(
         "keep",
         (F.col("top_bigram_frac") <= 0.20) & (F.col("dup_trigram_frac") <= 0.60),
+    )
+
+
+def repetition_row_signals(docs: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           extra_cols: tuple = ()) -> DataFrame:
+    """Row-local subset of repetition_stats: dup_word_frac and
+    dup_trigram_frac with IDENTICAL values (same frozen expressions,
+    same 5dp floor-truncation), but NO aggregation — a pure projection,
+    so it applies unchanged to a STREAMING frame (stateless, no
+    watermark/state needed). top_bigram_frac is deliberately absent:
+    its codegen-friendly form is repetition_stats' explode + two hash
+    aggs (row-local HOF counting never participates in codegen), which
+    is the batch shape; the in-stream gate's discriminative power comes
+    from the dup fractions, and the full Gopher gate runs in the
+    periodic batch bridge (streaming/ingest.py module docstring)."""
+    norm = NORMALIZE_SQL.format(x=text_col)
+    trunc5 = "floor(({x}) * 100000) / 100000"
+    grams = docs.select(
+        F.col(id_col), *[F.col(c) for c in extra_cols],
+        F.expr(f"size(split({norm}, ' '))").cast("long").alias("n_words"),
+        F.expr(f"size(array_distinct(split({norm}, ' ')))")
+        .cast("long").alias("n_distinct_words"),
+        F.expr(
+            f"case when size(split({norm}, ' ')) < 3 then cast(array() as array<string>) else "
+            f"transform(sequence(1, size(split({norm}, ' ')) - 2),"
+            f" i -> concat(split({norm}, ' ')[i-1], ' ', split({norm}, ' ')[i], ' ', split({norm}, ' ')[i+1])) end"
+        ).alias("trigrams"),
+    )
+    return grams.select(
+        id_col, *extra_cols, "n_words",
+        F.expr(trunc5.format(
+            x="1.0 - n_distinct_words / greatest(n_words, 1)"))
+        .alias("dup_word_frac"),
+        F.expr(trunc5.format(
+            x="case when size(trigrams) = 0 then 0.0 else "
+              "1.0 - size(array_distinct(trigrams)) / size(trigrams) end"))
+        .alias("dup_trigram_frac"),
     )
 
 

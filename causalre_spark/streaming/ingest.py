@@ -204,3 +204,56 @@ def link_streamed_batch(
     for df_ in cleanup:
         df_.unpersist()
     return {"entities": entities, "triples": triples}
+
+
+def curation_gate_stream(docs: DataFrame, id_col: str = "url",
+                         text_col: str = "text") -> DataFrame:
+    """Stateless in-stream curation gate: quality score + repetition
+    dup-fraction signals + keep flag, computed as ONE chained projection
+    (no join — stream-stream joins would need watermarks; projections
+    compose for free). Runs on the RAW pages stream, BEFORE the
+    expensive extraction UDF — at production scale dropping low-quality
+    pages here saves the encoder pass, the single largest cost in the
+    pipeline. `docs` is any frame with (id_col, text_col) — batch or
+    streaming: the SAME function is its own batch twin, which is what
+    tests/test_streaming.py asserts (stream output row-identical to the
+    batch run over the same files).
+
+    Gate: keep = n_tokens >= 10 AND quality_score >= 0.72 AND
+    dup_trigram_frac <= 0.60 — the stream-safe subset of the batch
+    curation_verdict thresholds (corpus-relative gates like percentile
+    and cross-doc dedup are global by definition and run in the
+    periodic batch bridge, like linking)."""
+    from causalre_spark.operators.textstats import (
+        quality_scores, repetition_row_signals)
+
+    r = repetition_row_signals(docs, id_col=id_col, text_col=text_col,
+                               extra_cols=(text_col,))
+    q = quality_scores(
+        r, id_col=id_col, text_col=text_col,
+        extra_cols=("n_words", "dup_word_frac", "dup_trigram_frac"))
+    return q.withColumn(
+        "keep",
+        (F.col("n_tokens") >= 10)
+        & (F.col("quality_score") >= 0.72)
+        & (F.col("dup_trigram_frac") <= 0.60),
+    )
+
+
+def run_curation_gate_once(spark: SparkSession, pages_path: str,
+                           out_dir: str) -> str:
+    """Drain pages_path through the stateless curation gate into an
+    append-mode parquet sink (Trigger.AvailableNow); the checkpoint
+    makes re-runs process only newly landed files."""
+    pages = read_pages_stream(spark, pages_path).select("url", "text")
+    gated = curation_gate_stream(pages)
+    q = (
+        gated.writeStream.format("parquet")
+        .option("path", f"{out_dir}/curated")
+        .option("checkpointLocation", f"{out_dir}/_checkpoints/curated")
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination()
+    return f"{out_dir}/curated"

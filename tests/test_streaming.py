@@ -177,3 +177,54 @@ def test_session_window_crawl_activity(spark):
            for r in spark.sql("select * from sess_counts").collect()}
     assert got == {("a.example", 0, 3), ("a.example", 110, 1),
                    ("b.example", 5, 1)}
+
+
+def test_streaming_curation_gate_matches_batch(spark):
+    """The stateless in-stream curation gate produces row-identical
+    output to the same projection run in batch over the same files,
+    and the repetition signals match the batch repetition_stats values
+    exactly (same frozen expressions)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from causalre_spark.operators.textstats import repetition_stats
+    from causalre_spark.streaming.ingest import (
+        curation_gate_stream, run_curation_gate_once)
+
+    src = "/tmp/causalre_stream_gate_src"
+    out = "/tmp/causalre_stream_gate_out"
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
+    synth_pages_df(spark, 40, partitions=2).write.mode("overwrite").parquet(src)
+
+    sink = run_curation_gate_once(spark, src, out)
+    streamed = spark.read.parquet(sink)
+    batch = curation_gate_stream(
+        spark.read.parquet(src).select("url", "text"))
+    key = lambda r: (r["url"],)
+    s_rows = sorted(map(tuple, streamed.collect()))
+    b_rows = sorted(map(tuple, batch.collect()))
+    assert s_rows == b_rows
+    assert len(s_rows) == 40
+    # gate is non-vacuous on the synthetic corpus
+    kept = streamed.filter("keep").count()
+    assert 0 < kept < 40
+
+    # dup fracs equal the batch repetition_stats values per url
+    rep = repetition_stats(
+        spark.read.parquet(src).select(F.col("url").alias("doc_id"), "text"))
+    want = {r["doc_id"]: (r["dup_word_frac"], r["dup_trigram_frac"])
+            for r in rep.collect()}
+    got = {r["url"]: (r["dup_word_frac"], r["dup_trigram_frac"])
+           for r in streamed.collect()}
+    assert got == want
+
+    # incremental: new files only
+    (synth_pages_df(spark, 50, partitions=2)
+     .filter("url rlike '/doc/4[0-9]$'")
+     .write.mode("append").parquet(src))
+    run_curation_gate_once(spark, src, out)
+    again = spark.read.parquet(sink)
+    assert again.count() == 50
+    assert again.select("url").distinct().count() == 50
