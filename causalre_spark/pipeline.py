@@ -298,6 +298,24 @@ def run_pipeline(
     io = StageIO(spark, workdir, resume,
                  table_namespace=cfg.extra.get("table_namespace"))
 
+    if cfg.extra.get("curation_gate"):
+        # opt-in pre-extraction curation gate (the streaming gate's
+        # batch twin — same function, same thresholds): a pure row-local
+        # projection + filter, evaluated in the SAME scan stage as the
+        # extraction's input, that drops low-quality/repetitive pages
+        # BEFORE the encoder UDF — at production scale the encoder is
+        # the dominant cost, so a ~20% gate rate is ~20% of the extract
+        # stage back. Off by default: the reference pipeline has no such
+        # gate, and parity tests compare ungated output.
+        from causalre_spark.streaming.ingest import curation_gate_stream
+
+        pages = (
+            curation_gate_stream(pages, id_col="url",
+                                 extra_cols=("warc_ts", "html", "lang"))
+            .filter(F.col("keep"))
+            .select("url", "warc_ts", "html", "text", "lang")
+        )
+
     docs = io.checkpoint("docs", lambda: extract_docs(pages, cfg))
     if verify_extraction:
         bad = docs.filter(~F.col("text_ok")).count()

@@ -207,7 +207,8 @@ def link_streamed_batch(
 
 
 def curation_gate_stream(docs: DataFrame, id_col: str = "url",
-                         text_col: str = "text") -> DataFrame:
+                         text_col: str = "text",
+                         extra_cols: tuple = ()) -> DataFrame:
     """Stateless in-stream curation gate: quality score + repetition
     dup-fraction signals + keep flag, computed as ONE chained projection
     (no join — stream-stream joins would need watermarks; projections
@@ -228,10 +229,11 @@ def curation_gate_stream(docs: DataFrame, id_col: str = "url",
         quality_scores, repetition_row_signals)
 
     r = repetition_row_signals(docs, id_col=id_col, text_col=text_col,
-                               extra_cols=(text_col,))
+                               extra_cols=(text_col, *extra_cols))
     q = quality_scores(
         r, id_col=id_col, text_col=text_col,
-        extra_cols=("n_words", "dup_word_frac", "dup_trigram_frac"))
+        extra_cols=("n_words", "dup_word_frac", "dup_trigram_frac",
+                    text_col, *extra_cols))
     return q.withColumn(
         "keep",
         (F.col("n_tokens") >= 10)

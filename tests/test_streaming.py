@@ -228,3 +228,31 @@ def test_streaming_curation_gate_matches_batch(spark):
     again = spark.read.parquet(sink)
     assert again.count() == 50
     assert again.select("url").distinct().count() == 50
+
+
+def test_pipeline_curation_gate_equals_prefiltered_run(spark):
+    """run_pipeline with cfg.extra['curation_gate'] produces exactly the
+    output of running the ungated pipeline over the pre-filtered pages
+    (the gate composes, it does not perturb), and it actually drops
+    pages on the synthetic corpus."""
+    from dataclasses import replace
+
+    from causalre_spark.config import DEFAULT_CONFIG
+    from causalre_spark.pipeline import run_pipeline
+    from causalre_spark.streaming.ingest import curation_gate_stream
+
+    pages = synth_pages_df(spark, 60, partitions=4)
+    gated_cfg = replace(DEFAULT_CONFIG, extra={"curation_gate": True})
+    res_g = run_pipeline(spark, pages, gated_cfg)
+
+    kept_urls = {r["url"] for r in curation_gate_stream(
+        pages, extra_cols=("lang",)).filter("keep").collect()}
+    assert 0 < len(kept_urls) < 60
+    pre = pages.filter(pages.url.isin(list(kept_urls)))
+    res_p = run_pipeline(spark, pre)
+
+    for key in ("spans", "triples"):
+        a = sorted(map(tuple, res_g[key].collect()))
+        b = sorted(map(tuple, res_p[key].collect()))
+        assert a == b, key
+    assert res_g["docs"].count() == pre.filter("lang = 'en'").count()
