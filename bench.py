@@ -40,6 +40,7 @@ HEADLINE = [
     "kg_2hop",              # graph 2-hop self-join (bucketed-table shape)
     "text_quality",         # codegen'd text featurization
     "semantic_dedup",       # fitted k-means blocking + in-cluster cosine
+    "curation_verdict",     # composite quality/repetition/dup/contamination gate
     "tpch_q1",              # classic agg
     "events_sessionize",    # lag-window sessionization
     "pipeline_spans",       # UDF extraction + top-k + NMS + span text
@@ -184,7 +185,10 @@ def write_baseline_md(scale_lo: dict, scale_hi: dict, eff: float,
             "pairs -> relations -> linking -> triples) on the deterministic "
             "synthetic corpus, same input at two parallelism levels "
             "(local[N] threads stand in for executors — no real cluster in "
-            "the sandbox, per BASELINE.md).\n\n"
+            "the sandbox, per BASELINE.md). Related one-off measurements: "
+            "BENCH/GATE_AB.md (fused curation-gate cost A/B), "
+            "BENCH/CLUSTER.md (real multi-executor probe), "
+            "BENCH/GOLD_EVAL.md (extraction quality on reference gold).\n\n"
             "| cores | pages | triples | total secs | extract-stage secs | tail secs | docs/sec | triples/sec |\n"
             "|---|---|---|---|---|---|---|---|\n"
         )

@@ -62,6 +62,16 @@ def make_doc_extract_udf(cfg: PipelineConfig = DEFAULT_CONFIG):
     the caller). text is re-extracted from html; text_ok carries the
     byte-identical invariant."""
 
+    # fused pre-encode curation gate (cfg.extra['curation_gate']): the
+    # cheap row-local quality/repetition decision runs INSIDE the Arrow
+    # crossing, before the encoder — the same fusion rationale as the
+    # reference's in-model pruning cascade (see pipeline.py run_pipeline
+    # for why a relational pre-filter is NOT the right shape here). The
+    # python twin is value-identical to the relational gate column.
+    gate = None
+    if cfg.extra.get("curation_gate"):
+        from causalre_spark.functions.text import curation_keep as gate
+
     def udf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {k: [] for k in ("url", "n_tokens", "text_ok", "spans", "rels")}
@@ -69,6 +79,8 @@ def make_doc_extract_udf(cfg: PipelineConfig = DEFAULT_CONFIG):
                 pdf["url"], pdf["html"], pdf["expected_text"]
             ):
                 text = extract_text(bytes(html))
+                if gate is not None and not gate(text):
+                    continue
                 toks = tokenize(text)
                 r = batch.doc_extract(toks, cfg)
                 span_rows = [

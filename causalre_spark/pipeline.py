@@ -298,24 +298,17 @@ def run_pipeline(
     io = StageIO(spark, workdir, resume,
                  table_namespace=cfg.extra.get("table_namespace"))
 
-    if cfg.extra.get("curation_gate"):
-        # opt-in pre-extraction curation gate (the streaming gate's
-        # batch twin — same function, same thresholds): a pure row-local
-        # projection + filter, evaluated in the SAME scan stage as the
-        # extraction's input, that drops low-quality/repetitive pages
-        # BEFORE the encoder UDF — at production scale the encoder is
-        # the dominant cost, so a ~20% gate rate is ~20% of the extract
-        # stage back. Off by default: the reference pipeline has no such
-        # gate, and parity tests compare ungated output.
-        from causalre_spark.streaming.ingest import curation_gate_stream
-
-        pages = (
-            curation_gate_stream(pages, id_col="url",
-                                 extra_cols=("warc_ts", "html", "lang"))
-            .filter(F.col("keep"))
-            .select("url", "warc_ts", "html", "text", "lang")
-        )
-
+    # Opt-in curation gate (cfg.extra['curation_gate']): fused INTO the
+    # extraction UDF (model/udfs.py), not a relational pre-filter. A
+    # relational filter on the gate signals gets re-inlined by Catalyst
+    # into the pushed-down condition — split(normalize(text)) ends up
+    # INSIDE the trigram lambda, re-evaluated per element (measured
+    # 2.8 ms/page, 6x the whole fast-profile extract stage). Inside the
+    # Arrow crossing the tokens are at hand and the gate costs ~free,
+    # exactly like the reference's fused in-model pruning cascade. The
+    # python twin (functions/text.curation_keep) is value-identical to
+    # the relational gate column (tests assert bit-for-bit agreement),
+    # so streamed flagging and batch gating never drift.
     docs = io.checkpoint("docs", lambda: extract_docs(pages, cfg))
     if verify_extraction:
         bad = docs.filter(~F.col("text_ok")).count()

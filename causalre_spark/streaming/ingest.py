@@ -225,6 +225,8 @@ def curation_gate_stream(docs: DataFrame, id_col: str = "url",
     curation_verdict thresholds (corpus-relative gates like percentile
     and cross-doc dedup are global by definition and run in the
     periodic batch bridge, like linking)."""
+    from causalre_spark.functions.text import (
+        CURATION_MAX_DUP_TRIGRAM, CURATION_MIN_QUALITY, CURATION_MIN_TOKENS)
     from causalre_spark.operators.textstats import (
         quality_scores, repetition_row_signals)
 
@@ -236,9 +238,9 @@ def curation_gate_stream(docs: DataFrame, id_col: str = "url",
                     text_col, *extra_cols))
     return q.withColumn(
         "keep",
-        (F.col("n_tokens") >= 10)
-        & (F.col("quality_score") >= 0.72)
-        & (F.col("dup_trigram_frac") <= 0.60),
+        (F.col("n_tokens") >= CURATION_MIN_TOKENS)
+        & (F.col("quality_score") >= CURATION_MIN_QUALITY)
+        & (F.col("dup_trigram_frac") <= CURATION_MAX_DUP_TRIGRAM),
     )
 
 

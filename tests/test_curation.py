@@ -137,3 +137,31 @@ def test_mixing_weights_upweights_low_resource(spark):
         "de": (1, 0.2, round(1 / 3, 4), round((1 / 3) / 0.2, 4)),
     }
     assert got["de"][3] > 1.0 > got["en"][3]
+
+
+def test_curation_gate_python_twin_matches_sql(spark):
+    """functions/text.curation_keep (the fused in-UDF gate) is
+    value-identical to the relational gate column of
+    curation_gate_stream — signals AND decision — over the synthetic
+    page corpus, so batch gating and streamed flagging cannot drift."""
+    from causalre_spark.functions.text import curation_keep, curation_signals
+    from causalre_spark.sources.corpus import synth_pages_df
+    from causalre_spark.streaming.ingest import curation_gate_stream
+
+    pages = synth_pages_df(spark, 120, partitions=4).select("url", "text")
+    rows = curation_gate_stream(pages).collect()
+    assert len(rows) == 120
+    texts = {r["url"]: r["text"] for r in pages.collect()}
+    mismatches = []
+    for r in rows:
+        n, q, d = curation_signals(texts[r["url"]])
+        if (n, q, d, curation_keep(texts[r["url"]])) != (
+                r["n_tokens"], r["quality_score"], r["dup_trigram_frac"],
+                r["keep"]):
+            mismatches.append((r["url"], (n, q, d),
+                               (r["n_tokens"], r["quality_score"],
+                                r["dup_trigram_frac"]), r["keep"]))
+    assert not mismatches, mismatches[:5]
+    # both outcomes occur (non-vacuous gate on this corpus)
+    kept = {r["keep"] for r in rows}
+    assert kept == {True, False}
