@@ -296,6 +296,16 @@ def main() -> int:
     checks.append(("dsir: no Python eval",
                    "BatchEvalPython" not in p and "ArrowEval" not in p, p))
 
+    # composite curation verdict: the signal joins are all on doc_id
+    # (co-partitioned after one exchange) and nothing Python touches
+    # the corpus
+    p = plan_of(Q.q_curation_verdict(spark, SF))
+    sections.append(("curation_verdict (composite gates)", p))
+    checks.append(("curation verdict: no Python eval",
+                   "BatchEvalPython" not in p and "ArrowEval" not in p, p))
+    checks.append(("curation verdict: contamination side broadcast",
+                   "BroadcastHashJoin" in p, p))
+
     # negative sampling: positives filter must be an anti join
     p = plan_of(Q.q_kg_negative_samples(spark, SF))
     sections.append(("kg_negative_samples (filtered corruption)", p))
