@@ -165,3 +165,39 @@ def test_curation_gate_python_twin_matches_sql(spark):
     # both outcomes occur (non-vacuous gate on this corpus)
     kept = {r["keep"] for r in rows}
     assert kept == {True, False}
+
+
+def test_curation_twin_parity_on_adversarial_texts(spark):
+    """Twin parity beyond the synthetic corpus: empty strings,
+    punctuation-only, unicode, whitespace runs, exact trigram
+    repetition, and seeded random ASCII — one DataFrame, exact
+    signal-for-signal agreement."""
+    import random
+
+    from causalre_spark.functions.text import curation_keep, curation_signals
+    from causalre_spark.streaming.ingest import curation_gate_stream
+
+    rng = random.Random(129)
+    vocab = ["the", "cat", "dog!", "a", "of", "x1", "Zq", "ab-cd", "..."]
+    texts = [
+        "", " ", "!!!", "...,,,;;;", "a", "the the the",
+        "one two three one two three one two three one two three",
+        "Tabs\tand\nnewlines  and   runs",
+        "café naïve über alles",
+        "UPPER lower MiXeD 123 456",
+    ] + [" ".join(rng.choices(vocab, k=rng.randint(0, 40))) for _ in range(90)]
+    df = spark.createDataFrame(
+        [(f"u{i}", t) for i, t in enumerate(texts)], "url string, text string")
+    rows = curation_gate_stream(df).collect()
+    assert len(rows) == len(texts)
+    bad = []
+    for r in rows:
+        t = texts[int(r["url"][1:])]
+        n, q, d = curation_signals(t)
+        if (n, q, d, curation_keep(t)) != (
+                r["n_tokens"], r["quality_score"], r["dup_trigram_frac"],
+                r["keep"]):
+            bad.append((repr(t), (n, q, d),
+                        (r["n_tokens"], r["quality_score"],
+                         r["dup_trigram_frac"], r["keep"])))
+    assert not bad, bad[:5]
