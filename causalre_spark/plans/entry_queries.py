@@ -851,6 +851,59 @@ FROM hit
 """
 
 
+def q_dedup_compaction(spark, sf_dir):
+    """Near-dup corpus COMPACTION — the end product the dedup family
+    exists for: verified MinHash-LSH near-dup pairs -> hardened
+    large-star/small-star connected components -> keep exactly the
+    min-id document per duplicate cluster. Output is the full per-doc
+    verdict (doc_id, component, kept); a production run would semi-join
+    `kept` back onto the corpus to write the surviving 10^12-doc table.
+    Composes three already-oracle-gated stages (LSH blocking with
+    bucket caps, explode-join Jaccard verify, star-contraction CC), so
+    the gate here proves the COMPOSITION agrees cross-engine — the
+    DuckDB oracle resolves the same clusters with a recursive-CTE
+    transitive closure, a completely different CC algorithm."""
+    from causalre_spark.operators.linking import _star_components
+
+    docs = _t(spark, sf_dir, "documents")
+    # persisted: the shingle projection feeds the signature agg AND both
+    # Jaccard-verify sides (same 3-way fan-out as q_dedup_minhash_lsh)
+    sh = dedup.word_shingles(docs, n=3).persist()
+    pairs = dedup.jaccard_verify(
+        dedup.minhash_lsh_pairs(sh, n_hashes=6, band_size=2), sh, thd=0.3)
+    comp = _star_components(
+        pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b")),
+        max_iters=15, parts=8)
+    return (
+        docs.select("doc_id")
+        .join(comp, docs["doc_id"] == comp["node"], "left")
+        .select("doc_id",
+                F.coalesce("component", F.col("doc_id")).alias("component"))
+        .withColumn("kept", F.col("doc_id") == F.col("component"))
+    )
+
+
+SQL_DEDUP_COMPACTION = f"""
+WITH RECURSIVE {_duck_minhash_cte(3, 6, 2)},
+pairs AS (SELECT s.id_a, s.id_b
+          FROM shared s
+          JOIN counts ca ON ca.id = s.id_a
+          JOIN counts cb ON cb.id = s.id_b
+          WHERE round(s.n_shared / (ca.n_sh + cb.n_sh - s.n_shared), 4) >= 0.3),
+sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+reach(a, b) AS (
+    SELECT src, dst FROM sym
+    UNION
+    SELECT reach.a, s.dst FROM reach JOIN sym s ON reach.b = s.src),
+comp AS (SELECT d.doc_id,
+                least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS component
+         FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+         GROUP BY d.doc_id)
+SELECT doc_id, component, doc_id = component AS kept FROM comp
+"""
+
+
 def q_dedup_simhash(spark, sf_dir):
     return dedup.simhash16(_t(spark, sf_dir, "documents"))
 
@@ -2183,6 +2236,80 @@ FROM ranked WHERE rk <= 10
 """
 
 
+_BM25_TERMS = ("spark", "window", "merge")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def q_bm25_topk(spark, sf_dir):
+    """BM25 top-10 document retrieval for a fixed query (k1=1.2,
+    b=0.75, Robertson idf with the +1 floor) — the lexical leg of a
+    retrieval stack next to the ANN family. Scale shape: document
+    length comes from a higher-order-function expression (size∘filter∘
+    split — map-only, NO token explode for the length pass); the token
+    explode that does run is immediately filtered to the 3 query terms
+    before the tf aggregation, so the wide shuffle carries only
+    query-matching postings (at 10^12 docs this is the inverted-index
+    probe, not a corpus scan); the df branch recomputes that filtered
+    explode (a second map-only scan — deliberately cheaper at scale
+    than a per-term window, which would funnel every posting of a hot
+    term through one partition); df and the corpus stats are single-row /
+    tiny broadcasts; the final top-10 is orderBy().limit() =
+    TakeOrderedAndProject (per-partition heaps, no global sort —
+    VERDICT r02 what's-wrong #3 shape, done right from the start).
+    Ordering ties break on doc_id over the ROUNDED score so the
+    boundary is engine-stable."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), "[^a-z]+")
+    dl = docs.select(
+        "doc_id",
+        F.size(F.filter(toks, lambda t: F.length(t) >= 3)).alias("dl"))
+    stats = dl.agg(F.avg("dl").alias("avgdl"),
+                   F.count(F.lit(1)).alias("n_docs"))
+    tf = (docs.select("doc_id", F.explode(toks).alias("term"))
+          .filter(F.col("term").isin(*_BM25_TERMS))
+          .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")))
+    dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    k1, b = _BM25_K1, _BM25_B
+    w = (tf.join(F.broadcast(dfc), "term")
+         .join(dl, "doc_id")
+         .crossJoin(F.broadcast(stats))
+         .withColumn("idf", F.log(F.lit(1.0)
+                                  + (F.col("n_docs") - F.col("df") + 0.5)
+                                  / (F.col("df") + 0.5)))
+         .withColumn("w", F.col("idf") * F.col("tf") * (k1 + 1.0)
+                     / (F.col("tf")
+                        + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))))
+    scored = w.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(F.sum("w"), 5).alias("bm25"))
+    return scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(10) \
+        .select("doc_id", "n_terms", "bm25")
+
+
+SQL_BM25_TOPK = f"""
+WITH dl AS (SELECT doc_id,
+                   len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                   x -> length(x) >= 3)) AS dl
+            FROM documents),
+stats AS (SELECT avg(dl) AS avgdl, count(*) AS n_docs FROM dl),
+tok AS (SELECT doc_id, t AS term
+        FROM documents, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS u(t)
+        WHERE t IN ('{_BM25_TERMS[0]}', '{_BM25_TERMS[1]}', '{_BM25_TERMS[2]}')),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+df_ AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+w AS (SELECT tf.doc_id,
+             ln(1.0 + (s.n_docs - df_.df + 0.5) / (df_.df + 0.5))
+               * tf.tf * ({_BM25_K1} + 1.0)
+               / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                                        + {_BM25_B} * dl.dl / s.avgdl)) AS w
+      FROM tf JOIN df_ USING (term) JOIN dl USING (doc_id)
+      CROSS JOIN stats s)
+SELECT doc_id, count(*) AS n_terms, round(sum(w), 5) AS bm25
+FROM w GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id LIMIT 10
+"""
+
+
 def q_group_quantiles(spark, sf_dir):
     """Exact per-group quantiles (linear interpolation) — the eval-side
     distribution summary. Spark's exact `percentile` and DuckDB's
@@ -3115,6 +3242,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curation_verdict": q_curation_verdict,
     "cc_size_stats": q_cc_size_stats,
     "tfidf_topk": q_tfidf_topk,
+    "bm25_topk": q_bm25_topk,
+    "dedup_compaction": q_dedup_compaction,
     "group_quantiles": q_group_quantiles,
     # UDF pipeline + multimodal (rows-only)
     "pipeline_spans": q_pipeline_spans,
@@ -3204,6 +3333,8 @@ ORACLES: dict[str, str] = {
     "curation_verdict": SQL_CURATION_VERDICT,
     "cc_size_stats": SQL_CC_SIZE_STATS_TMPL.format(cc=SQL_CC_COMPONENTS),
     "tfidf_topk": SQL_TFIDF_TOPK,
+    "bm25_topk": SQL_BM25_TOPK,
+    "dedup_compaction": SQL_DEDUP_COMPACTION,
     "group_quantiles": SQL_GROUP_QUANTILES,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "gold_eval_custom": SQL_GOLD_EVAL_CUSTOM,

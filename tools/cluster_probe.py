@@ -123,6 +123,9 @@ def main() -> None:
     ap.add_argument("--child", action="store_true")
     ap.add_argument("--corpus", default="/tmp/causalre_bench_corpus_250000")
     ap.add_argument("--pairs", type=int, default=2)  # fixed BEFORE sampling
+    ap.add_argument("--append", action="store_true",
+                    help="append a section to BENCH/CLUSTER.md instead of "
+                         "rewriting it (for extra corpus-size legs)")
     args = ap.parse_args()
     if args.child:
         child(args.corpus)
@@ -146,15 +149,21 @@ def main() -> None:
               "efficiency_extract_stage": round(eff_extract, 3),
               "all_runs": {"low": lo_runs, "high": hi_runs}}
     md = os.path.join(REPO, "BENCH", "CLUSTER.md")
-    with open(md, "w") as f:
+    with open(md, "a" if args.append else "w") as f:
+        if args.append:
+            f.write(
+                f"\n## Extra leg — {lo['n_pages']} pages "
+                f"(min-of-{args.pairs} interleaved)\n\n")
+        else:
+            f.write(
+                "# CLUSTER — true multi-executor scaling "
+                "(spark-submit + local-cluster)\n\n"
+                "Separate Worker/Executor JVMs, real netty shuffle, package "
+                "shipped via --py-files — the standalone-cluster execution "
+                "topology minus the network (tools/cluster_probe.py). Same "
+                "corpus, warm-then-timed protocol and interleaved min-of-"
+                f"{args.pairs} as bench.py's thread-based legs.\n\n")
         f.write(
-            "# CLUSTER — true multi-executor scaling "
-            "(spark-submit + local-cluster)\n\n"
-            "Separate Worker/Executor JVMs, real netty shuffle, package "
-            "shipped via --py-files — the standalone-cluster execution "
-            "topology minus the network (tools/cluster_probe.py). Same "
-            "corpus, warm-then-timed protocol and interleaved min-of-"
-            f"{args.pairs} as bench.py's thread-based legs.\n\n"
             "| executors | total cores | pages | triples | secs | "
             "extract secs | tail secs | docs/sec |\n"
             "|---|---|---|---|---|---|---|---|\n")

@@ -180,6 +180,29 @@ def main() -> int:
     checks.append(("tfidf: no Python eval",
                    "BatchEvalPython" not in p and "ArrowEval" not in p, p))
 
+    # 16b. BM25 retrieval: global top-10 must be TakeOrderedAndProject
+    # (per-partition heaps — NOT a single-partition global sort), the
+    # doc-length pass must stay a HOF projection (no second explode
+    # shuffle: exactly one Generate in the plan, the query-term
+    # postings explode), df/stats sides broadcast, all JVM-side.
+    p = plan_of(Q.q_bm25_topk(spark, SF))
+    sections.append(("bm25 top-k retrieval", p))
+    checks.append(("bm25: TakeOrderedAndProject tail",
+                   "TakeOrderedAndProject" in p, p))
+    # exactly TWO Generate nodes, both the query-term-filtered postings
+    # explode (the df branch recomputes tf's lineage — a second map-only
+    # corpus scan, deliberately preferred over a per-term window shuffle
+    # that would funnel every posting of a hot term to one partition).
+    # The doc-LENGTH pass contributes none: it is a size∘filter∘split
+    # HOF projection.
+    import re as _re
+    checks.append(("bm25: two Generates (filtered postings x2; length pass is HOF)",
+                   len(_re.findall(r"^\(\d+\) Generate", p, _re.M)) == 2, p))
+    checks.append(("bm25: df/corpus-stats joins are broadcast",
+                   "BroadcastHashJoin" in p, p))
+    checks.append(("bm25: no Python eval",
+                   "BatchEvalPython" not in p and "ArrowEval" not in p, p))
+
     # 17. gazetteer tagging: the lexicon match must be a broadcast hash
     # join (map-join — corpus never shuffles) and the whole chain stays
     # JVM-side. The tiny widths dimension joins via a deliberate
