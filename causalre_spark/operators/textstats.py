@@ -283,3 +283,137 @@ def quality_percentile_gate(docs: DataFrame, lo: float = 0.1,
     return (thr.join(kept, "lang", "left")
             .select("lang", "n_docs", "p_lo", "p_hi",
                     F.coalesce("n_kept", F.lit(0)).alias("n_kept")))
+
+
+def _bigram_buckets(docs: DataFrame, id_col: str, text_col: str,
+                    n_ctx_buckets: int, n_bigram_buckets: int) -> DataFrame:
+    """(id, text) -> exploded (id, b_ctx, b_big) hashed bigram rows.
+
+    Bigrams are built per row with array HOFs (whole-stage codegen, no
+    window/shuffle): position 1 pairs the sentence-start sentinel '<s>'
+    with the first token, position i pairs toks[i-1] with toks[i]. Both
+    bucket ids derive from the portable md5 hash so the DuckDB oracle
+    and the Spark plan agree bit-for-bit.
+    """
+    norm = NORMALIZE_SQL.format(x=text_col)
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.expr(f"split({norm}, ' ')").alias("toks"),
+    )
+    bg = base.select(
+        "id",
+        F.explode(F.expr(
+            "transform(sequence(1, size(toks)), i -> struct("
+            "  case when i = 1 then '<s>' else toks[i-2] end as prev,"
+            "  toks[i-1] as tok))"
+        )).alias("g"),
+    ).select(
+        "id",
+        F.expr(md5_long_sql_spark("g.prev")).alias("_hc"),
+        F.expr(md5_long_sql_spark("concat(g.prev, ' ', g.tok)")).alias("_hb"),
+    )
+    return bg.select(
+        "id",
+        (F.col("_hc") % n_ctx_buckets).alias("b_ctx"),
+        (F.col("_hb") % n_bigram_buckets).alias("b_big"),
+    )
+
+
+def lm_perplexity(score_docs: DataFrame, train_docs: DataFrame,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  n_ctx_buckets: int = 256, n_bigram_buckets: int = 4096,
+                  alpha: float = 0.5) -> DataFrame:
+    """CCNet-style language-model perplexity filtering (Wenzek et al.
+    2020, "CCNet: Extracting High Quality Monolingual Datasets from Web
+    Crawl Data" — public paper): score every corpus document by the
+    perplexity of a bigram LM fitted on a clean in-domain split, keep
+    the low-perplexity head. The classic third leg of web curation next
+    to rule-based quality gates and dedup; CCNet uses a KenLM 5-gram —
+    here the LM is a hashed-bigram model with Laplace smoothing so the
+    whole thing stays engine-portable and relational.
+
+      log P(tok_i | tok_{i-1}) = ln( (c_bigram + a) / (c_ctx + a*B) )
+      ppl(doc) = exp( -avg_i log P )
+
+    with c_* counted in `n_bigram_buckets` / `n_ctx_buckets` hashed
+    buckets on the training split (feature-hashing trick, same as
+    sampling.dsir_log_weights' unigram models).
+
+    Scale shape: bigram generation is a per-row HOF projection (no
+    window, no shuffle); the two count models reduce to B+C rows
+    (partial hash aggs) and broadcast back; the only corpus-wide
+    shuffle is the final per-doc aggregation on the uniform doc id.
+    Output: (doc_id, n_bigrams, avg_logp[4dp], ppl[4dp]) — 4dp rounding
+    absorbs float-summation-order differences across engines (same
+    policy as dsir_log_weights).
+    """
+    train = _bigram_buckets(train_docs, id_col, text_col,
+                            n_ctx_buckets, n_bigram_buckets)
+    corpus = _bigram_buckets(score_docs, id_col, text_col,
+                             n_ctx_buckets, n_bigram_buckets)
+    c_big = train.groupBy("b_big").agg(F.count(F.lit(1)).alias("c_big"))
+    c_ctx = train.groupBy("b_ctx").agg(F.count(F.lit(1)).alias("c_ctx"))
+    scored = (
+        corpus
+        .join(F.broadcast(c_big), "b_big", "left")
+        .join(F.broadcast(c_ctx), "b_ctx", "left")
+        .select(
+            "id",
+            F.log(
+                (F.coalesce("c_big", F.lit(0)) + F.lit(alpha))
+                / (F.coalesce("c_ctx", F.lit(0))
+                   + F.lit(alpha * n_bigram_buckets))
+            ).alias("logp"),
+        )
+    )
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("logp"), 4).alias("avg_logp"),
+            F.round(F.exp(-F.avg("logp")), 4).alias("ppl"),
+        )
+        .select(F.col("id").alias(id_col), "n_bigrams", "avg_logp", "ppl")
+    )
+
+
+def chunk_documents(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", size: int = 64,
+                    stride: int = 48) -> DataFrame:
+    """Overlapping token-window chunking — the doc -> training-sample /
+    RAG-passage splitter every LLM data pipeline runs between curation
+    and tokenization (fixed window `size`, stride `stride` < size for
+    overlap, final partial window kept).
+
+    Scale shape: MAP-ONLY. Chunk starts come from sequence(0, n-1,
+    stride) and the chunk text from slice() on the per-row token array
+    — no shuffle, no window function, no UDF; chunking 10^12 docs is
+    exactly one pass over the scan with predicate/column pruning
+    intact. chunk_uid is the portable md5 of (doc_id, chunk_idx) so
+    downstream dedup/shuffle keys are uniform by construction.
+    """
+    norm = NORMALIZE_SQL.format(x=text_col)
+    base = docs.select(
+        F.col(id_col),
+        F.expr(f"split({norm}, ' ')").alias("toks"),
+    )
+    chunks = base.select(
+        id_col,
+        F.expr("size(toks)").cast("long").alias("n_doc_tokens"),
+        F.posexplode(F.expr(
+            f"transform(sequence(0, greatest(size(toks) - 1, 0), {stride}),"
+            f" s -> array_join(slice(toks, s + 1, {size}), ' '))"
+        )).alias("chunk_idx", "chunk_text"),
+    )
+    return chunks.select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        (F.col("chunk_idx") * stride).cast("long").alias("start_tok"),
+        F.least(F.lit(size),
+                F.col("n_doc_tokens") - F.col("chunk_idx") * stride)
+        .cast("long").alias("n_chunk_tokens"),
+        "chunk_text",
+        F.expr(md5_long_sql_spark(
+            f"concat(cast({id_col} as string), ':', cast(chunk_idx as string))"
+        )).alias("chunk_uid"),
+    )

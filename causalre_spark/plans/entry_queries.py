@@ -3160,6 +3160,72 @@ WHERE e.src IS NULL
 """
 
 
+def q_lm_perplexity(spark, sf_dir):
+    """CCNet-style hashed-bigram LM perplexity scores: the LM is fitted
+    on the clean held-out slice (doc_id % 97 == 0 — the same target
+    split dsir_weights/decontaminate use) and every remaining document
+    is scored; low-perplexity docs are the most target-like. See
+    textstats.lm_perplexity for the map-only bigram + broadcast-model
+    scale shape."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.lm_perplexity(
+        docs.filter(F.col("doc_id") % 97 != 0),
+        docs.filter(F.col("doc_id") % 97 == 0),
+        n_ctx_buckets=256, n_bigram_buckets=4096, alpha=0.5)
+
+
+SQL_LM_PERPLEXITY = f"""
+WITH norm AS (SELECT doc_id AS id,
+                     string_split({NORMALIZE_SQL_DUCK.format(x="text")}, ' ') AS toks
+              FROM documents),
+bg AS (SELECT id,
+              CASE WHEN i = 1 THEN '<s>' ELSE toks[i - 1] END AS prev,
+              toks[i] AS tok
+       FROM (SELECT id, toks, unnest(generate_series(1, len(toks))) AS i
+             FROM norm)),
+bk AS (SELECT id,
+              ({md5_long_sql("prev")}) % 256 AS b_ctx,
+              ({md5_long_sql("prev || ' ' || tok")}) % 4096 AS b_big
+       FROM bg),
+cb AS (SELECT b_big, count(*) AS c_big FROM bk WHERE id % 97 = 0 GROUP BY b_big),
+cx AS (SELECT b_ctx, count(*) AS c_ctx FROM bk WHERE id % 97 = 0 GROUP BY b_ctx),
+sc AS (SELECT k.id,
+              ln((coalesce(c_big, 0) + 0.5) / (coalesce(c_ctx, 0) + 0.5 * 4096)) AS logp
+       FROM bk k LEFT JOIN cb ON k.b_big = cb.b_big
+                 LEFT JOIN cx ON k.b_ctx = cx.b_ctx
+       WHERE k.id % 97 <> 0)
+SELECT id AS doc_id, count(*) AS n_bigrams,
+       round(avg(logp), 4) AS avg_logp,
+       round(exp(-avg(logp)), 4) AS ppl
+FROM sc GROUP BY id
+"""
+
+
+def q_chunk_documents(spark, sf_dir):
+    """Overlapping token-window chunking (64-token windows, stride 48)
+    over the documents table — see textstats.chunk_documents for the
+    map-only (zero-shuffle) scale shape."""
+    return textstats.chunk_documents(
+        _t(spark, sf_dir, "documents"), size=64, stride=48)
+
+
+SQL_CHUNK_DOCUMENTS = f"""
+WITH norm AS (SELECT doc_id,
+                     string_split({NORMALIZE_SQL_DUCK.format(x="text")}, ' ') AS toks
+              FROM documents),
+st AS (SELECT doc_id, len(toks) AS n, toks,
+              unnest(generate_series(0, len(toks) - 1, 48)) AS s
+       FROM norm)
+SELECT doc_id,
+       CAST(s // 48 AS BIGINT) AS chunk_idx,
+       CAST(s AS BIGINT) AS start_tok,
+       CAST(least(64, n - s) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(list_slice(toks, s + 1, s + 64), ' ') AS chunk_text,
+       ({md5_long_sql("concat(CAST(doc_id AS VARCHAR), ':', CAST(s // 48 AS VARCHAR))")}) AS chunk_uid
+FROM st
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # span algebra (SURVEY §2.2/2.3/2.5)
     "p1_valid_span_counts": q_p1_valid_span_counts,
@@ -3245,6 +3311,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk": q_bm25_topk,
     "dedup_compaction": q_dedup_compaction,
     "group_quantiles": q_group_quantiles,
+    "lm_perplexity": q_lm_perplexity,
+    "chunk_documents": q_chunk_documents,
     # UDF pipeline + multimodal (rows-only)
     "pipeline_spans": q_pipeline_spans,
     "multimodal_features": q_multimodal_features,
@@ -3336,6 +3404,8 @@ ORACLES: dict[str, str] = {
     "bm25_topk": SQL_BM25_TOPK,
     "dedup_compaction": SQL_DEDUP_COMPACTION,
     "group_quantiles": SQL_GROUP_QUANTILES,
+    "lm_perplexity": SQL_LM_PERPLEXITY,
+    "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "gold_eval_custom": SQL_GOLD_EVAL_CUSTOM,
     "gold_eval_conll04": SQL_GOLD_EVAL_CONLL04,

@@ -62,3 +62,92 @@ def test_quality_percentile_gate(spark):
     out2 = {r["lang"]: r.asDict() for r in
             textstats.quality_percentile_gate(docs.repartition(7)).collect()}
     assert out == out2
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)],
+        "doc_id long, text string")
+
+
+def test_lm_perplexity_hand_computed(spark):
+    """Exact check against a hand-built bigram model: one training doc,
+    two scored docs — one repeating the training bigrams (low ppl), one
+    of unseen tokens (high ppl, every bigram backs off to the
+    0-count smoothed floor)."""
+    import math
+
+    from causalre_spark.functions.hashing import md5_long
+
+    B, C, a = 4096, 256, 0.5
+    # 50 copies push the seen-bigram counts past the smoothing floor
+    # (1 copy: P = 1.5/2049 for seen vs 0.5/2048 unseen — only 3x apart)
+    train = ["the cat sat"] * 50
+    score = ["the cat sat", "zq xk vv"]
+    out = {r["doc_id"]: r.asDict()
+           for r in textstats.lm_perplexity(
+               _docs(spark, score), _docs(spark, train),
+               n_ctx_buckets=C, n_bigram_buckets=B, alpha=a).collect()}
+
+    # python twin of the hashed-bigram model
+    def buckets(text):
+        toks = text.split(" ")
+        prevs = ["<s>"] + toks[:-1]
+        return [(md5_long(p) % C, md5_long(f"{p} {t}") % B)
+                for p, t in zip(prevs, toks)]
+
+    c_big: dict = {}
+    c_ctx: dict = {}
+    for doc in train:
+        for bc, bb in buckets(doc):
+            c_ctx[bc] = c_ctx.get(bc, 0) + 1
+            c_big[bb] = c_big.get(bb, 0) + 1
+    for i, text in enumerate(score):
+        lps = [math.log((c_big.get(bb, 0) + a) / (c_ctx.get(bc, 0) + a * B))
+               for bc, bb in buckets(text)]
+        avg = sum(lps) / len(lps)
+        assert out[i]["n_bigrams"] == len(lps)
+        assert out[i]["avg_logp"] == pytest.approx(round(avg, 4), abs=1e-9)
+        assert out[i]["ppl"] == pytest.approx(round(math.exp(-avg), 4), abs=1e-9)
+    # the training-identical doc must score dramatically lower ppl than
+    # the unseen-token doc (the CCNet keep-the-head property)
+    assert out[0]["ppl"] < out[1]["ppl"] / 10
+
+
+def test_chunk_documents_windows(spark):
+    """Window/stride algebra: starts at 0, stride apart, final partial
+    window kept, slices reconstruct the doc, uid deterministic."""
+    toks = [f"w{i}" for i in range(10)]
+    out = sorted(
+        textstats.chunk_documents(
+            _docs(spark, [" ".join(toks), "solo"]), size=4, stride=3
+        ).collect(),
+        key=lambda r: (r["doc_id"], r["chunk_idx"]))
+    d0 = [r for r in out if r["doc_id"] == 0]
+    # starts 0,3,6,9 -> 4 chunks; last is the 1-token partial window
+    assert [r["start_tok"] for r in d0] == [0, 3, 6, 9]
+    assert [r["n_chunk_tokens"] for r in d0] == [4, 4, 4, 1]
+    assert d0[0]["chunk_text"] == "w0 w1 w2 w3"
+    assert d0[1]["chunk_text"] == "w3 w4 w5 w6"
+    assert d0[3]["chunk_text"] == "w9"
+    # stride-strided prefixes of the chunks reconstruct the doc exactly
+    rebuilt = []
+    for r in d0:
+        rebuilt.extend(r["chunk_text"].split(" ")[:3])
+    assert rebuilt[:10] == toks
+    # single-token doc -> exactly one chunk
+    d1 = [r for r in out if r["doc_id"] == 1]
+    assert len(d1) == 1 and d1[0]["chunk_text"] == "solo"
+    # uid is the portable md5 of (doc_id, chunk_idx)
+    from causalre_spark.functions.hashing import md5_long
+    assert d0[2]["chunk_uid"] == md5_long("0:2")
+
+
+def test_chunk_documents_no_shuffle(spark):
+    """The chunking plan must be map-only: no Exchange anywhere."""
+    plan = textstats.chunk_documents(
+        _docs(spark, ["a b c"]), size=2, stride=1
+    )._sc is None if False else None
+    df = textstats.chunk_documents(_docs(spark, ["a b c"]), size=2, stride=1)
+    explained = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in explained
