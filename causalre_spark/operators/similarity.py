@@ -305,3 +305,128 @@ def ann_topk_bucketed(
         ).alias("cosine"),
     )
     return _topk_ranked(scored, k, id_col)
+
+
+def pq_codebook(m: int, ksub: int, dsub: int) -> list[list[list[float]]]:
+    """Frozen product-quantization codebooks: cents[s][c] = dsub floats
+    in [-0.5, 0.5). A trained PQ learns per-subspace centroids with
+    k-means; the INDEX STRUCTURE — slice the vector into m subvectors,
+    quantize each to its nearest codeword, score queries against the
+    64-entry distance table instead of the raw floats — is identical,
+    and md5-derived codebooks keep the operator deterministic and
+    oracle-checkable (same policy as ivf_centroids)."""
+    from causalre_spark.functions.hashing import md5_long
+
+    return [[[md5_long(f"pq:{s}:{c}:{j}") / float(1 << 48) - 0.5
+              for j in range(dsub)]
+             for c in range(ksub)]
+            for s in range(m)]
+
+
+def _sqdist_literal(vec_elem_fn, offset: int, coeffs: list[float]) -> str:
+    """Explicit left-to-right squared-distance chain (same bit-identical
+    fold-order rationale as _dot_literal)."""
+    terms = [
+        f"(({vec_elem_fn(offset + j)} - CAST({c:.17e} AS DOUBLE))"
+        f" * ({vec_elem_fn(offset + j)} - CAST({c:.17e} AS DOUBLE)))"
+        for j, c in enumerate(coeffs)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _pq_argmin_case(s: int, ksub: int) -> str:
+    """First-min argmin over the _d{s}_{c} columns (mirrors ivf_assign's
+    two-step columnized argmax — n*k distance columns + k^2 scalar
+    compares per subspace, never k^2 distance re-evaluations)."""
+    arms = []
+    for c in range(ksub):
+        cond = " AND ".join(f"_d{s}_{c} <= _d{s}_{o}"
+                            for o in range(ksub) if o != c)
+        arms.append(f"WHEN {cond} THEN {c}")
+    return "CASE " + " ".join(arms) + f" ELSE {ksub - 1} END"
+
+
+def pq_assign(
+    emb: DataFrame, m: int = 8, ksub: int = 16, dim: int = 64,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ code assignment: vector -> (code_0..code_{m-1}) + packed
+    BIGINT pq_code (the compressed representation: m*log2(ksub) bits,
+    e.g. 64-dim float32 -> 24 bits at m=8/ksub=8 — an ~85x compression).
+
+    At 10^12 vectors this is the one-off index build: a map-only
+    projection (no shuffle) whose output column is what every ADC query
+    scans instead of the raw embeddings."""
+    dsub = dim // m
+    book = pq_codebook(m, ksub, dsub)
+    elem = lambda j: f"element_at({vec_col}, {j + 1})"  # noqa: E731
+    dist_cols = [
+        F.expr(_sqdist_literal(elem, s * dsub, book[s][c])).alias(f"_d{s}_{c}")
+        for s in range(m) for c in range(ksub)
+    ]
+    with_d = emb.select(F.col(id_col), *dist_cols)
+    code_cols = [
+        F.expr(_pq_argmin_case(s, ksub)).cast("long").alias(f"code_{s}")
+        for s in range(m)
+    ]
+    coded = with_d.select(F.col(id_col), *code_cols)
+    packed = None
+    for s in range(m):
+        term = F.col(f"code_{s}") * (ksub ** (m - 1 - s))
+        packed = term if packed is None else packed + term
+    return coded.withColumn("pq_code", packed.cast("long"))
+
+
+def ann_topk_pq(
+    emb: DataFrame, query_id: int, k: int, m: int = 8, ksub: int = 16,
+    dim: int = 64, id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ-ADC approximate top-k: build the query's (subspace, code) ->
+    squared-distance table (m*ksub rows — computed once, broadcast),
+    then score every vector as the SUM of table entries at its codes
+    and take the k smallest. The billion-scale ANN query shape (Jegou
+    et al. 2011, 'Product Quantization for Nearest Neighbor Search' —
+    public paper; IVF+PQ is the classic pairing with ann_topk_ivf's
+    list pruning): the scan reads only the 32-bit pq codes, never the
+    raw vectors, and the per-vector cost is m table lookups + adds.
+
+    Here the lookup is relational: codes in long form equi-join the
+    broadcast distance table on (subspace, code) and re-aggregate per
+    vector — one shuffle on the uniform vec id; Catalyst keeps the
+    whole thing JVM-side."""
+    dsub = dim // m
+    book = pq_codebook(m, ksub, dsub)
+    assign = pq_assign(emb, m, ksub, dim, id_col, vec_col)
+    codes = assign.select(
+        id_col,
+        F.explode(F.expr(
+            "array(" + ", ".join(
+                f"struct(cast({s} as long) as s, code_{s} as code)"
+                for s in range(m)) + ")"
+        )).alias("sc"),
+    ).select(id_col, F.col("sc.s").alias("s"), F.col("sc.code").alias("code"))
+    qelem = lambda j: f"element_at(qvec, {j + 1})"  # noqa: E731
+    pairs = ", ".join(
+        f"struct(cast({s} as long) as s, cast({c} as long) as code, "
+        f"{_sqdist_literal(qelem, s * dsub, book[s][c])} as d)"
+        for s in range(m) for c in range(ksub))
+    dtable = (
+        emb.filter(F.col(id_col) == query_id)
+        .select(F.col(vec_col).alias("qvec"))
+        .select(F.explode(F.expr(f"array({pairs})")).alias("scd"))
+        .select(F.col("scd.s").alias("s"), F.col("scd.code").alias("code"),
+                F.col("scd.d").alias("d"))
+    )
+    scored = (
+        codes.filter(F.col(id_col) != query_id)
+        .join(F.broadcast(dtable), ["s", "code"])
+        .groupBy(id_col)
+        .agg(F.round(F.sum("d"), 4).alias("adc_dist"))
+    )
+    order = [F.col("adc_dist").asc(), F.col(id_col).asc()]
+    top = scored.orderBy(*order).limit(k)
+    w = Window.orderBy(*order)
+    return (
+        top.withColumn("rn", F.row_number().over(w))
+        .select(id_col, "adc_dist", F.col("rn").cast("long").alias("rank"))
+    )

@@ -1407,6 +1407,85 @@ WHERE rn <= 10
 """
 
 
+PQ_M, PQ_KSUB = 8, 8  # 64-dim -> 8 subspaces x 3-bit codes (24-bit pq_code)
+
+
+def q_ann_pq_assign(spark, sf_dir):
+    """PQ code-space occupancy: vectors per packed pq_code (the
+    compressed-index build — see similarity.pq_assign for the map-only
+    scale shape)."""
+    return (
+        similarity.pq_assign(_t(spark, sf_dir, "embeddings"),
+                             m=PQ_M, ksub=PQ_KSUB, dim=EMB_DIM)
+        .groupBy("pq_code").agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+
+
+def q_ann_topk_pq(spark, sf_dir):
+    """PQ-ADC approximate top-k for query vector 0 (see
+    similarity.ann_topk_pq: distance-table broadcast + code join)."""
+    return similarity.ann_topk_pq(
+        _t(spark, sf_dir, "embeddings"), query_id=0, k=10,
+        m=PQ_M, ksub=PQ_KSUB, dim=EMB_DIM)
+
+
+def _duck_pq_assign_cte() -> str:
+    """Shared CTE text: embeddings -> (vec_id, code_0..code_{m-1}) via
+    the same frozen codebooks and literal chains as the Spark plan."""
+    from causalre_spark.operators.similarity import (
+        _pq_argmin_case, _sqdist_literal, pq_codebook)
+
+    dsub = EMB_DIM // PQ_M
+    book = pq_codebook(PQ_M, PQ_KSUB, dsub)
+    elem = lambda j: f"embedding[{j + 1}]"  # noqa: E731
+    dcols = ", ".join(
+        f"{_sqdist_literal(elem, s * dsub, book[s][c])} AS _d{s}_{c}"
+        for s in range(PQ_M) for c in range(PQ_KSUB))
+    ccols = ", ".join(
+        f"CAST({_pq_argmin_case(s, PQ_KSUB)} AS BIGINT) AS code_{s}"
+        for s in range(PQ_M))
+    return (f"d AS (SELECT vec_id, embedding, {dcols} FROM embeddings),\n"
+            f"a AS (SELECT vec_id, {ccols} FROM d)")
+
+
+def _duck_pq_assign() -> str:
+    packed = " + ".join(f"code_{s} * {PQ_KSUB ** (PQ_M - 1 - s)}"
+                        for s in range(PQ_M))
+    return f"""
+WITH {_duck_pq_assign_cte()}
+SELECT CAST({packed} AS BIGINT) AS pq_code, count(*) AS n_vectors
+FROM a GROUP BY 1
+"""
+
+
+def _duck_pq_topk() -> str:
+    from causalre_spark.operators.similarity import (
+        _sqdist_literal, pq_codebook)
+
+    dsub = EMB_DIM // PQ_M
+    book = pq_codebook(PQ_M, PQ_KSUB, dsub)
+    qelem = lambda j: f"qvec[{j + 1}]"  # noqa: E731
+    dt = "\nUNION ALL\n".join(
+        f"SELECT {s} AS s, {c} AS code, "
+        f"{_sqdist_literal(qelem, s * dsub, book[s][c])} AS d FROM q"
+        for s in range(PQ_M) for c in range(PQ_KSUB))
+    codes = "\nUNION ALL\n".join(
+        f"SELECT vec_id, {s} AS s, code_{s} AS code FROM a"
+        for s in range(PQ_M))
+    return f"""
+WITH {_duck_pq_assign_cte()},
+codes AS ({codes}),
+q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+dt AS ({dt}),
+scored AS (SELECT c.vec_id, round(sum(t.d), 4) AS adc_dist
+           FROM codes c JOIN dt t ON c.s = t.s AND c.code = t.code
+           WHERE c.vec_id <> 0 GROUP BY c.vec_id)
+SELECT vec_id, adc_dist, CAST(rn AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (ORDER BY adc_dist, vec_id) AS rn FROM scored) r
+WHERE rn <= 10
+"""
+
+
 def q_ann_recall(spark, sf_dir):
     """Recall@10 of each ANN index variant vs brute-force ground truth.
 
@@ -1428,6 +1507,8 @@ def q_ann_recall(spark, sf_dir):
         ("multiprobe", similarity.ann_topk_multiprobe(emb, query_id=0, k=10,
                                                       n_planes=8, n_probes=2,
                                                       dim=EMB_DIM)),
+        ("pq", similarity.ann_topk_pq(emb, query_id=0, k=10,
+                                      m=PQ_M, ksub=PQ_KSUB, dim=EMB_DIM)),
     ]
     out = None
     for name, approx in variants:
@@ -1450,7 +1531,8 @@ WHERE rn <= 10
     legs = []
     for name, sql in (("bucketed", SQL_ANN_TOPK_BUCKETED),
                       ("ivf", _duck_ivf_topk()),
-                      ("multiprobe", _duck_multiprobe())):
+                      ("multiprobe", _duck_multiprobe()),
+                      ("pq", _duck_pq_topk())):
         legs.append(
             f"SELECT '{name}' AS variant, count(*) AS n_hits "
             f"FROM ({truth}) t JOIN (SELECT vec_id FROM ({sql}) _a) a USING (vec_id)")
@@ -3273,6 +3355,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk_multiprobe": q_ann_topk_multiprobe,
     "ann_ivf_assign": q_ann_ivf_assign,
     "ann_topk_ivf": q_ann_topk_ivf,
+    "ann_pq_assign": q_ann_pq_assign,
+    "ann_topk_pq": q_ann_topk_pq,
     "ann_recall": q_ann_recall,
     "dedup_cosine": q_dedup_cosine,
     "kmeans_clusters": q_kmeans_clusters,
@@ -3370,6 +3454,8 @@ ORACLES: dict[str, str] = {
     "ann_topk_multiprobe": _duck_multiprobe(),
     "ann_ivf_assign": _duck_ivf_assign(),
     "ann_topk_ivf": _duck_ivf_topk(),
+    "ann_pq_assign": _duck_pq_assign(),
+    "ann_topk_pq": _duck_pq_topk(),
     "ann_recall": _duck_ann_recall(),
     "dedup_cosine": SQL_DEDUP_COSINE,
     "kmeans_clusters": SQL_KMEANS_CLUSTERS,

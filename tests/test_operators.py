@@ -128,3 +128,46 @@ def test_ivf_assignment_partitions_and_topk_subset(spark):
                           n_probe=2, dim=64).collect()
     assert len(approx) == 10
     assert len({r.vec_id for r in approx} & exact) >= 1       # real overlap
+
+
+def test_pq_assign_and_adc_match_numpy_twin(spark):
+    """PQ codes and ADC distances must equal an independent NumPy
+    reimplementation exactly (codes integer-exact; ADC at the 4dp
+    rounding the operator publishes)."""
+    import numpy as np
+
+    from causalre_spark.operators.similarity import (
+        ann_topk_pq,
+        pq_assign,
+        pq_codebook,
+    )
+
+    m, ksub, dim = 8, 8, 64
+    dsub = dim // m
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in emb.collect()}
+    book = np.array(pq_codebook(m, ksub, dsub))  # (m, ksub, dsub)
+
+    def twin_codes(v):
+        out = []
+        for s in range(m):
+            sub = v[s * dsub:(s + 1) * dsub]
+            d = ((sub[None, :] - book[s]) ** 2).sum(axis=1)
+            out.append(int(np.argmin(d)))  # first-min, matches CASE order
+        return out
+
+    got = {r.vec_id: [r[f"code_{s}"] for s in range(m)]
+           for r in pq_assign(emb, m, ksub, dim).collect()}
+    for vid, v in rows.items():
+        assert got[vid] == twin_codes(v), vid
+
+    q = rows[0]
+    dtable = np.array([[((q[s * dsub:(s + 1) * dsub] - book[s][c]) ** 2).sum()
+                        for c in range(ksub)] for s in range(m)])
+    twin = {vid: round(sum(dtable[s][c] for s, c in enumerate(twin_codes(v))), 4)
+            for vid, v in rows.items() if vid != 0}
+    topk = ann_topk_pq(emb, query_id=0, k=10, m=m, ksub=ksub, dim=dim).collect()
+    expect = sorted(twin.items(), key=lambda kv: (kv[1], kv[0]))[:10]
+    assert [(r.vec_id, r.adc_dist) for r in sorted(topk, key=lambda r: r.rank)] \
+        == [(vid, d) for vid, d in expect]
