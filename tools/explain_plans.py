@@ -337,6 +337,37 @@ def main() -> int:
     checks.append(("negatives: no Python eval",
                    "BatchEvalPython" not in p and "ArrowEval" not in p, p))
 
+    # LM perplexity: both count models broadcast back onto the corpus
+    # bigram stream; bigram generation is HOF projection (no Window);
+    # nothing Python
+    p = plan_of(Q.q_lm_perplexity(spark, SF))
+    sections.append(("lm_perplexity (hashed-bigram LM filter)", p))
+    checks.append(("lm ppl: count models join broadcast",
+                   "BroadcastHashJoin" in p, p))
+    checks.append(("lm ppl: bigrams via HOFs, no Window",
+                   "Window" not in p, p))
+    checks.append(("lm ppl: no Python eval",
+                   "BatchEvalPython" not in p and "ArrowEval" not in p, p))
+
+    # chunking: MAP-ONLY — no Exchange anywhere in the plan
+    p = plan_of(Q.q_chunk_documents(spark, SF))
+    sections.append(("chunk_documents (token-window chunking)", p))
+    checks.append(("chunking: zero Exchange (map-only)",
+                   "Exchange" not in p, p))
+    checks.append(("chunking: no Python eval",
+                   "BatchEvalPython" not in p and "ArrowEval" not in p, p))
+
+    # PQ-ADC: the (subspace, code) distance table must broadcast; the
+    # final top-k must be TakeOrderedAndProject, not a global sort
+    p = plan_of(Q.q_ann_topk_pq(spark, SF))
+    sections.append(("ann_topk_pq (PQ-ADC top-k)", p))
+    checks.append(("pq adc: distance table join is broadcast",
+                   "BroadcastHashJoin" in p, p))
+    checks.append(("pq adc: top-k is TakeOrderedAndProject",
+                   "TakeOrderedAndProject" in p, p))
+    checks.append(("pq adc: no Python eval",
+                   "BatchEvalPython" not in p and "ArrowEval" not in p, p))
+
     os.makedirs(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH"), exist_ok=True)
     out_path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH", "PLANS.md")
     with open(out_path, "w") as f:
