@@ -41,6 +41,9 @@ HEADLINE = [
     "text_quality",         # codegen'd text featurization
     "semantic_dedup",       # fitted k-means blocking + in-cluster cosine
     "curation_verdict",     # composite quality/repetition/dup/contamination gate
+    "lm_perplexity",        # hashed-bigram LM scoring (broadcast models)
+    "chunk_documents",      # map-only token-window chunking
+    "ann_topk_pq",          # PQ-ADC compressed-index top-k
     "tpch_q1",              # classic agg
     "events_sessionize",    # lag-window sessionization
     "pipeline_spans",       # UDF extraction + top-k + NMS + span text

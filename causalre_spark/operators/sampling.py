@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from causalre_spark.functions.hashing import md5_long_sql_spark
+from causalre_spark.functions.text import NORMALIZE_SQL
 
 
 def stratified_sample(df: DataFrame, group_col: str, quota: int,
@@ -165,4 +166,44 @@ def mixing_weights(df: DataFrame, group_col: str,
             F.round((F.col("_pw") / F.col("_pwsum"))
                     / (F.col("n_docs") / F.col("_total")), 4).alias("boost"),
         )
+    )
+
+
+def pack_sequences(docs: DataFrame, seq_len: int = 2048,
+                   n_shards: int = 64, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """GPT-style contiguous sequence packing: lay the corpus out as one
+    token stream and cut it every `seq_len` tokens — the step between
+    chunking/tokenization and writing pretraining examples (documents
+    straddling a cut are split across two training sequences; the
+    `straddle` flag marks them).
+
+    Scale shape: a single GLOBAL running sum is the textbook
+    prefix-scan bottleneck, so the stream is sharded first on the
+    portable md5 of the doc id (`n_shards` independent token streams —
+    the real layout of a 10^12-doc corpus, one stream per output file
+    group). Within a shard the running offset is a window sum over the
+    deterministic (id) order: ONE shuffle on the uniform shard key;
+    every shard's window sorts independently in parallel. Output is one
+    row per document: its shard, token count, start/end offsets in the
+    shard stream, the pack (training sequence) id of its first token,
+    and whether it straddles a pack boundary.
+    """
+    toks = f"split({NORMALIZE_SQL.format(x=text_col)}, ' ')"
+    base = docs.select(
+        F.col(id_col),
+        F.expr(f"pmod({md5_long_sql_spark(f'cast({id_col} as string)')}, "
+               f"{n_shards})").cast("long").alias("shard"),
+        F.expr(f"size({toks})").cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy(id_col)
+    with_off = base.withColumn(
+        "end_off", F.sum("n_tokens").over(w)
+    ).withColumn("start_off", (F.col("end_off") - F.col("n_tokens")))
+    return with_off.select(
+        id_col, "shard", "n_tokens", "start_off", "end_off",
+        (F.col("start_off") / seq_len).cast("long").alias("pack_id"),
+        ((F.col("start_off") / seq_len).cast("long")
+         != ((F.col("end_off") - 1) / seq_len).cast("long"))
+        .alias("straddle"),
     )

@@ -3242,6 +3242,32 @@ WHERE e.src IS NULL
 """
 
 
+def q_pack_sequences(spark, sf_dir):
+    """GPT-style contiguous sequence packing (2048-token sequences, 8
+    shards) — see sampling.pack_sequences for the sharded prefix-scan
+    scale shape."""
+    return sampling.pack_sequences(
+        _t(spark, sf_dir, "documents"), seq_len=2048, n_shards=8)
+
+
+SQL_PACK_SEQUENCES = f"""
+WITH base AS (
+  SELECT doc_id,
+         ({md5_long_sql("CAST(doc_id AS VARCHAR)")}) % 8 AS shard,
+         len(string_split({NORMALIZE_SQL_DUCK.format(x="text")}, ' ')) AS n_tokens
+  FROM documents),
+off AS (
+  SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS end_off
+  FROM base)
+SELECT doc_id, shard, n_tokens,
+       end_off - n_tokens AS start_off, end_off,
+       CAST((end_off - n_tokens) // 2048 AS BIGINT) AS pack_id,
+       ((end_off - n_tokens) // 2048) <> ((end_off - 1) // 2048) AS straddle
+FROM off
+"""
+
+
 def q_lm_perplexity(spark, sf_dir):
     """CCNet-style hashed-bigram LM perplexity scores: the LM is fitted
     on the clean held-out slice (doc_id % 97 == 0 — the same target
@@ -3397,6 +3423,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "group_quantiles": q_group_quantiles,
     "lm_perplexity": q_lm_perplexity,
     "chunk_documents": q_chunk_documents,
+    "pack_sequences": q_pack_sequences,
     # UDF pipeline + multimodal (rows-only)
     "pipeline_spans": q_pipeline_spans,
     "multimodal_features": q_multimodal_features,
@@ -3492,6 +3519,7 @@ ORACLES: dict[str, str] = {
     "group_quantiles": SQL_GROUP_QUANTILES,
     "lm_perplexity": SQL_LM_PERPLEXITY,
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
+    "pack_sequences": SQL_PACK_SEQUENCES,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "gold_eval_custom": SQL_GOLD_EVAL_CUSTOM,
     "gold_eval_conll04": SQL_GOLD_EVAL_CONLL04,

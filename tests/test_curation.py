@@ -201,3 +201,33 @@ def test_curation_twin_parity_on_adversarial_texts(spark):
                         (r["n_tokens"], r["quality_score"],
                          r["dup_trigram_frac"], r["keep"])))
     assert not bad, bad[:5]
+
+
+def test_pack_sequences_invariants(spark):
+    """Packing algebra: per-shard offsets are a gapless prefix sum in
+    (doc_id) order, pack_id = start_off // L, straddle iff the doc
+    crosses an L boundary, and the layout is partitioning-invariant."""
+    from causalre_spark.operators.sampling import pack_sequences
+
+    texts = [(i, " ".join(f"t{j}" for j in range(3 + (i * 7) % 11)))
+             for i in range(60)]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    L = 16
+    rows = pack_sequences(docs, seq_len=L, n_shards=4).collect()
+    by_shard: dict = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert len(rows) == 60
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        off = 0
+        for r in rs:
+            assert r["start_off"] == off            # gapless stream
+            assert r["end_off"] == off + r["n_tokens"]
+            assert r["pack_id"] == r["start_off"] // L
+            assert r["straddle"] == (
+                r["start_off"] // L != (r["end_off"] - 1) // L)
+            off = r["end_off"]
+    # partitioning must not change the layout
+    again = pack_sequences(docs.repartition(13), seq_len=L, n_shards=4).collect()
+    assert {tuple(r) for r in again} == {tuple(r) for r in rows}
