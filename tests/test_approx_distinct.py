@@ -35,3 +35,36 @@ def test_approx_distinct_merges_across_partitions(spark):
     a = df.repartition(4).select(F.approx_count_distinct("k")).collect()[0][0]
     b = df.repartition(17).select(F.approx_count_distinct("k")).collect()[0][0]
     assert a == b
+
+
+def test_count_min_sketch_heavy_hitters(spark):
+    """Count-min sketch (the third mergeable sketch next to HLL++ and
+    approx_percentile), via the SQL count_min_sketch aggregate (the
+    python stat API does not expose it): frequency estimates never
+    undercount, stay within eps*N of truth, and two sketches built on
+    disjoint halves merge to the same estimates as one pass — the
+    map-side-combinable property that finds heavy hitters (hot domains,
+    template strings) in one scan at 10^12 rows without a groupBy
+    shuffle of every key."""
+    n = 100_000
+    df = spark.range(n).selectExpr(
+        "cast(floor(sqrt(id)) as string) as k")  # key j has ~2j+1 rows
+    exact = {r["k"]: r["count"] for r in df.groupBy("k").count().collect()}
+    agg = "count_min_sketch(k, 0.001d, 0.99d, 42) as s"
+
+    def sketch(frame):
+        raw = bytes(frame.selectExpr(agg).collect()[0]["s"])
+        return spark._jvm.org.apache.spark.util.sketch.CountMinSketch \
+            .readFrom(raw)
+
+    cms = sketch(df)
+    for k in ("300", "310", "18"):  # heavy-ish and light keys
+        est = cms.estimateCount(k)
+        assert est >= exact[k]                       # never undercounts
+        assert est - exact[k] <= 0.001 * n * 2       # within the bound
+    # mergeability: disjoint halves -> merged sketch == one-pass counts
+    merged = sketch(df.filter("id % 2 = 0"))
+    merged.mergeInPlace(sketch(df.filter("id % 2 = 1")))
+    one = sketch(df)
+    for k in ("300", "12", "0"):
+        assert merged.estimateCount(k) == one.estimateCount(k)
