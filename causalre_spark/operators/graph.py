@@ -126,3 +126,39 @@ def negative_samples(edges: DataFrame, nodes: DataFrame,
         .select("src", "dst_neg")
         .distinct()
     )
+
+
+def label_propagation(nodes: DataFrame, edges: DataFrame,
+                      rounds: int = 3) -> DataFrame:
+    """Deterministic synchronous label-propagation communities (LPA,
+    Raghavan et al. 2007 — public paper), the community-detection
+    sibling of connected components: labels start as node ids; each
+    round every node adopts the most frequent label among its
+    neighbors, tie-broken (count desc, label asc) so the answer is
+    total-order deterministic under any partitioning; isolated nodes
+    keep their own label. `edges` (src, dst) is symmetrized here.
+
+    Scale shape: per round one equi-join (neighbor-label gather) + two
+    hash aggregations on uniform node ids — the same iterative-join
+    shape as PageRank; rounds are FIXED so the plan is static and a
+    production run can checkpoint labels between rounds.
+
+    Returns (node, label) after `rounds` rounds.
+    """
+    und = (edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct())
+    labels = nodes.select("node").withColumn("label", F.col("node"))
+    for _ in range(rounds):
+        nb = (und.join(labels, und["dst"] == labels["node"])
+              .select("src", "label"))
+        cnt = nb.groupBy("src", "label").agg(F.count(F.lit(1)).alias("c"))
+        best = cnt.groupBy("src").agg(
+            F.max(F.struct(F.col("c"), (-F.col("label")).alias("nl")))
+            .alias("t"))
+        new = best.select(F.col("src").alias("node"),
+                          (-F.col("t.nl")).cast("long").alias("new_label"))
+        labels = (nodes.select("node").join(new, "node", "left")
+                  .select("node",
+                          F.coalesce("new_label", "node").alias("label")))
+    return labels

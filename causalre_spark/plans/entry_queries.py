@@ -3128,6 +3128,59 @@ WHERE q.doc_id % 97 <> 0
 """
 
 
+def q_kg_communities(spark, sf_dir):
+    """Deterministic synchronous label propagation (LPA, 3 rounds) over
+    the undirected doc graph — the community-detection sibling of
+    connected components (Raghavan et al. 2007, public paper): each
+    round every node adopts the most frequent label among its
+    neighbors, tie-broken (count desc, label asc) so the result is
+    total-order deterministic; isolated nodes keep their own label.
+    Unlike CC (pure reachability), LPA splits a connected graph into
+    dense regions.
+
+    Scale shape: each round is one equi-join (neighbor-label gather) +
+    two hash aggregations, all keyed on uniform node/edge ids — the
+    same iterative-join shape as PageRank; rounds are FIXED (unrolled
+    in the DuckDB oracle), so plans stay static and checkpointable.
+    Output is the (community, size) table — exact integers, no float
+    policy needed."""
+    from causalre_spark.operators import graph
+
+    edges = _doc_graph_edges(spark, sf_dir)
+    nodes = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("node"))
+    labels = graph.label_propagation(nodes, edges, rounds=3)
+    return (labels.groupBy(F.col("label").alias("community"))
+            .agg(F.count(F.lit(1)).alias("size")))
+
+
+def _duck_lpa_round(i: int) -> str:
+    return f"""
+r{i} AS (SELECT u.src, l.label, count(*) AS c
+         FROM und u JOIN l{i - 1} l ON u.dst = l.node GROUP BY u.src, l.label),
+b{i} AS (SELECT src, label
+         FROM (SELECT src, label,
+                      row_number() OVER (PARTITION BY src
+                                         ORDER BY c DESC, label ASC) AS rn
+               FROM r{i}) t WHERE rn = 1),
+l{i} AS (SELECT n.node, coalesce(b{i}.label, n.node) AS label
+         FROM n LEFT JOIN b{i} ON n.node = b{i}.src)"""
+
+
+SQL_KG_COMMUNITIES = f"""
+WITH {_DUCK_GRAPH_CTE.strip().rstrip()},
+und AS (SELECT DISTINCT src, dst
+        FROM (SELECT src, dst FROM edges
+              UNION ALL SELECT dst AS src, src AS dst FROM edges) u),
+n AS (SELECT doc_id AS node FROM documents),
+l0 AS (SELECT node, node AS label FROM n),
+{_duck_lpa_round(1).strip()},
+{_duck_lpa_round(2).strip()},
+{_duck_lpa_round(3).strip()}
+SELECT label AS community, count(*) AS size FROM l3 GROUP BY label
+"""
+
+
 def q_cc_size_stats(spark, sf_dir):
     """Component-size histogram of the entity-linking CC output — the
     diagnostic an entity-resolution engineer reads to catch blocking
@@ -3397,6 +3450,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_triangles": q_kg_triangles,
     "kg_degree_stats": q_kg_degree_stats,
     "kg_negative_samples": q_kg_negative_samples,
+    "kg_communities": q_kg_communities,
     "skew_salted_agg": q_skew_salted_agg,
     # classic relational + events
     "tpch_q1": q_tpch_q1,
@@ -3495,6 +3549,7 @@ ORACLES: dict[str, str] = {
     "kg_triangles": SQL_KG_TRIANGLES,
     "kg_degree_stats": SQL_KG_DEGREE_STATS,
     "kg_negative_samples": SQL_KG_NEGATIVE_SAMPLES,
+    "kg_communities": SQL_KG_COMMUNITIES,
     "skew_salted_agg": SQL_SKEW_SALTED_AGG,
     "tpch_q1": SQL_TPCH_Q1,
     "tpch_q3_topk": SQL_TPCH_Q3_TOPK,

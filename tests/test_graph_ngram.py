@@ -105,3 +105,30 @@ def test_ngram_jaccard_exact_dup_and_disjoint(spark):
     rows = dedup.ngram_jaccard_pairs(sh, 1, 2).collect()
     assert [(r["id_a"], r["id_b"], r["n_shared"], r["n_union"])
             for r in rows] == [(1, 2, 4, 4)]
+
+
+def test_label_propagation_two_triangles_bridge(spark):
+    """Hand-traced LPA on two triangles joined by one bridge edge
+    (0-1-2, 10-11-12, bridge 2-10): after 3 deterministic rounds each
+    triangle converges to one community and the bridge does NOT merge
+    them (unlike connected components, which would). Isolated nodes
+    keep their own label; result is partitioning-invariant."""
+    from causalre_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (10, 11), (10, 12), (11, 12), (2, 10)],
+        "src long, dst long")
+    nodes = spark.createDataFrame(
+        [(i,) for i in (0, 1, 2, 10, 11, 12, 99)], "node long")
+    out = {r["node"]: r["label"]
+           for r in label_propagation(nodes, edges, rounds=3).collect()}
+    # round-by-round trace (count desc, label asc tie-break):
+    # r1: 0->1 1->0 2->0 10->2 11->10 12->10
+    # r2: 0->0 1->0 2->0 10->10 11->2 12->2
+    # r3: 0->0 1->0 2->0 10->2 11->2 12->2
+    assert out == {0: 0, 1: 0, 2: 0, 10: 2, 11: 2, 12: 2, 99: 99}
+    again = {r["node"]: r["label"]
+             for r in label_propagation(
+                 nodes.repartition(5), edges.repartition(3), rounds=3
+             ).collect()}
+    assert again == out
