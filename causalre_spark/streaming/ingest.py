@@ -261,3 +261,34 @@ def run_curation_gate_once(spark: SparkSession, pages_path: str,
     )
     q.awaitTermination()
     return f"{out_dir}/curated"
+
+
+def join_crawl_events_stream(pages: DataFrame, events: DataFrame,
+                             skew: str = "1 hour") -> DataFrame:
+    """Watermarked STREAM-STREAM interval join: attach crawl fetch
+    events (url, fetch_ts, status) to pages (url, warc_ts) when the
+    fetch landed within +-`skew` of the page's warc timestamp — the
+    standard enrich-while-ingesting shape (page stream x fetch-log
+    stream) that batch pipelines do with an as-of/range join
+    (q_asof_join_orders / q_range_join_errors are the batch twins).
+
+    Scale shape: both sides carry watermarks and the join condition
+    bounds event time in BOTH directions, so Spark can evict state — a
+    stream-stream join without both is unbounded state growth at
+    10^12-page scale. The equi-key (url) keeps the state store
+    hash-partitioned and skew-free (urls are unique per crawl snapshot).
+    """
+    p = (pages.select("url", "warc_ts")
+         .withWatermark("warc_ts", skew))
+    e = (events.select(F.col("url").alias("e_url"), "fetch_ts", "status")
+         .withWatermark("fetch_ts", skew))
+    return (
+        p.join(
+            e,
+            F.expr(
+                "url = e_url AND "
+                "fetch_ts >= warc_ts - INTERVAL 1 HOUR AND "
+                "fetch_ts <= warc_ts + INTERVAL 1 HOUR"),
+        )
+        .select("url", "warc_ts", "fetch_ts", "status")
+    )

@@ -256,3 +256,41 @@ def test_pipeline_curation_gate_equals_prefiltered_run(spark):
         b = sorted(map(tuple, res_p[key].collect()))
         assert a == b, key
     assert res_g["docs"].count() == pre.filter("lang = 'en'").count()
+
+
+def test_stream_stream_interval_join_matches_batch(spark):
+    """Watermarked stream-stream interval join == the equivalent batch
+    join (row for row), and out-of-window events are dropped."""
+    import datetime as dt
+
+    from causalre_spark.sources.corpus import PAGES_SCHEMA
+    from causalre_spark.streaming.ingest import join_crawl_events_stream
+
+    psrc = "/tmp/causalre_ssj_pages"
+    esrc = "/tmp/causalre_ssj_events"
+    shutil.rmtree(psrc, ignore_errors=True)
+    shutil.rmtree(esrc, ignore_errors=True)
+    base = dt.datetime(2025, 3, 1, 12, 0)
+    pages = [(f"u{i}", base + dt.timedelta(minutes=10 * i), b"<p>x</p>", "x", "en")
+             for i in range(6)]
+    spark.createDataFrame(pages, PAGES_SCHEMA).write.parquet(psrc)
+    # one in-window event per page, plus out-of-window and unknown-url noise
+    events = (
+        [(f"u{i}", base + dt.timedelta(minutes=10 * i + 5), 200) for i in range(6)]
+        + [("u0", base + dt.timedelta(hours=3), 500),       # outside +-1h
+           ("zz", base, 404)]                               # unknown url
+    )
+    eschema = "url string, fetch_ts timestamp, status int"
+    spark.createDataFrame(events, eschema).write.parquet(esrc)
+
+    joined = join_crawl_events_stream(
+        spark.readStream.schema(PAGES_SCHEMA).parquet(psrc),
+        spark.readStream.schema(eschema).parquet(esrc))
+    q = (joined.writeStream.format("memory").queryName("ssj")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r.url, r.fetch_ts, r.status)
+           for r in spark.sql("select * from ssj").collect()}
+    want = {(f"u{i}", base + dt.timedelta(minutes=10 * i + 5), 200)
+            for i in range(6)}
+    assert got == want
