@@ -368,6 +368,24 @@ def main() -> int:
     checks.append(("pq adc: no Python eval",
                    "BatchEvalPython" not in p and "ArrowEval" not in p, p))
 
+    # sequence packing: the running offset must be a PARTITIONED window
+    # (per-shard streams), never a global single-partition sort
+    p = plan_of(Q.q_pack_sequences(spark, SF))
+    sections.append(("pack_sequences (sharded prefix scan)", p))
+    checks.append(("packing: partitioned window (per-shard, no global sort)",
+                   "Window" in p
+                   and "No Partition Defined" not in p
+                   and "BatchEvalPython" not in p, p))
+
+    # LPA communities: iterative join rounds stay relational (hash aggs
+    # + joins, no Python, no cartesian)
+    p = plan_of(Q.q_kg_communities(spark, SF))
+    sections.append(("kg_communities (label propagation)", p))
+    checks.append(("lpa: hash-agg + join rounds, no Python",
+                   "HashAggregate" in p and "BatchEvalPython" not in p, p))
+    checks.append(("lpa: no cartesian product",
+                   "CartesianProduct" not in p, p))
+
     os.makedirs(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH"), exist_ok=True)
     out_path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH", "PLANS.md")
     with open(out_path, "w") as f:
