@@ -2246,6 +2246,49 @@ GROUP BY w.error_id
 """
 
 
+def _zorder_interleave_sql(x: str, y: str, bits: int = 8) -> str:
+    """Portable 2-D Morton (Z-order) interleave: bit i of `x` lands at
+    output bit 2i, bit i of `y` at 2i+1. Spelled as pure integer
+    arithmetic (floor-div, mod, multiply) so Spark SQL and DuckDB
+    compute the identical BIGINT — no engine-specific bit operators."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(CAST(floor(({x}) / {1 << i}) AS BIGINT) % 2) * {1 << (2 * i)}")
+        terms.append(f"(CAST(floor(({y}) / {1 << i}) AS BIGINT) % 2) * {1 << (2 * i + 1)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+def q_zorder_key(spark, sf_dir):
+    """Z-order (Morton) layout key over two quantized document
+    dimensions (n_chars, n_tokens — each mapped to 8-bit levels via
+    fixed divisors). The data-layout operator behind multi-dimensional
+    data skipping: sorting/range-partitioning a 10^12-row table by this
+    key clusters rows that are close in BOTH dimensions into the same
+    parquet row groups / Iceberg files, so min-max statistics prune 2-D
+    range predicates — a linear sort on either single column can only
+    prune that one column. Map-only, pure integer arithmetic
+    (whole-stage codegen); the locality payoff is proven in
+    tests/test_curation.py::test_zorder_layout_locality."""
+    docs = _t(spark, sf_dir, "documents")
+    x = "least(cast(n_chars / 8 as bigint), 255)"
+    y = f"least(cast(size(split({NORMALIZE_SQL.format(x='text')}, ' ')) / 2 as bigint), 255)"
+    return docs.select(
+        "doc_id",
+        F.expr(x).alias("qx"),
+        F.expr(y).alias("qy"),
+        F.expr(_zorder_interleave_sql(x, y)).alias("zkey"),
+    )
+
+
+SQL_ZORDER_KEY = f"""
+SELECT doc_id,
+       least(CAST(n_chars // 8 AS BIGINT), 255) AS qx,
+       least(CAST(len(string_split({NORMALIZE_SQL_DUCK.format(x="text")}, ' ')) // 2 AS BIGINT), 255) AS qy,
+       {_zorder_interleave_sql("least(CAST(n_chars // 8 AS BIGINT), 255)", "least(CAST(len(string_split(" + NORMALIZE_SQL_DUCK.format(x="text") + ", ' ')) // 2 AS BIGINT), 255)")} AS zkey
+FROM documents
+"""
+
+
 def q_sample_hash(spark, sf_dir):
     """Deterministic Bernoulli sampling by content-key hash — THE
     reproducible way to downsample a 10^12-doc corpus: no RNG state,
@@ -3465,6 +3508,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join_orders": q_asof_join_orders,
     "range_join_errors": q_range_join_errors,
     "sample_hash": q_sample_hash,
+    "zorder_key": q_zorder_key,
     "sample_stratified": q_sample_stratified,
     "domain_skew_stats": q_domain_skew_stats,
     "dsir_weights": q_dsir_weights,
@@ -3562,6 +3606,7 @@ ORACLES: dict[str, str] = {
     "asof_join_orders": SQL_ASOF_JOIN_ORDERS,
     "range_join_errors": SQL_RANGE_JOIN_ERRORS,
     "sample_hash": SQL_SAMPLE_HASH,
+    "zorder_key": SQL_ZORDER_KEY,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
     "domain_skew_stats": SQL_DOMAIN_SKEW_STATS,
     "dsir_weights": SQL_DSIR_WEIGHTS,

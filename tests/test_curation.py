@@ -231,3 +231,47 @@ def test_pack_sequences_invariants(spark):
     # partitioning must not change the layout
     again = pack_sequences(docs.repartition(13), seq_len=L, n_shards=4).collect()
     assert {tuple(r) for r in again} == {tuple(r) for r in rows}
+
+
+def test_zorder_layout_locality(spark):
+    """The point of the Z-order key: range-partition a table by zkey
+    and rows matching a 2-D range predicate land in FEWER files than a
+    1-D (x-sorted) layout — the file-level locality that min-max
+    statistics turn into data skipping at scale. Also checks the
+    interleave against a python twin."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from causalre_spark.plans.entry_queries import _zorder_interleave_sql
+
+    n, files = 4096, 16
+    df = spark.range(n).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y"))
+    z = df.withColumn("zkey", F.expr(_zorder_interleave_sql("x", "y", bits=6)))
+
+    # python twin of the interleave
+    row = z.filter("x = 5 and y = 9").first()
+    twin = sum((((5 >> i) & 1) << (2 * i)) + (((9 >> i) & 1) << (2 * i + 1))
+               for i in range(6))
+    assert row["zkey"] == twin
+
+    pred = "x between 8 and 15 and y between 8 and 15"
+
+    def files_touched(frame, sort_col):
+        path = f"/tmp/causalre_zorder_{sort_col}"
+        shutil.rmtree(path, ignore_errors=True)
+        (frame.repartitionByRange(files, F.col(sort_col))
+         .sortWithinPartitions(sort_col)
+         .write.mode("overwrite").parquet(path))
+        got = spark.read.parquet(path).filter(pred)
+        assert got.count() == 64
+        return got.select(F.input_file_name()).distinct().count()
+
+    zorder_files = files_touched(z, "zkey")
+    linear_files = files_touched(z, "x")
+    # the 8x8 query square is 1/64 of the space: z-layout confines it to
+    # a handful of files; the x-sorted layout smears it across most of
+    # the x-range files (every x stripe contains all y values)
+    assert zorder_files < linear_files
+    assert zorder_files <= files // 4
