@@ -43,7 +43,10 @@ HEADLINE = [
     "curation_verdict",     # composite quality/repetition/dup/contamination gate
     "lm_perplexity",        # hashed-bigram LM scoring (broadcast models)
     "chunk_documents",      # map-only token-window chunking
+    "pack_sequences",       # sharded prefix-scan sequence packing
+    "zorder_key",           # Morton layout key (map-only bit math)
     "ann_topk_pq",          # PQ-ADC compressed-index top-k
+    "kg_communities",       # iterative label-propagation rounds
     "tpch_q1",              # classic agg
     "events_sessionize",    # lag-window sessionization
     "pipeline_spans",       # UDF extraction + top-k + NMS + span text
