@@ -2094,6 +2094,15 @@ FROM lagged GROUP BY user_id
 
 
 def q_events_tumbling(spark, sf_dir):
+    """Tumbling 1-hour windows. avg_value is quantized on the
+    pagerank-style irrational-offset grid, NOT round(,4): averages of
+    2-decimal values over e.g. 24 rows land EXACTLY on the 4dp half
+    grid (…125/24 = 51.51125), where Spark's BigDecimal half-up and
+    DuckDB's half-to-even disagree — caught live by the sf0.1 sweep
+    (three tied groups; sf0.01 never hits a tie). The irrational offset
+    keeps any finite-decimal rational off the cell boundary, so neither
+    rounding mode nor a 1-ulp sum-order difference can flip the cell."""
+    _OFF = 0.3141592653589793
     ev = _t(spark, sf_dir, "events")
     return (
         ev.withColumn(
@@ -2101,14 +2110,16 @@ def q_events_tumbling(spark, sf_dir):
             (F.floor(F.col("ts").cast("timestamp").cast("long") / 3600) * 3600).cast("long"))
         .groupBy("event_type", "hour_start")
         .agg(F.count(F.lit(1)).alias("n_events"),
-             F.round(F.avg("value"), 4).alias("avg_value"))
+             (F.floor(F.avg("value") * 10000.0 + F.lit(_OFF)) / 10000.0)
+             .alias("avg_value"))
     )
 
 
 SQL_EVENTS_TUMBLING = """
 SELECT event_type,
        CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS hour_start,
-       count(*) AS n_events, round(avg(value), 4) AS avg_value
+       count(*) AS n_events,
+       floor(avg(value) * 10000.0 + 0.3141592653589793) / 10000.0 AS avg_value
 FROM events GROUP BY event_type, hour_start
 """
 
