@@ -74,7 +74,9 @@ def token_stats_by_group(docs: DataFrame, group_col: str = "source",
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
         F.max("n_tokens").alias("max_tokens"),
-        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        # irrational-offset grid (see plans/entry_queries a6 comment):
+        # avg of ints can tie exactly on the 4dp rounding half grid
+        (F.floor(F.avg("n_tokens") * 10000.0 + F.lit(0.3141592653589793)) / 10000.0).alias("avg_tokens"),
     )
     vocab = (
         per_doc.select("grp", F.explode("toks").alias("tok"))

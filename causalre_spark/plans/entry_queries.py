@@ -375,8 +375,13 @@ def q_a6_corpus_stats(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.max("n_tokens").alias("max_tokens"),
-            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
-            F.round(F.stddev_samp("n_tokens"), 4).alias("sd_tokens"),
+            # irrational-offset grid, not round(,4): avg of ints is a
+            # small-denominator rational that CAN land exactly on the
+            # 4dp half grid, where the engines' rounding modes differ
+            # (the events_tumbling sf0.1 lesson); stddev is irrational
+            # so the same grid is merely harmless there
+            (F.floor(F.avg("n_tokens") * 10000.0 + F.lit(0.3141592653589793)) / 10000.0).alias("avg_tokens"),
+            (F.floor(F.stddev_samp("n_tokens") * 10000.0 + F.lit(0.3141592653589793)) / 10000.0).alias("sd_tokens"),
         )
     )
 
@@ -384,8 +389,8 @@ def q_a6_corpus_stats(spark, sf_dir):
 SQL_A6 = """
 SELECT lang, count(*) AS n_docs,
        max(CAST(len(string_split(text, ' ')) AS BIGINT)) AS max_tokens,
-       round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
-       round(stddev_samp(len(string_split(text, ' '))), 4) AS sd_tokens
+       floor(avg(len(string_split(text, ' '))) * 10000.0 + 0.3141592653589793) / 10000.0 AS avg_tokens,
+       floor(stddev_samp(len(string_split(text, ' '))) * 10000.0 + 0.3141592653589793) / 10000.0 AS sd_tokens
 FROM documents GROUP BY lang
 """
 
@@ -497,7 +502,7 @@ def q_a7_iou_binning(spark, sf_dir):
         .agg(F.max("iou").alias("best_iou"))
     )
     per_doc = best.groupBy("doc_id").agg(
-        F.round(F.avg("best_iou"), 4).alias("mean_iou"))
+        (F.floor(F.avg("best_iou") * 10000.0 + F.lit(0.3141592653589793)) / 10000.0).alias("mean_iou"))
     bucket = (
         F.when(F.col("mean_iou") >= 0.8, "Excellent")
         .when(F.col("mean_iou") >= 0.5, "Good")
@@ -520,7 +525,7 @@ best AS (SELECT g.doc_id, g.s, g.e,
                     END) AS best_iou
          FROM gold g LEFT JOIN pred p ON g.doc_id = p.doc_id
          GROUP BY g.doc_id, g.s, g.e),
-per_doc AS (SELECT doc_id, round(avg(best_iou), 4) AS mean_iou
+per_doc AS (SELECT doc_id, floor(avg(best_iou) * 10000.0 + 0.3141592653589793) / 10000.0 AS mean_iou
             FROM best GROUP BY doc_id)
 SELECT CASE WHEN mean_iou >= 0.8 THEN 'Excellent'
             WHEN mean_iou >= 0.5 THEN 'Good'
@@ -567,7 +572,7 @@ def q_f3_sigmoid_decode(spark, sf_dir):
         .filter(F.col("prob") >= 0.3)
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_kept"),
-             F.round(F.avg("prob"), 4).alias("avg_prob"))
+             (F.floor(F.avg("prob") * 10000.0 + F.lit(0.3141592653589793)) / 10000.0).alias("avg_prob"))
     )
 
 
@@ -575,7 +580,8 @@ SQL_F3 = f"""
 WITH {_duck_scored(20, 3)},
 probs AS (SELECT doc_id, round(1 / (1 + exp(-((score % 9) - 4))), 6) AS prob
           FROM scored)
-SELECT doc_id, count(*) AS n_kept, round(avg(prob), 4) AS avg_prob
+SELECT doc_id, count(*) AS n_kept,
+       floor(avg(prob) * 10000.0 + 0.3141592653589793) / 10000.0 AS avg_prob
 FROM probs WHERE prob >= 0.3 GROUP BY doc_id
 """
 
@@ -991,7 +997,8 @@ SQL_TEXT_TOKEN_STATS = f"""
 WITH base AS (SELECT source, {_DUCK_NORM_TOKS} AS toks FROM documents),
 per_doc AS (SELECT source, CAST(len(toks) AS BIGINT) AS n_tokens, toks FROM base),
 agg AS (SELECT source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-               max(n_tokens) AS max_tokens, round(avg(n_tokens), 4) AS avg_tokens
+               max(n_tokens) AS max_tokens,
+               floor(avg(n_tokens) * 10000.0 + 0.3141592653589793) / 10000.0 AS avg_tokens
         FROM per_doc GROUP BY source),
 vocab AS (SELECT source, count(DISTINCT tok) AS vocab_size
           FROM (SELECT source, unnest(toks) AS tok FROM per_doc) q
@@ -1914,10 +1921,13 @@ def q_tpch_q1(spark, sf_dir):
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            # grid-quantized, not round(): sums of 4-decimal products
+            # and averages of ints/2-decimals are finite-decimal
+            # rationals that can tie on the rounding half grid
+            (F.floor(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100.0 + F.lit(0.3141592653589793)) / 100.0)
             .alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            (F.floor(F.avg("l_quantity") * 10000.0 + F.lit(0.3141592653589793)) / 10000.0).alias("avg_qty"),
+            (F.floor(F.avg("l_discount") * 10000.0 + F.lit(0.3141592653589793)) / 10000.0).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -1927,9 +1937,9 @@ SQL_TPCH_Q1 = """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
        round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(avg(l_quantity), 4) AS avg_qty,
-       round(avg(l_discount), 4) AS avg_disc,
+       floor(sum(l_extendedprice * (1 - l_discount)) * 100.0 + 0.3141592653589793) / 100.0 AS sum_disc_price,
+       floor(avg(l_quantity) * 10000.0 + 0.3141592653589793) / 10000.0 AS avg_qty,
+       floor(avg(l_discount) * 10000.0 + 0.3141592653589793) / 10000.0 AS avg_disc,
        count(*) AS count_order
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
