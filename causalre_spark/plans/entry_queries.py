@@ -1954,7 +1954,7 @@ def q_tpch_segment_revenue(spark, sf_dir):
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            (F.floor(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100.0 + F.lit(0.3141592653589793)) / 100.0)
             .alias("revenue"),
             F.countDistinct("o_orderkey").alias("n_orders"),
         )
@@ -1963,7 +1963,7 @@ def q_tpch_segment_revenue(spark, sf_dir):
 
 SQL_TPCH_SEGMENT_REVENUE = """
 SELECT c_mktsegment,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       floor(sum(l_extendedprice * (1 - l_discount)) * 100.0 + 0.3141592653589793) / 100.0 AS revenue,
        count(DISTINCT o_orderkey) AS n_orders
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -1988,7 +1988,7 @@ def q_tpch_q3_topk(spark, sf_dir):
         cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .agg((F.floor(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100.0 + F.lit(0.3141592653589793)) / 100.0)
              .alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
@@ -1997,7 +1997,7 @@ def q_tpch_q3_topk(spark, sf_dir):
 
 
 SQL_TPCH_Q3_TOPK = """
-SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+SELECT l_orderkey, floor(sum(l_extendedprice * (1 - l_discount)) * 100.0 + 0.3141592653589793) / 100.0 AS revenue,
        o_orderdate
 FROM customer
 JOIN orders ON c_custkey = o_custkey
@@ -2035,13 +2035,13 @@ def q_tpch_q5_local_supplier(spark, sf_dir):
         .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
         .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .agg((F.floor(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100.0 + F.lit(0.3141592653589793)) / 100.0)
              .alias("revenue"))
     )
 
 
 SQL_TPCH_Q5_LOCAL = """
-SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT n_name, floor(sum(l_extendedprice * (1 - l_discount)) * 100.0 + 0.3141592653589793) / 100.0 AS revenue
 FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
