@@ -241,3 +241,50 @@ def test_incremental_requires_completed_prev(spark):
         run_incremental(spark, pages,
                         prev_workdir="/tmp/causalre_missing_prev_wd",
                         workdir="/tmp/causalre_test_wd_incr_err")
+import shutil
+
+from pyspark.sql import functions as F
+
+
+def test_compaction_plan_and_rewrite(spark):
+    """Small-file compaction: the plan packs files into ~target bins
+    (bin bytes <= target + one straddling file), the rewrite preserves
+    content row-for-row and collapses the file count to the bin count."""
+    from causalre_spark.operators.maintenance import (
+        compact_parquet,
+        compaction_plan,
+        file_inventory,
+    )
+
+    src = "/tmp/causalre_compact_src"
+    dst = "/tmp/causalre_compact_dst"
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(dst, ignore_errors=True)
+    # 24 tiny files (one per partition)
+    spark.range(2400).repartition(24).write.mode("overwrite").parquet(src)
+    inv = file_inventory(spark.read.parquet(src))
+    n_files = inv.count()
+    assert n_files == 24
+    sizes = {r["file"]: r["bytes"] for r in inv.collect()}
+    target = 4 * max(sizes.values())
+    plan = {r["file"]: (r["bytes"], r["bin"])
+            for r in compaction_plan(inv, target).collect()}
+    assert set(plan) == set(sizes)
+    # bins are contiguous in file order and size-bounded
+    per_bin: dict = {}
+    for f in sorted(plan):
+        b, bin_ = plan[f]
+        per_bin.setdefault(bin_, 0)
+        per_bin[bin_] += b
+    for bin_, total in per_bin.items():
+        assert total <= target + max(sizes.values())
+    assert 1 < len(per_bin) < n_files            # actually compacts
+
+    executed = compact_parquet(spark, src, dst, target)
+    assert executed.count() == n_files
+    out = spark.read.parquet(dst)  # bin shows up as the partition col
+    assert sorted(r["id"] for r in out.collect()) == list(range(2400))
+    n_out = out.select(F.col("_metadata.file_path")).distinct().count()
+    assert n_out == len(per_bin)
+    assert {r["bin"] for r in out.select("bin").distinct().collect()} \
+        == set(per_bin)
