@@ -2,6 +2,8 @@
 
 import json
 
+from pyspark.sql import functions as F
+
 import pytest
 
 from causalre_spark.sources.corpus_json import filter_valid_spans, load_corpus_json
@@ -94,3 +96,52 @@ def test_loads_reference_custom_dataset(spark):
     row = filtered.agg({"n_lost_rels": "sum"}).collect()[0][0]
     # at the model's own limits the curated corpus loses (almost) nothing
     assert row is not None and row <= 5
+
+
+def test_schema_evolution_merge(spark, tmp_path):
+    """Crawl deltas evolve schemas (a new column appears in month N+1).
+    The ingest path must read old+new together: mergeSchema on the scan
+    and unionByName(allowMissingColumns) on pre-read frames both yield
+    the superset schema with nulls for the missing column."""
+    old = str(tmp_path / "old")
+    new = str(tmp_path / "new")
+    spark.createDataFrame(
+        [("u1", "hello", "en")], "url string, text string, lang string"
+    ).write.parquet(old)
+    spark.createDataFrame(
+        [("u2", "bonjour", "fr", 0.9)],
+        "url string, text string, lang string, lang_conf double"
+    ).write.parquet(new)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(old, new)
+    assert set(merged.columns) == {"url", "text", "lang", "lang_conf"}
+    rows = {r["url"]: r["lang_conf"] for r in merged.collect()}
+    assert rows == {"u1": None, "u2": 0.9}
+
+    a, b = spark.read.parquet(old), spark.read.parquet(new)
+    u = a.unionByName(b, allowMissingColumns=True)
+    assert u.count() == 2 and "lang_conf" in u.columns
+
+
+def test_corrupt_json_records_are_quarantined(spark, tmp_path):
+    """Real crawls contain malformed JSON lines. PERMISSIVE mode must
+    load the good rows and route bad lines to _corrupt_record (never
+    silently drop, never fail the job) — and the corrupt rows are
+    countable for lineage/metrics."""
+    src = tmp_path / "lines.json"
+    src.write_text(
+        '{"url": "u1", "text": "ok"}\n'
+        'this is not json at all\n'
+        '{"url": "u2", "text": "also ok"}\n'
+        '{"url": "u3", "text": truncated\n')
+    df = (spark.read
+          .schema("url string, text string, _corrupt_record string")
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .json(str(src)))
+    df = df.cache()  # corrupt-record column requires materialization
+    good = df.filter(F.col("_corrupt_record").isNull())
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    assert {r["url"] for r in good.collect()} == {"u1", "u2"}
+    assert bad.count() == 2
+    df.unpersist()
