@@ -31,6 +31,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--cores", type=int, default=None,
                     help="local-mode cores (ignored under a real cluster master)")
+    ap.add_argument("--compact", metavar="SRC_PATH",
+                    help="maintenance mode: compact SRC_PATH's small "
+                         "parquet files into --out (no pipeline run)")
+    ap.add_argument("--target-bytes", type=int, default=128 * 1024 * 1024,
+                    help="compaction bin size (default 128 MiB)")
     args = ap.parse_args(argv)
 
     from causalre_spark.pipeline import run_pipeline
@@ -38,6 +43,24 @@ def main(argv: list[str] | None = None) -> int:
     from causalre_spark.sources.corpus import synth_pages_df
 
     spark = get_spark(app="causalre_kg", cores=args.cores)
+    if args.compact:
+        from causalre_spark.operators.maintenance import compact_parquet
+
+        t0 = time.time()
+        plan = compact_parquet(spark, args.compact, args.out,
+                               args.target_bytes)
+        n_in = plan.count()
+        import pyspark.sql.functions as F  # noqa: N812
+
+        n_bins = plan.agg(F.countDistinct("bin")).collect()[0][0]
+        print(json.dumps({
+            "compacted_files_in": int(n_in),
+            "files_out": int(n_bins),
+            "out": args.out,
+            "secs": round(time.time() - t0, 2),
+            "master": spark.sparkContext.master,
+        }))
+        return 0
     if args.synthetic:
         pages = synth_pages_df(spark, args.synthetic)
     elif args.pages:
