@@ -2103,6 +2103,62 @@ FROM lagged GROUP BY user_id
 """
 
 
+def q_events_pivot(spark, sf_dir):
+    """Pivot (wide) aggregation: events per user_id bucket x event_type
+    as columns — Spark's groupBy().pivot() with an EXPLICIT value list
+    (never let pivot launch a distinct-values job at 10^12 rows); the
+    oracle spells the same thing as conditional aggregation, which is
+    also exactly what Catalyst lowers pivot to (§2.4 wide-agg corner)."""
+    types = ["click", "purchase", "signup", "view"]
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 100).alias("user_bucket"), "event_type")
+    return (
+        ev.groupBy("user_bucket")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .select("user_bucket",
+                *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}")
+                  for t in types])
+    )
+
+
+SQL_EVENTS_PIVOT = """
+SELECT user_id % 100 AS user_bucket,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+FROM events GROUP BY user_bucket
+"""
+
+
+def q_events_moving_avg(spark, sf_dir):
+    """Bounded window FRAME (ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    per user over event time — the §2.9 frame corner the lag/tumbling
+    queries don't touch. The moving average of 2-decimal values is a
+    finite-decimal rational, so it uses the irrational-offset grid (see
+    the README determinism policy), not round()."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value",
+        F.col("ts").cast("timestamp").cast("long").alias("epoch"))
+    w = (Window.partitionBy("user_id").orderBy("epoch", "event_id")
+         .rowsBetween(-3, 0))
+    return ev.select(
+        "user_id", "event_id",
+        (F.floor(F.avg("value").over(w) * 10000.0
+                 + F.lit(0.3141592653589793)) / 10000.0).alias("mov_avg"))
+
+
+SQL_EVENTS_MOVING_AVG = """
+SELECT user_id, event_id,
+       floor(avg(value) OVER (PARTITION BY user_id
+                              ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id
+                              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+             * 10000.0 + 0.3141592653589793) / 10000.0 AS mov_avg
+FROM events
+"""
+
+
 def q_events_tumbling(spark, sf_dir):
     """Tumbling 1-hour windows. avg_value is quantized on the
     pagerank-style irrational-offset grid, NOT round(,4): averages of
@@ -3524,6 +3580,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_rollup": q_tpch_rollup,
     "events_sessionize": q_events_sessionize,
     "events_tumbling": q_events_tumbling,
+    "events_pivot": q_events_pivot,
+    "events_moving_avg": q_events_moving_avg,
     "events_json_extract": q_events_json_extract,
     # temporal joins + sampling + corpus weighting
     "asof_join_orders": q_asof_join_orders,
@@ -3623,6 +3681,8 @@ ORACLES: dict[str, str] = {
     "tpch_rollup": SQL_TPCH_ROLLUP,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "events_tumbling": SQL_EVENTS_TUMBLING,
+    "events_pivot": SQL_EVENTS_PIVOT,
+    "events_moving_avg": SQL_EVENTS_MOVING_AVG,
     "events_json_extract": SQL_EVENTS_JSON_EXTRACT,
     "asof_join_orders": SQL_ASOF_JOIN_ORDERS,
     "range_join_errors": SQL_RANGE_JOIN_ERRORS,
