@@ -294,3 +294,33 @@ def test_stream_stream_interval_join_matches_batch(spark):
     want = {(f"u{i}", base + dt.timedelta(minutes=10 * i + 5), 200)
             for i in range(6)}
     assert got == want
+
+
+def test_drop_duplicates_within_watermark(spark):
+    """Built-in bounded-state streaming dedup (dropDuplicatesWithinWatermark)
+    next to the custom applyInPandasWithState dedup: duplicate urls
+    arriving within the watermark window collapse to one row, and state
+    is evictable (the watermark bound is what makes url-dedup feasible
+    at crawl scale — unbounded dropDuplicates would hold every url ever
+    seen)."""
+    import datetime as dt
+
+    from causalre_spark.sources.corpus import PAGES_SCHEMA
+
+    src = "/tmp/causalre_ddww_src"
+    shutil.rmtree(src, ignore_errors=True)
+    base = dt.datetime(2025, 3, 1, 12, 0)
+    rows = []
+    for i in range(5):
+        for rep in range(3):  # 3 near-time duplicates of each url
+            rows.append((f"u{i}", base + dt.timedelta(minutes=i, seconds=rep),
+                         b"<p>x</p>", "x", "en"))
+    spark.createDataFrame(rows, PAGES_SCHEMA).write.parquet(src)
+    stream = (spark.readStream.schema(PAGES_SCHEMA).parquet(src)
+              .withWatermark("warc_ts", "10 minutes")
+              .dropDuplicatesWithinWatermark(["url"]))
+    q = (stream.writeStream.format("memory").queryName("ddww")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.sql("select url from ddww").collect()
+    assert sorted(r["url"] for r in got) == [f"u{i}" for i in range(5)]
