@@ -501,3 +501,33 @@ def _extract_verify_udf(batches):
                 "text_ok": [a == b for a, b in zip(texts, pdf["expected_text"])],
             }
         )
+
+
+def write_predictions_json(docs: DataFrame, path: str) -> None:
+    """S5 alternate sink: reference-shaped JSON-lines predictions.
+
+    The reference's predict run emits a JSON file of per-document
+    predictions with nested span/relation objects (process_preds.py:9
+    load_predictions; spans carry {start, end}, relations carry
+    {head, tail} span objects). This writes the same nesting straight
+    from the docs frame — one JSON object per document, spans as
+    {start, end, type, text, score}, relations as {head: {...},
+    tail: {...}, type, score} — so any downstream tooling written
+    against the reference's prediction files can read this sink.
+    Distributed JSON-lines write; no driver-side serialization.
+    """
+    out = docs.select(
+        "url",
+        F.expr(
+            "transform(spans, s -> named_struct("
+            "'start', s.start, 'end', s.end, 'type', s.span_type, "
+            "'text', s.text, 'score', s.filter_score))"
+        ).alias("spans"),
+        F.expr(
+            "transform(rels, r -> named_struct("
+            "'head', named_struct('start', r.h_start, 'end', r.h_end, 'text', r.h_text), "
+            "'tail', named_struct('start', r.t_start, 'end', r.t_end, 'text', r.t_text), "
+            "'type', r.rel_type, 'score', r.rel_score))"
+        ).alias("relations"),
+    )
+    out.write.mode("overwrite").json(path)

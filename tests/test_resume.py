@@ -288,3 +288,40 @@ def test_compaction_plan_and_rewrite(spark):
     assert n_out == len(per_bin)
     assert {r["bin"] for r in out.select("bin").distinct().collect()} \
         == set(per_bin)
+
+
+def test_predictions_json_sink_round_trip(spark):
+    """Reference-shaped JSON predictions sink: nested span/relation
+    objects survive a write+read round trip and match the docs frame
+    content (S5 alternate sink; format per process_preds.load_predictions)."""
+    import json
+    import shutil
+
+    from causalre_spark.pipeline import extract_docs, write_predictions_json
+    from causalre_spark.config import DEFAULT_CONFIG
+    from causalre_spark.sources.corpus import synth_pages_df
+
+    path = "/tmp/causalre_pred_json"
+    shutil.rmtree(path, ignore_errors=True)
+    docs = extract_docs(synth_pages_df(spark, 30, partitions=2),
+                        DEFAULT_CONFIG).cache()
+    write_predictions_json(docs, path)
+    back = spark.read.json(path)
+    assert back.count() == docs.count()
+    # per-url span sets survive the nesting change
+    want = {r["url"]: {(s["start"], s["end"], s["span_type"])
+                       for s in (r["spans"] or [])}
+            for r in docs.collect()}
+    got = {r["url"]: {(s["start"], s["end"], s["type"])
+                      for s in (r["spans"] or [])}
+           for r in back.collect()}
+    assert got == want
+    # the physical files are plain JSON lines with the reference nesting
+    import glob
+    line = next(ln for f in glob.glob(path + "/part-*")
+                for ln in open(f) if ln.strip())
+    obj = json.loads(line)
+    assert set(obj) <= {"url", "spans", "relations"}
+    if obj.get("relations"):
+        assert {"head", "tail", "type", "score"} <= set(obj["relations"][0])
+    docs.unpersist()
