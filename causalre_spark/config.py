@@ -91,3 +91,32 @@ class PipelineConfig:
 
 
 DEFAULT_CONFIG = PipelineConfig()
+
+
+def config_from_dict(d: dict) -> PipelineConfig:
+    """Reference config_manager analogue: build a PipelineConfig from a
+    plain dict (e.g. parsed YAML), rejecting unknown keys loudly — the
+    reference's config_manager.py validates config.yaml the same way
+    (a typo'd knob must fail the run, not silently keep the default).
+    Keys not on the dataclass land in `extra` ONLY when nested under an
+    explicit 'extra' mapping."""
+    from dataclasses import fields as _fields
+
+    known = {f.name for f in _fields(PipelineConfig)}
+    unknown = set(d) - known
+    if unknown:
+        raise ValueError(
+            f"unknown config keys {sorted(unknown)}; known keys: {sorted(known)}")
+    return PipelineConfig(**d)
+
+
+def config_from_yaml(path: str) -> PipelineConfig:
+    """Load a PipelineConfig from a YAML file (the reference's
+    `start.py --config config.yaml` entry surface)."""
+    import yaml
+
+    with open(path, "r", encoding="utf-8") as fh:
+        data = yaml.safe_load(fh) or {}
+    if not isinstance(data, dict):
+        raise ValueError(f"config file {path!r} must hold a mapping")
+    return config_from_dict(data)

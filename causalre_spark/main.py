@@ -31,6 +31,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--cores", type=int, default=None,
                     help="local-mode cores (ignored under a real cluster master)")
+    ap.add_argument("--config", metavar="YAML",
+                    help="PipelineConfig overrides from a YAML file "
+                         "(the reference's start.py --config surface)")
     ap.add_argument("--compact", metavar="SRC_PATH",
                     help="maintenance mode: compact SRC_PATH's small "
                          "parquet files into --out (no pipeline run)")
@@ -68,8 +71,16 @@ def main(argv: list[str] | None = None) -> int:
     else:
         ap.error("one of --pages / --synthetic is required")
 
+    if args.config:
+        from causalre_spark.config import config_from_yaml
+
+        cfg = config_from_yaml(args.config)
+    else:
+        from causalre_spark.config import DEFAULT_CONFIG as cfg
+
     t0 = time.time()
-    res = run_pipeline(spark, pages, workdir=args.out, resume=args.resume)
+    res = run_pipeline(spark, pages, cfg=cfg, workdir=args.out,
+                       resume=args.resume)
     n_triples = res["triples"].count()
     print(json.dumps({
         "triples": n_triples,

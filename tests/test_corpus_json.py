@@ -145,3 +145,34 @@ def test_corrupt_json_records_are_quarantined(spark, tmp_path):
     assert {r["url"] for r in good.collect()} == {"u1", "u2"}
     assert bad.count() == 2
     df.unpersist()
+
+
+def test_config_from_yaml_round_trip(tmp_path):
+    """Reference config_manager analogue: YAML -> PipelineConfig with
+    loud unknown-key rejection and validation intact."""
+    import pytest as _pytest
+
+    from causalre_spark.config import (
+        PipelineConfig,
+        config_from_dict,
+        config_from_yaml,
+    )
+
+    p = tmp_path / "config.yaml"
+    p.write_text(
+        "max_top_k_spans: 12\n"
+        "predict_thd: 0.4\n"
+        "tagging_mode: BECO\n"
+        "extra:\n  curation_gate: true\n")
+    cfg = config_from_yaml(str(p))
+    assert (cfg.max_top_k_spans, cfg.predict_thd, cfg.tagging_mode) \
+        == (12, 0.4, "BECO")
+    assert cfg.extra == {"curation_gate": True}
+    # untouched knobs keep defaults
+    assert cfg.max_seq_len == PipelineConfig().max_seq_len
+    # typo'd knob fails loudly (the reference's validation contract)
+    with _pytest.raises(ValueError, match="unknown config keys"):
+        config_from_dict({"max_topk_spans": 12})
+    # dataclass validation still applies through the loader
+    with _pytest.raises(ValueError, match="max_tagger_candidates"):
+        config_from_dict({"max_tagger_candidates": 0})
