@@ -52,13 +52,15 @@ def main(argv: list[str] | None = None) -> int:
         t0 = time.time()
         plan = compact_parquet(spark, args.compact, args.out,
                                args.target_bytes)
-        n_in = plan.count()
         import pyspark.sql.functions as F  # noqa: N812
 
-        n_bins = plan.agg(F.countDistinct("bin")).collect()[0][0]
+        # one action for both counts (the plan lineage re-lists the
+        # small-file inventory, which is exactly the slow part here)
+        row = plan.agg(F.count(F.lit(1)).alias("n_in"),
+                       F.countDistinct("bin").alias("n_bins")).collect()[0]
         print(json.dumps({
-            "compacted_files_in": int(n_in),
-            "files_out": int(n_bins),
+            "compacted_files_in": int(row["n_in"]),
+            "files_out": int(row["n_bins"]),
             "out": args.out,
             "secs": round(time.time() - t0, 2),
             "master": spark.sparkContext.master,

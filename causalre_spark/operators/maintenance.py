@@ -66,11 +66,15 @@ def compact_parquet(spark: SparkSession, src_path: str, dst_path: str,
     """Rewrite a small-file parquet directory into ~target_bytes files.
 
     Returns the plan that was executed. Content is preserved row for
-    row (pytest-gated); the output is directory-partitioned by `bin`
-    with EXACTLY one data file per bin: after the hash repartition on
-    the bin key every bin's rows live in a single task (two bins may
-    share a task — harmless), and partitionBy splits that task's write
-    one file per bin value.
+    row (pytest-gated); the output is a table DIRECTORY-PARTITIONED BY
+    `bin` with EXACTLY one data file per bin: after the hash
+    repartition on the bin key every bin's rows live in a single task
+    (two bins may share a task — harmless), and partitionBy splits that
+    task's write one file per bin value. Because partition discovery
+    surfaces `bin` as a column on read, consumers that need the
+    ORIGINAL schema must read via :func:`read_compacted` (or
+    `.drop("bin")`) — same contract as any partitioned table whose
+    partition column is internal.
     """
     df = spark.read.parquet(src_path)
     plan = compaction_plan(file_inventory(df), target_bytes)
@@ -85,3 +89,10 @@ def compact_parquet(spark: SparkSession, src_path: str, dst_path: str,
     (tagged.repartition(n_bins, "bin")
      .write.mode("overwrite").partitionBy("bin").parquet(dst_path))
     return plan
+
+
+def read_compacted(spark: SparkSession, dst_path: str) -> DataFrame:
+    """Read a :func:`compact_parquet` output with the ORIGINAL schema
+    (drops the internal `bin` partition column that partition discovery
+    re-surfaces)."""
+    return spark.read.parquet(dst_path).drop("bin")

@@ -282,13 +282,17 @@ def join_crawl_events_stream(pages: DataFrame, events: DataFrame,
          .withWatermark("warc_ts", skew))
     e = (events.select(F.col("url").alias("e_url"), "fetch_ts", "status")
          .withWatermark("fetch_ts", skew))
+    # the join bound is derived from the SAME skew as the watermarks —
+    # a narrower watermark than the join window would evict state while
+    # matches are still admissible (silent row loss), a wider one would
+    # just hold state longer than the window can use
     return (
         p.join(
             e,
             F.expr(
                 "url = e_url AND "
-                "fetch_ts >= warc_ts - INTERVAL 1 HOUR AND "
-                "fetch_ts <= warc_ts + INTERVAL 1 HOUR"),
+                f"fetch_ts >= warc_ts - INTERVAL {skew} AND "
+                f"fetch_ts <= warc_ts + INTERVAL {skew}"),
         )
         .select("url", "warc_ts", "fetch_ts", "status")
     )

@@ -288,6 +288,10 @@ def test_compaction_plan_and_rewrite(spark):
     assert n_out == len(per_bin)
     assert {r["bin"] for r in out.select("bin").distinct().collect()} \
         == set(per_bin)
+    # the schema-preserving reader: original columns only
+    from causalre_spark.operators.maintenance import read_compacted
+    clean = read_compacted(spark, dst)
+    assert clean.columns == spark.read.parquet(src).columns
 
 
 def test_predictions_json_sink_round_trip(spark):

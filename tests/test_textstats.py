@@ -145,9 +145,6 @@ def test_chunk_documents_windows(spark):
 
 def test_chunk_documents_no_shuffle(spark):
     """The chunking plan must be map-only: no Exchange anywhere."""
-    plan = textstats.chunk_documents(
-        _docs(spark, ["a b c"]), size=2, stride=1
-    )._sc is None if False else None
     df = textstats.chunk_documents(_docs(spark, ["a b c"]), size=2, stride=1)
     explained = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in explained

@@ -373,8 +373,7 @@ def main() -> int:
     p = plan_of(Q.q_pack_sequences(spark, SF))
     sections.append(("pack_sequences (sharded prefix scan)", p))
     checks.append(("packing: partitioned window (per-shard, no global sort)",
-                   "Window" in p
-                   and "No Partition Defined" not in p
+                   "windowspecdefinition(shard" in p
                    and "BatchEvalPython" not in p, p))
 
     # LPA communities: iterative join rounds stay relational (hash aggs
