@@ -324,3 +324,36 @@ def test_drop_duplicates_within_watermark(spark):
     q.awaitTermination()
     got = spark.sql("select url from ddww").collect()
     assert sorted(r["url"] for r in got) == [f"u{i}" for i in range(5)]
+
+
+def test_stream_stream_join_honors_custom_skew(spark):
+    """Regression for the review finding: with skew='3 hours' an event
+    2h after its page (outside the old hardcoded 1h bound, inside the
+    watermark) must now MATCH."""
+    import datetime as dt
+
+    from causalre_spark.sources.corpus import PAGES_SCHEMA
+    from causalre_spark.streaming.ingest import join_crawl_events_stream
+
+    psrc = "/tmp/causalre_ssj_skew_pages"
+    esrc = "/tmp/causalre_ssj_skew_events"
+    shutil.rmtree(psrc, ignore_errors=True)
+    shutil.rmtree(esrc, ignore_errors=True)
+    base = dt.datetime(2025, 3, 1, 12, 0)
+    spark.createDataFrame(
+        [("u0", base, b"<p>x</p>", "x", "en")], PAGES_SCHEMA
+    ).write.parquet(psrc)
+    eschema = "url string, fetch_ts timestamp, status int"
+    spark.createDataFrame(
+        [("u0", base + dt.timedelta(hours=2), 200),     # inside 3h skew
+         ("u0", base + dt.timedelta(hours=4), 500)],    # outside
+        eschema).write.parquet(esrc)
+    joined = join_crawl_events_stream(
+        spark.readStream.schema(PAGES_SCHEMA).parquet(psrc),
+        spark.readStream.schema(eschema).parquet(esrc),
+        skew="3 hours")
+    q = (joined.writeStream.format("memory").queryName("ssj_skew")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = [(r.url, r.status) for r in spark.sql("select * from ssj_skew").collect()]
+    assert got == [("u0", 200)]
