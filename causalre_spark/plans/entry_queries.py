@@ -3415,6 +3415,46 @@ WHERE e.src IS NULL
 """
 
 
+def q_langid_confusion(spark, sf_dir):
+    """Fitted language-ID confusion matrix (fastText-style hashed
+    char-trigram NB, fitted by aggregation from the corpus's own lang
+    labels) — see textstats.langid_fitted_confusion for the
+    broadcast-model scale shape."""
+    return textstats.langid_fitted_confusion(
+        _t(spark, sf_dir, "documents"), n_buckets=4096, alpha=0.05)
+
+
+SQL_LANGID_CONFUSION = f"""
+WITH base AS (SELECT doc_id AS id, lang AS true_lang,
+                     {NORMALIZE_SQL_DUCK.format(x="text")} AS t
+              FROM documents),
+tris AS (SELECT id, true_lang,
+                ({md5_long_sql("substring(t, i, 3)")}) % 4096 AS b
+         FROM (SELECT id, true_lang, t,
+                      unnest(generate_series(1, greatest(length(t) - 2, 1))) AS i
+               FROM base)),
+counts AS (SELECT true_lang AS lang, b, count(*) AS c
+           FROM tris GROUP BY true_lang, b),
+totals AS (SELECT lang, sum(c) AS tot FROM counts GROUP BY lang),
+model AS (SELECT c.lang, c.b,
+                 ln((c.c + 0.05) / (t.tot + 0.05 * 4096)) AS lp
+          FROM counts c JOIN totals t ON c.lang = t.lang),
+floors AS (SELECT lang, ln(0.05) - ln(tot + 0.05 * 4096) AS floor_lp
+           FROM totals),
+scored AS (SELECT x.id, x.true_lang, f.lang,
+                  round(sum(coalesce(m.lp, f.floor_lp)), 4) AS score
+           FROM tris x CROSS JOIN floors f
+           LEFT JOIN model m ON m.lang = f.lang AND m.b = x.b
+           GROUP BY x.id, x.true_lang, f.lang),
+pred AS (SELECT id, true_lang, lang AS pred_lang
+         FROM (SELECT *, row_number() OVER (PARTITION BY id
+                                            ORDER BY score DESC, lang ASC) AS rk
+               FROM scored) r WHERE rk = 1)
+SELECT true_lang, pred_lang, count(*) AS n_docs
+FROM pred GROUP BY true_lang, pred_lang
+"""
+
+
 def q_pack_sequences(spark, sf_dir):
     """GPT-style contiguous sequence packing (2048-token sequences, 8
     shards) — see sampling.pack_sequences for the sharded prefix-scan
@@ -3601,6 +3641,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_perplexity": q_lm_perplexity,
     "chunk_documents": q_chunk_documents,
     "pack_sequences": q_pack_sequences,
+    "langid_confusion": q_langid_confusion,
     # UDF pipeline + multimodal (rows-only)
     "pipeline_spans": q_pipeline_spans,
     "multimodal_features": q_multimodal_features,
@@ -3701,6 +3742,7 @@ ORACLES: dict[str, str] = {
     "lm_perplexity": SQL_LM_PERPLEXITY,
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "pack_sequences": SQL_PACK_SEQUENCES,
+    "langid_confusion": SQL_LANGID_CONFUSION,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "gold_eval_custom": SQL_GOLD_EVAL_CUSTOM,
     "gold_eval_conll04": SQL_GOLD_EVAL_CONLL04,

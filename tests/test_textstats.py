@@ -148,3 +148,16 @@ def test_chunk_documents_no_shuffle(spark):
     df = textstats.chunk_documents(_docs(spark, ["a b c"]), size=2, stride=1)
     explained = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in explained
+
+
+def test_langid_fitted_perfect_on_real_language_text(spark):
+    """Fitted char-trigram language ID must be perfectly diagonal on a
+    corpus whose languages have genuinely distinct text (the synthetic
+    pages corpus) — in-sample, 5 languages, no off-diagonal cells."""
+    from causalre_spark.sources.corpus import synth_pages_df
+
+    pages = synth_pages_df(spark, 200, partitions=4)
+    rows = textstats.langid_fitted_confusion(
+        pages, id_col="url", text_col="text", lang_col="lang").collect()
+    assert all(r.true_lang == r.pred_lang for r in rows), rows
+    assert sum(r.n_docs for r in rows) == 200
