@@ -16,7 +16,7 @@ queries()      — one entry per implemented operator from SURVEY.md §2
                  hot-group skew profiling, KG negative sampling, DSIR
                  importance weighting, temperature mixing weights,
                  composite curation verdict, CC size histogram):
-                 94 queries, 91 with exact DuckDB oracles.
+                 95 queries, 92 with exact DuckDB oracles.
 oracle_sql()   — exact DuckDB twins for every relational operator; the
                  three UDF-backed pipeline queries (pipeline_spans,
                  causal_triples, causal_triples_seeded) are rows-only by

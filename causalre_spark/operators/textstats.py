@@ -502,3 +502,45 @@ def langid_fitted_confusion(docs: DataFrame, id_col: str = "doc_id",
             .select("id", "true_lang", F.col("lang").alias("pred_lang")))
     return (pred.groupBy("true_lang", "pred_lang")
             .agg(F.count(F.lit(1)).alias("n_docs")))
+
+
+# conservative PII patterns spelled to behave identically under Spark's
+# Java regex and DuckDB's RE2 (no lookarounds, no backrefs)
+PII_PATTERNS = {
+    "email": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+\d{1,3}[- ]\d{3}[- ]\d{3,4}[- ]?\d{0,4}",
+}
+
+
+def pii_scrub(docs: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """PII detection + redaction (the C4/Dolma-style curation step
+    between quality filtering and publication): count matches per PII
+    class and produce the redacted text with each match replaced by a
+    typed placeholder. Patterns are deliberately conservative regexes
+    that parse identically under Spark's Java regex and DuckDB's RE2
+    (no lookarounds/backrefs), so the whole scrub — counts AND the md5
+    of the redacted text — is exact-oracle-checkable.
+
+    Scale shape: map-only projection, whole-stage codegen; at 10^12
+    docs this is a free rider on whatever scan already touches text.
+    """
+    out = docs.select(F.col(id_col), F.col(text_col).alias("_t"))
+    # Spark SQL string literals eat backslashes ('\\d' in the parsed
+    # string is what the regex engine must see as '\d'); DuckDB string
+    # literals do not, so only this side doubles them
+    esc = {n: p.replace("\\", "\\\\") for n, p in PII_PATTERNS.items()}
+    for name, pat in esc.items():
+        out = out.withColumn(
+            f"n_{name}",
+            F.expr(f"size(regexp_extract_all(_t, '{pat}', 0))")
+            .cast("long"))
+    red = "_t"
+    for name, pat in esc.items():
+        red = f"regexp_replace({red}, '{pat}', '<{name.upper()}>')"
+    return out.withColumn(
+        "redacted_md5", F.expr(md5_long_sql_spark(red))
+    ).withColumn(
+        "n_pii", sum(F.col(f"n_{n}") for n in PII_PATTERNS).cast("long")
+    ).drop("_t")

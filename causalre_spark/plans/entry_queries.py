@@ -3415,6 +3415,33 @@ WHERE e.src IS NULL
 """
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII detection + redaction over documents — see textstats.pii_scrub
+    (map-only; counts AND the redacted-text md5 are value-checked, so
+    the scrub itself is oracle-proven, not just exercised)."""
+    return textstats.pii_scrub(_t(spark, sf_dir, "documents"))
+
+
+def _duck_pii_scrub() -> str:
+    from causalre_spark.operators.textstats import PII_PATTERNS
+
+    n_cols = ",\n       ".join(
+        f"CAST(len(regexp_extract_all(text, '{p}')) AS BIGINT) AS n_{n}"
+        for n, p in PII_PATTERNS.items())
+    red = "text"
+    for n, p in PII_PATTERNS.items():
+        red = f"regexp_replace({red}, '{p}', '<{n.upper()}>', 'g')"
+    total = " + ".join(f"len(regexp_extract_all(text, '{p}'))"
+                       for p in PII_PATTERNS.values())
+    return f"""
+SELECT doc_id,
+       {n_cols},
+       ({md5_long_sql(red)}) AS redacted_md5,
+       CAST({total} AS BIGINT) AS n_pii
+FROM documents
+"""
+
+
 def q_langid_confusion(spark, sf_dir):
     """Fitted language-ID confusion matrix (fastText-style hashed
     char-trigram NB, fitted by aggregation from the corpus's own lang
@@ -3642,6 +3669,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_documents": q_chunk_documents,
     "pack_sequences": q_pack_sequences,
     "langid_confusion": q_langid_confusion,
+    "pii_scrub": q_pii_scrub,
     # UDF pipeline + multimodal (rows-only)
     "pipeline_spans": q_pipeline_spans,
     "multimodal_features": q_multimodal_features,
@@ -3743,6 +3771,7 @@ ORACLES: dict[str, str] = {
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "pack_sequences": SQL_PACK_SEQUENCES,
     "langid_confusion": SQL_LANGID_CONFUSION,
+    "pii_scrub": _duck_pii_scrub(),
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "gold_eval_custom": SQL_GOLD_EVAL_CUSTOM,
     "gold_eval_conll04": SQL_GOLD_EVAL_CONLL04,

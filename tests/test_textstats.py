@@ -161,3 +161,34 @@ def test_langid_fitted_perfect_on_real_language_text(spark):
         pages, id_col="url", text_col="text", lang_col="lang").collect()
     assert all(r.true_lang == r.pred_lang for r in rows), rows
     assert sum(r.n_docs for r in rows) == 200
+
+
+def test_pii_scrub_crafted_examples(spark):
+    """Counts and redaction against python re on crafted PII text (the
+    corpus oracle proves cross-engine plumbing; this proves the actual
+    match semantics)."""
+    import re
+
+    from causalre_spark.functions.hashing import md5_long
+    from causalre_spark.operators.textstats import PII_PATTERNS
+
+    texts = [
+        "contact bob.smith+x@example.co.uk or call +1-555-123-4567 now",
+        "server at 10.0.0.1 and 192.168.001.200 but not 1.2.3",
+        "no pii here at all",
+        "a@b.io c@d.org 8.8.8.8",
+    ]
+    out = {r["doc_id"]: r.asDict()
+           for r in textstats.pii_scrub(_docs(spark, texts)).collect()}
+    for i, t in enumerate(texts):
+        red = t
+        for name, pat in PII_PATTERNS.items():
+            n = len(re.findall(pat, t))
+            assert out[i][f"n_{name}"] == n, (i, name, t)
+            red = re.sub(pat, f"<{name.upper()}>", red)
+        assert out[i]["n_pii"] == sum(
+            len(re.findall(p, t)) for p in PII_PATTERNS.values())
+        assert out[i]["redacted_md5"] == md5_long(red), (i, red)
+    assert out[0]["n_email"] == 1 and out[0]["n_phone"] == 1
+    assert out[1]["n_ipv4"] == 2 and out[2]["n_pii"] == 0
+    assert out[3]["n_email"] == 2 and out[3]["n_ipv4"] == 1
