@@ -235,9 +235,9 @@ def write_baseline_md(scale_lo: dict, scale_hi: dict, eff: float,
                     "This leg is a SINGLE un-interleaved sample on the "
                     "shared host, so a sub-1.0 ratio here is not "
                     "attributable; the controlled corpus-size series is "
-                    "BENCH/CLUSTER.md's true multi-executor legs "
-                    "(efficiency 0.467 -> 0.718 -> 1.007 at 250k/500k/1M "
-                    "pages — fixed costs amortize, identical triples at "
+                    "BENCH/CLUSTER.md's true multi-executor legs (see "
+                    "that file for the current numbers — fixed costs "
+                    "amortize with corpus size, identical triples at "
                     "both cluster sizes).\n\n")
         f.write(
             "Notes: legs are INTERLEAVED min-of-N repeats (the sandbox "

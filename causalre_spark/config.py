@@ -102,12 +102,30 @@ def config_from_dict(d: dict) -> PipelineConfig:
     explicit 'extra' mapping."""
     from dataclasses import fields as _fields
 
-    known = {f.name for f in _fields(PipelineConfig)}
-    unknown = set(d) - known
+    fields = {f.name: f for f in _fields(PipelineConfig)}
+    unknown = set(d) - set(fields)
     if unknown:
         raise ValueError(
-            f"unknown config keys {sorted(unknown)}; known keys: {sorted(known)}")
-    return PipelineConfig(**d)
+            f"unknown config keys {sorted(unknown)}; known keys: {sorted(fields)}")
+    # value-type validation: a quoted number or scalar-for-mapping typo
+    # in YAML must fail HERE, not detonate far away inside run_pipeline
+    # (same contract as the key check). int -> float is the one
+    # permitted coercion (YAML '1' for a float knob).
+    coerced = {}
+    for k, v in d.items():
+        want = fields[k].type
+        base = {"int": int, "float": float, "bool": bool, "str": str,
+                "dict": dict}.get(str(want).replace("builtins.", ""), None)
+        if base is float and isinstance(v, int) and not isinstance(v, bool):
+            v = float(v)
+        elif base is int and isinstance(v, bool):
+            raise ValueError(f"config key {k!r}: expected int, got bool {v!r}")
+        if base is not None and not isinstance(v, base):
+            raise ValueError(
+                f"config key {k!r}: expected {base.__name__}, "
+                f"got {type(v).__name__} {v!r}")
+        coerced[k] = v
+    return PipelineConfig(**coerced)
 
 
 def config_from_yaml(path: str) -> PipelineConfig:

@@ -77,9 +77,14 @@ def compact_parquet(spark: SparkSession, src_path: str, dst_path: str,
     partition column is internal.
     """
     df = spark.read.parquet(src_path)
-    plan = compaction_plan(file_inventory(df), target_bytes)
-    n_bins = plan.agg(F.max("bin")).collect()[0][0]
-    n_bins = int(n_bins) + 1 if n_bins is not None else 1
+    # collect the tiny plan ONCE (it is broadcast-joined anyway): the
+    # lazy plan lineage re-lists the small-file inventory — exactly the
+    # slow phase on a high-file-count store — so every extra action on
+    # it repeats the worst part of the job
+    plan_rows = compaction_plan(file_inventory(df), target_bytes).collect()
+    n_bins = max((r["bin"] for r in plan_rows), default=0) + 1
+    plan = spark.createDataFrame(plan_rows,
+                                 "file string, bytes long, bin long")
     tagged = (
         df.withColumn("_file", F.col("_metadata.file_path"))
         .join(F.broadcast(plan.select(F.col("file").alias("_file"), "bin")),

@@ -399,11 +399,18 @@ def chunk_documents(docs: DataFrame, id_col: str = "doc_id",
         F.col(id_col),
         F.expr(f"split({norm}, ' ')").alias("toks"),
     )
+    # a start is kept only while the PREVIOUS window has not already
+    # reached the document end (s = 0 or s < n - size + stride):
+    # without the filter, any doc with n mod stride in 1..(size-stride)
+    # emits a final chunk that is a strict suffix of the previous one —
+    # duplicated training text from the very pipeline meant to dedup it
     chunks = base.select(
         id_col,
         F.expr("size(toks)").cast("long").alias("n_doc_tokens"),
         F.posexplode(F.expr(
-            f"transform(sequence(0, greatest(size(toks) - 1, 0), {stride}),"
+            f"transform("
+            f"  filter(sequence(0, greatest(size(toks) - 1, 0), {stride}),"
+            f"         s -> s = 0 OR s < size(toks) - {size} + {stride}),"
             f" s -> array_join(slice(toks, s + 1, {size}), ' '))"
         )).alias("chunk_idx", "chunk_text"),
     )
@@ -474,9 +481,7 @@ def langid_fitted_confusion(docs: DataFrame, id_col: str = "doc_id",
     model = (counts.join(totals, "lang")
              .select("lang", "b",
                      F.log((F.col("c") + alpha)
-                           / (F.col("tot") + alpha * n_buckets)).alias("lp"),
-                     (F.log(F.lit(alpha))
-                      - F.log(F.col("tot") + alpha * n_buckets)).alias("lp0")))
+                           / (F.col("tot") + alpha * n_buckets)).alias("lp")))
     # unseen (lang, bucket) pairs back off to the lang's smoothing floor:
     # join trigrams to every lang's bucket row if present, else floor
     langs = totals.select("lang",
@@ -531,13 +536,18 @@ def pii_scrub(docs: DataFrame, id_col: str = "doc_id",
     # string is what the regex engine must see as '\d'); DuckDB string
     # literals do not, so only this side doubles them
     esc = {n: p.replace("\\", "\\\\") for n, p in PII_PATTERNS.items()}
+    # counts run on the PROGRESSIVELY-REDACTED text, in the same class
+    # order as the replacements, so every count corresponds to a
+    # placeholder actually inserted: overlapping classes (an IPv4 inside
+    # an email local part) would otherwise be double-counted against a
+    # single replacement and the lineage metrics would contradict the
+    # output text
+    red = "_t"
     for name, pat in esc.items():
         out = out.withColumn(
             f"n_{name}",
-            F.expr(f"size(regexp_extract_all(_t, '{pat}', 0))")
+            F.expr(f"size(regexp_extract_all({red}, '{pat}', 0))")
             .cast("long"))
-    red = "_t"
-    for name, pat in esc.items():
         red = f"regexp_replace({red}, '{pat}', '<{name.upper()}>')"
     return out.withColumn(
         "redacted_md5", F.expr(md5_long_sql_spark(red))

@@ -3425,19 +3425,22 @@ def q_pii_scrub(spark, sf_dir):
 def _duck_pii_scrub() -> str:
     from causalre_spark.operators.textstats import PII_PATTERNS
 
-    n_cols = ",\n       ".join(
-        f"CAST(len(regexp_extract_all(text, '{p}')) AS BIGINT) AS n_{n}"
-        for n, p in PII_PATTERNS.items())
+    # mirror the operator: each class counts on the text with the
+    # PREVIOUS classes already redacted (counts == placeholders inserted)
+    n_cols, totals = [], []
     red = "text"
     for n, p in PII_PATTERNS.items():
+        n_cols.append(
+            f"CAST(len(regexp_extract_all({red}, '{p}')) AS BIGINT) AS n_{n}")
+        totals.append(f"len(regexp_extract_all({red}, '{p}'))")
         red = f"regexp_replace({red}, '{p}', '<{n.upper()}>', 'g')"
-    total = " + ".join(f"len(regexp_extract_all(text, '{p}'))"
-                       for p in PII_PATTERNS.values())
+    cols_txt = ",\n       ".join(n_cols)
+    total_txt = " + ".join(totals)
     return f"""
 SELECT doc_id,
-       {n_cols},
+       {cols_txt},
        ({md5_long_sql(red)}) AS redacted_md5,
-       CAST({total} AS BIGINT) AS n_pii
+       CAST({total_txt} AS BIGINT) AS n_pii
 FROM documents
 """
 
@@ -3561,9 +3564,10 @@ SQL_CHUNK_DOCUMENTS = f"""
 WITH norm AS (SELECT doc_id,
                      string_split({NORMALIZE_SQL_DUCK.format(x="text")}, ' ') AS toks
               FROM documents),
-st AS (SELECT doc_id, len(toks) AS n, toks,
-              unnest(generate_series(0, len(toks) - 1, 48)) AS s
-       FROM norm)
+st0 AS (SELECT doc_id, len(toks) AS n, toks,
+               unnest(generate_series(0, len(toks) - 1, 48)) AS s
+        FROM norm),
+st AS (SELECT * FROM st0 WHERE s = 0 OR s < n - 64 + 48)
 SELECT doc_id,
        CAST(s // 48 AS BIGINT) AS chunk_idx,
        CAST(s AS BIGINT) AS start_tok,

@@ -176,3 +176,20 @@ def test_config_from_yaml_round_trip(tmp_path):
     # dataclass validation still applies through the loader
     with _pytest.raises(ValueError, match="max_tagger_candidates"):
         config_from_dict({"max_tagger_candidates": 0})
+
+
+def test_config_value_type_validation():
+    """A YAML value typo (quoted number, scalar for a mapping) fails at
+    load time, not deep inside run_pipeline."""
+    import pytest as _pytest
+
+    from causalre_spark.config import config_from_dict
+
+    with _pytest.raises(ValueError, match="expected float"):
+        config_from_dict({"predict_thd": "0.4"})
+    with _pytest.raises(ValueError, match="expected dict"):
+        config_from_dict({"extra": 3})
+    with _pytest.raises(ValueError, match="expected int, got bool"):
+        config_from_dict({"max_top_k_spans": True})
+    # int -> float coercion is the one permitted widening
+    assert config_from_dict({"predict_thd": 1}).predict_thd == 1.0

@@ -133,8 +133,14 @@ def test_chunk_algebra_python_twin(n_toks, size, stride):
     token, overlap = size - stride where applicable, final partial
     window kept."""
     toks = [f"t{i}" for i in range(n_toks)]
-    starts = list(range(0, n_toks, stride))
+    # a start survives only while the previous window has not reached
+    # the end (the duplicate-suffix guard in chunk_documents)
+    starts = [s for s in range(0, n_toks, stride)
+              if s == 0 or s < n_toks - size + stride]
     chunks = [toks[s:s + size] for s in starts]
+    # no chunk is a suffix of its predecessor
+    for a, b in zip(chunks, chunks[1:]):
+        assert not (len(b) <= len(a) and a[-len(b):] == b)
     # coverage: every token index appears in at least one chunk — holds
     # exactly when stride <= size (stride > size skips tokens by design)
     covered = set()
@@ -147,12 +153,14 @@ def test_chunk_algebra_python_twin(n_toks, size, stride):
     # chunk lengths: all == size except possibly trailing ones
     for s, c in zip(starts, chunks):
         assert len(c) == min(size, n_toks - s)
-    # stride-prefix reconstruction when stride <= size
+    # reconstruction when stride <= size: stride-prefixes of the
+    # leading chunks + the final chunk in full
     if stride <= size:
         rebuilt = []
-        for c in chunks:
+        for c in chunks[:-1]:
             rebuilt.extend(c[:stride])
-        assert rebuilt[:n_toks] == toks
+        rebuilt.extend(chunks[-1])
+        assert rebuilt == toks
 
 
 @given(st.lists(st.integers(min_value=0, max_value=255), min_size=2,
@@ -193,3 +201,39 @@ def test_packing_prefix_scan_invariants(lengths, L):
             assert end - 1 < (pack + 1) * L
         off = end
     assert off == sum(lengths)
+
+
+def test_grid_constant_lint():
+    """Source linter for the irrational-offset grid policy: every
+    occurrence of the grid constant in the package must use the exact
+    canonical digits (a transposed digit at one site would silently
+    reintroduce the cross-engine rounding-tie class), and every
+    occurrence must sit in a floor(x * 10^k + OFF) / 10^k form with a
+    power-of-ten scale."""
+    import pathlib
+    import re
+
+    from causalre_spark.functions.grid import GRID_OFFSET, grid_col, grid_sql
+
+    assert repr(GRID_OFFSET) == "0.3141592653589793"
+    pkg = pathlib.Path(__file__).resolve().parent.parent / "causalre_spark"
+    approx = re.compile(r"0\.31415\d*")
+    canonical = "0.3141592653589793"
+    hits = 0
+    for py in pkg.rglob("*.py"):
+        src = py.read_text()
+        for m in approx.finditer(src):
+            assert m.group(0) == canonical, (py.name, m.group(0))
+            hits += 1
+            # where a scale multiplier precedes the constant on the same
+            # statement, it must be one of the two sanctioned powers of
+            # ten (constant DEFINITIONS like pagerank's _OFF have none)
+            window = src[max(0, m.start() - 200):m.start()]
+            scales = re.findall(r"\* (\d+)\.0", window)
+            if scales:
+                assert set(scales[-1:]) <= {"100", "10000"}, (py.name, scales)
+    assert hits >= 25  # the policy is actually in force across the tree
+    # helper twins agree with the inline form
+    assert grid_sql("x", 4) == "floor((x) * 10000.0 + 0.3141592653589793) / 10000.0"
+    assert grid_sql("x", 2) == "floor((x) * 100.0 + 0.3141592653589793) / 100.0"
+    assert grid_col is not None

@@ -115,8 +115,9 @@ def test_lm_perplexity_hand_computed(spark):
 
 
 def test_chunk_documents_windows(spark):
-    """Window/stride algebra: starts at 0, stride apart, final partial
-    window kept, slices reconstruct the doc, uid deterministic."""
+    """Window/stride algebra: starts at 0, stride apart, a start is
+    dropped once the previous window already reached the doc end (no
+    duplicate-suffix chunks), full coverage, uid deterministic."""
     toks = [f"w{i}" for i in range(10)]
     out = sorted(
         textstats.chunk_documents(
@@ -124,17 +125,21 @@ def test_chunk_documents_windows(spark):
         ).collect(),
         key=lambda r: (r["doc_id"], r["chunk_idx"]))
     d0 = [r for r in out if r["doc_id"] == 0]
-    # starts 0,3,6,9 -> 4 chunks; last is the 1-token partial window
-    assert [r["start_tok"] for r in d0] == [0, 3, 6, 9]
-    assert [r["n_chunk_tokens"] for r in d0] == [4, 4, 4, 1]
+    # starts 0,3,6 — start 9 is dropped: the window at 6 (w6..w9)
+    # already reaches the end, so a chunk at 9 would be its strict
+    # suffix (pure duplicated text)
+    assert [r["start_tok"] for r in d0] == [0, 3, 6]
+    assert [r["n_chunk_tokens"] for r in d0] == [4, 4, 4]
     assert d0[0]["chunk_text"] == "w0 w1 w2 w3"
     assert d0[1]["chunk_text"] == "w3 w4 w5 w6"
-    assert d0[3]["chunk_text"] == "w9"
-    # stride-strided prefixes of the chunks reconstruct the doc exactly
+    assert d0[2]["chunk_text"] == "w6 w7 w8 w9"
+    # stride-prefixes of the leading chunks + the whole final chunk
+    # reconstruct the doc exactly
     rebuilt = []
-    for r in d0:
+    for r in d0[:-1]:
         rebuilt.extend(r["chunk_text"].split(" ")[:3])
-    assert rebuilt[:10] == toks
+    rebuilt.extend(d0[-1]["chunk_text"].split(" "))
+    assert rebuilt == toks
     # single-token doc -> exactly one chunk
     d1 = [r for r in out if r["doc_id"] == 1]
     assert len(d1) == 1 and d1[0]["chunk_text"] == "solo"
@@ -178,17 +183,26 @@ def test_pii_scrub_crafted_examples(spark):
         "no pii here at all",
         "a@b.io c@d.org 8.8.8.8",
     ]
+    texts.append("192.168.0.1@mail.example.com overlap case")
     out = {r["doc_id"]: r.asDict()
            for r in textstats.pii_scrub(_docs(spark, texts)).collect()}
     for i, t in enumerate(texts):
-        red = t
+        # twin of the sequential semantics: each class counts on the
+        # text with the previous classes already redacted, so counts
+        # always equal placeholders inserted (no double-counting of
+        # overlapping classes)
+        red, n_pii = t, 0
         for name, pat in PII_PATTERNS.items():
-            n = len(re.findall(pat, t))
-            assert out[i][f"n_{name}"] == n, (i, name, t)
+            n = len(re.findall(pat, red))
+            assert out[i][f"n_{name}"] == n, (i, name, red)
+            n_pii += n
             red = re.sub(pat, f"<{name.upper()}>", red)
-        assert out[i]["n_pii"] == sum(
-            len(re.findall(p, t)) for p in PII_PATTERNS.values())
+        assert out[i]["n_pii"] == n_pii
         assert out[i]["redacted_md5"] == md5_long(red), (i, red)
+    # the overlap case: the email regex consumes the whole address, so
+    # ipv4 must NOT also claim a redaction that never happened
+    ov = out[len(texts) - 1]
+    assert ov["n_email"] == 1 and ov["n_ipv4"] == 0 and ov["n_pii"] == 1
     assert out[0]["n_email"] == 1 and out[0]["n_phone"] == 1
     assert out[1]["n_ipv4"] == 2 and out[2]["n_pii"] == 0
     assert out[3]["n_email"] == 2 and out[3]["n_ipv4"] == 1
