@@ -111,11 +111,23 @@ def config_from_dict(d: dict) -> PipelineConfig:
     # in YAML must fail HERE, not detonate far away inside run_pipeline
     # (same contract as the key check). int -> float is the one
     # permitted coercion (YAML '1' for a float knob).
+    base_types = {"int": int, "float": float, "bool": bool, "str": str,
+                  "dict": dict}
+    # fail-loudly contract (ADVICE r03): EVERY dataclass field must
+    # resolve to a validatable base type, provided in this dict or not —
+    # otherwise a future Optional/union-annotated knob would silently
+    # bypass value validation. This makes an unvalidatable annotation a
+    # test-time failure (tests exercise config_from_dict), not a skip.
+    for fname, f in fields.items():
+        if str(f.type).replace("builtins.", "") not in base_types:
+            raise TypeError(
+                f"config field {fname!r}: annotation {f.type!r} is not a "
+                "validatable base type (int/float/bool/str/dict); add it "
+                "to the validation map in config_from_dict")
     coerced = {}
     for k, v in d.items():
         want = fields[k].type
-        base = {"int": int, "float": float, "bool": bool, "str": str,
-                "dict": dict}.get(str(want).replace("builtins.", ""), None)
+        base = base_types.get(str(want).replace("builtins.", ""), None)
         if base is float and isinstance(v, int) and not isinstance(v, bool):
             v = float(v)
         elif base is int and isinstance(v, bool):

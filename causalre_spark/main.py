@@ -54,8 +54,8 @@ def main(argv: list[str] | None = None) -> int:
                                args.target_bytes)
         import pyspark.sql.functions as F  # noqa: N812
 
-        # one action for both counts (the plan lineage re-lists the
-        # small-file inventory, which is exactly the slow part here)
+        # compact_parquet returns a local-rows frame (plan already
+        # collect()ed), so one cheap agg covers both counts
         row = plan.agg(F.count(F.lit(1)).alias("n_in"),
                        F.countDistinct("bin").alias("n_bins")).collect()[0]
         print(json.dumps({

@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from causalre_spark.functions.hashing import md5_long_sql_spark
+from causalre_spark.functions.grid import grid_col
 from causalre_spark.functions.text import NORMALIZE_SQL
 
 # tiny deterministic marker lists (n-gram-heuristic language ID)
@@ -76,7 +77,7 @@ def token_stats_by_group(docs: DataFrame, group_col: str = "source",
         F.max("n_tokens").alias("max_tokens"),
         # irrational-offset grid (see plans/entry_queries a6 comment):
         # avg of ints can tie exactly on the 4dp rounding half grid
-        (F.floor(F.avg("n_tokens") * 10000.0 + F.lit(0.3141592653589793)) / 10000.0).alias("avg_tokens"),
+        (grid_col(F.avg("n_tokens"), k=4)).alias("avg_tokens"),
     )
     vocab = (
         per_doc.select("grp", F.explode("toks").alias("tok"))

@@ -509,12 +509,15 @@ def write_predictions_json(docs: DataFrame, path: str) -> None:
     The reference's predict run emits a JSON file of per-document
     predictions with nested span/relation objects (process_preds.py:9
     load_predictions; spans carry {start, end}, relations carry
-    {head, tail} span objects). This writes the same nesting straight
-    from the docs frame — one JSON object per document, spans as
-    {start, end, type, text, score}, relations as {head: {...},
-    tail: {...}, type, score} — so any downstream tooling written
-    against the reference's prediction files can read this sink.
-    Distributed JSON-lines write; no driver-side serialization.
+    {head, tail} span objects). This writes the same PER-OBJECT nesting
+    straight from the docs frame — one JSON object per document, spans
+    as {start, end, type, text, score}, relations as {head: {...},
+    tail: {...}, type, score}. File-level format differs by design:
+    this is a distributed JSON-lines directory of part files, while the
+    reference's process_preds.load_predictions json.load()s ONE JSON
+    document — use :func:`predictions_json_to_reference_file` to
+    concatenate the sink into that single-file shape for reference-tool
+    consumption. No driver-side serialization on the write path.
     """
     out = docs.select(
         "url",
@@ -531,3 +534,30 @@ def write_predictions_json(docs: DataFrame, path: str) -> None:
         ).alias("relations"),
     )
     out.write.mode("overwrite").json(path)
+
+
+def predictions_json_to_reference_file(sink_dir: str, out_path: str) -> int:
+    """Concatenate a write_predictions_json sink directory into the ONE
+    JSON-array file the reference's process_preds.load_predictions
+    json.load()s (reference process_preds.py:9). Driver-side by design —
+    a single reference-shaped file is inherently non-distributed, so
+    this is a small post-step for reference-tool interop, not a Spark
+    sink. Returns the number of documents written."""
+    import glob
+    import json as _json
+
+    n = 0
+    with open(out_path, "w", encoding="utf-8") as out:
+        out.write("[")
+        for part in sorted(glob.glob(os.path.join(sink_dir, "part-*"))):
+            with open(part, "r", encoding="utf-8") as fh:
+                for line in fh:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    if n:
+                        out.write(",\n")
+                    out.write(line)
+                    n += 1
+        out.write("]")
+    return n

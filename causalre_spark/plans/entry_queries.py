@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from causalre_spark.config import DEFAULT_CONFIG
 from causalre_spark.functions.hashing import md5_long_sql, md5_long_sql_spark, minhash_sql
+from causalre_spark.functions.grid import grid_col
 from causalre_spark.functions.text import NORMALIZE_SQL
 from causalre_spark.functions.text_duck import NORMALIZE_SQL_DUCK
 from causalre_spark.operators import dedup, sampling, similarity, textstats
@@ -380,8 +381,8 @@ def q_a6_corpus_stats(spark, sf_dir):
             # 4dp half grid, where the engines' rounding modes differ
             # (the events_tumbling sf0.1 lesson); stddev is irrational
             # so the same grid is merely harmless there
-            (F.floor(F.avg("n_tokens") * 10000.0 + F.lit(0.3141592653589793)) / 10000.0).alias("avg_tokens"),
-            (F.floor(F.stddev_samp("n_tokens") * 10000.0 + F.lit(0.3141592653589793)) / 10000.0).alias("sd_tokens"),
+            (grid_col(F.avg("n_tokens"), k=4)).alias("avg_tokens"),
+            (grid_col(F.stddev_samp("n_tokens"), k=4)).alias("sd_tokens"),
         )
     )
 
@@ -502,7 +503,7 @@ def q_a7_iou_binning(spark, sf_dir):
         .agg(F.max("iou").alias("best_iou"))
     )
     per_doc = best.groupBy("doc_id").agg(
-        (F.floor(F.avg("best_iou") * 10000.0 + F.lit(0.3141592653589793)) / 10000.0).alias("mean_iou"))
+        (grid_col(F.avg("best_iou"), k=4)).alias("mean_iou"))
     bucket = (
         F.when(F.col("mean_iou") >= 0.8, "Excellent")
         .when(F.col("mean_iou") >= 0.5, "Good")
@@ -572,7 +573,7 @@ def q_f3_sigmoid_decode(spark, sf_dir):
         .filter(F.col("prob") >= 0.3)
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_kept"),
-             (F.floor(F.avg("prob") * 10000.0 + F.lit(0.3141592653589793)) / 10000.0).alias("avg_prob"))
+             (grid_col(F.avg("prob"), k=4)).alias("avg_prob"))
     )
 
 
@@ -1924,10 +1925,10 @@ def q_tpch_q1(spark, sf_dir):
             # grid-quantized, not round(): sums of 4-decimal products
             # and averages of ints/2-decimals are finite-decimal
             # rationals that can tie on the rounding half grid
-            (F.floor(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100.0 + F.lit(0.3141592653589793)) / 100.0)
+            (grid_col(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), k=2))
             .alias("sum_disc_price"),
-            (F.floor(F.avg("l_quantity") * 10000.0 + F.lit(0.3141592653589793)) / 10000.0).alias("avg_qty"),
-            (F.floor(F.avg("l_discount") * 10000.0 + F.lit(0.3141592653589793)) / 10000.0).alias("avg_disc"),
+            (grid_col(F.avg("l_quantity"), k=4)).alias("avg_qty"),
+            (grid_col(F.avg("l_discount"), k=4)).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -1954,7 +1955,7 @@ def q_tpch_segment_revenue(spark, sf_dir):
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
-            (F.floor(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100.0 + F.lit(0.3141592653589793)) / 100.0)
+            (grid_col(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), k=2))
             .alias("revenue"),
             F.countDistinct("o_orderkey").alias("n_orders"),
         )
@@ -1988,7 +1989,7 @@ def q_tpch_q3_topk(spark, sf_dir):
         cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate")
-        .agg((F.floor(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100.0 + F.lit(0.3141592653589793)) / 100.0)
+        .agg((grid_col(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), k=2))
              .alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
@@ -2035,7 +2036,7 @@ def q_tpch_q5_local_supplier(spark, sf_dir):
         .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
         .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
-        .agg((F.floor(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100.0 + F.lit(0.3141592653589793)) / 100.0)
+        .agg((grid_col(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), k=2))
              .alias("revenue"))
     )
 
@@ -2145,8 +2146,7 @@ def q_events_moving_avg(spark, sf_dir):
          .rowsBetween(-3, 0))
     return ev.select(
         "user_id", "event_id",
-        (F.floor(F.avg("value").over(w) * 10000.0
-                 + F.lit(0.3141592653589793)) / 10000.0).alias("mov_avg"))
+        grid_col(F.avg("value").over(w), k=4).alias("mov_avg"))
 
 
 SQL_EVENTS_MOVING_AVG = """
@@ -3691,6 +3691,39 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "causal_triples_seeded": q_causal_triples_seeded,
 }
 
+# --- Driver-coverage ordering -------------------------------------------
+# The round driver samples a PREFIX of this dict (50 of 92 oracles in
+# r03), so queries that have never had a driver-oracle row must iterate
+# first or they never get one (VERDICT r03 next-round #5). The set below
+# is every query with a green row in CORRECTNESS_r01/r02/r03; everything
+# NOT in it (including new round-4 registrations) is moved to the front.
+# Values are untouched — this is a pure iteration-order permutation.
+_DRIVER_CHECKED = frozenset({
+    "a1_micro_prf", "a2_loose_match", "a2_loose_rels", "a3_lost_rels",
+    "a6_corpus_stats", "a7_iou_binning", "a8_triple_dedup",
+    "ann_ivf_assign", "ann_lsh_buckets", "ann_pq_assign", "ann_recall",
+    "ann_rh_buckets", "ann_topk_bucketed", "ann_topk_ivf",
+    "ann_topk_multiprobe", "ann_topk_pq", "causal_triples",
+    "causal_triples_seeded", "cc_components", "decontaminate",
+    "dedup_blocking_recall", "dedup_cosine", "dedup_crossdoc",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_simhash", "dedup_simhash_wide", "events_json_extract",
+    "events_sessionize", "events_tumbling", "f1_span_text",
+    "f2_iou_pairs", "f3_sigmoid_decode", "j1_pair_gen", "kg_2hop",
+    "kg_pagerank", "kmeans_clusters", "link_lsh_pairs",
+    "link_minhash_sigs", "multimodal_features", "n12_typed_decode",
+    "p1_valid_span_counts", "p6_label_alignment", "pipeline_spans",
+    "quality_percentile", "semantic_dedup", "sim_cosine_topk",
+    "t1_topk_spans", "t3_dedup_max", "t5_hanging_prune",
+    "text_fingerprint", "text_langid", "text_quality",
+    "text_repetition", "text_token_stats", "tpch_q1", "tpch_rollup",
+    "tpch_segment_revenue", "u1_set_ops",
+})
+QUERIES = {
+    **{k: v for k, v in QUERIES.items() if k not in _DRIVER_CHECKED},
+    **{k: v for k, v in QUERIES.items() if k in _DRIVER_CHECKED},
+}
+
 ORACLES: dict[str, str] = {
     "p1_valid_span_counts": SQL_P1,
     "t1_topk_spans": SQL_T1,
@@ -3784,4 +3817,11 @@ ORACLES: dict[str, str] = {
     "gazetteer_spans": SQL_GAZETTEER_SPANS,
     "gazetteer_eval_custom": SQL_GAZETTEER_EVAL_CUSTOM,
     "gazetteer_eval_conll04": SQL_GAZETTEER_EVAL_CONLL04,
+}
+
+# same never-driver-checked-first permutation as QUERIES, in case the
+# driver iterates the oracle dict rather than the query dict
+ORACLES = {
+    **{k: v for k, v in ORACLES.items() if k not in _DRIVER_CHECKED},
+    **{k: v for k, v in ORACLES.items() if k in _DRIVER_CHECKED},
 }

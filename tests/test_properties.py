@@ -232,7 +232,15 @@ def test_grid_constant_lint():
             scales = re.findall(r"\* (\d+)\.0", window)
             if scales:
                 assert set(scales[-1:]) <= {"100", "10000"}, (py.name, scales)
-    assert hits >= 25  # the policy is actually in force across the tree
+    # the policy is actually in force across the tree: Column-side sites
+    # were migrated to grid_col (ADVICE r03 — helpers must have call
+    # sites, not just exist), so the remaining inline occurrences are
+    # the SQL-string twins plus the canonical definition
+    assert hits >= 15
+    grid_calls = sum(
+        py.read_text().count("grid_col(") for py in pkg.rglob("*.py")
+        if py.name != "grid.py")
+    assert grid_calls >= 12, grid_calls  # helper is THE Column-side policy
     # helper twins agree with the inline form
     assert grid_sql("x", 4) == "floor((x) * 10000.0 + 0.3141592653589793) / 10000.0"
     assert grid_sql("x", 2) == "floor((x) * 100.0 + 0.3141592653589793) / 100.0"
