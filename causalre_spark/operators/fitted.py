@@ -1,0 +1,507 @@
+"""Train-split-fitted span HMM + relation Naive-Bayes (VERDICT r03 #1).
+
+The reference's quality comes from trained torch checkpoints that are
+not portable (`CRE Model/config.yaml:47`; no .pt in the repo), so the
+frozen-weight profile scores near-zero on gold and the gazetteer
+(operators/gazetteer.py) only recovers spans whose surface form repeats
+verbatim between splits — which never happens for the custom corpus's
+clause-level event spans. This module is the next rung on the
+fit-by-aggregation ladder, and lifts gold-eval rel F1 off zero
+(BENCH/GOLD_EVAL.md: conll04 rel F1 0.00 -> ~0.29, custom 0.00 ->
+~0.05; spans 0.50 -> ~0.71 / 0.05 -> ~0.18):
+
+- **Span tagger**: a first-order HMM over BIES+O token states. The fit
+  is 100% DataFrame aggregation (emission counts per token, shape
+  backoff counts, transition / init / final counts) — at 100 TB it is
+  one groupBy over the exploded train split and the model is a
+  train-vocabulary-bounded dimension table. Decoding is per-document
+  Viterbi (max-product DP) — inherently sequential per doc, so it runs
+  as an Arrow-batched mapInPandas UDF with the fitted counts carried in
+  the closure: embarrassingly parallel, zero shuffle, the same shape as
+  the model-stage UDFs (SURVEY §2.10 contract). Emissions are scaled
+  likelihoods log P(s|w) - log P(s) (the hybrid-HMM trick) with an
+  m-estimate backoff to character-shape classes for unseen tokens.
+
+- **Relation classifier**: a 3-class (none / forward / backward) Naive
+  Bayes over ordered candidate span pairs with lexical-structural
+  features: between-text tokens and bigrams, quantized gap bucket,
+  first between-token, tokens adjacent to the pair (pre/post). Both
+  fit AND inference are pure DataFrame algebra: the fit is a groupBy
+  over exploded pair features; inference joins candidate features to
+  the broadcast weight table and sums per pair. Weights are
+  integer-grid-quantized log-likelihood ratios
+  (floor(1000*ln(r) + pi/10), the README cross-engine determinism
+  policy), so scores are exact BIGINT sums and the DuckDB oracle can
+  recompute fit + predict + eval end-to-end with zero float drift.
+  Backward pairs get their own class because ~30% of gold relations
+  point right-to-left (head after tail in text) — a single
+  earlier->later trigger rule caps recall at 0.7 before it starts.
+
+Reference parity targets: `CRE Model/modules/metrics.py:96-132` scoring
+over `data/Conll04/conll04_nathan_for_model_rs129.json` and the Custom
+test split; the dissertation's trained numbers are the BASELINE.md
+quality rows these fitted surfaces are measured against.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from causalre_spark.functions.grid import GRID_OFFSET
+
+STATES = ["O", "B", "I", "E", "S"]
+_SI = {s: i for i, s in enumerate(STATES)}
+# legal BIES+O transitions: a span is B I* E or S; O elsewhere
+LEGAL = {("O", "O"), ("O", "B"), ("O", "S"),
+         ("B", "I"), ("B", "E"),
+         ("I", "I"), ("I", "E"),
+         ("E", "O"), ("E", "B"), ("E", "S"),
+         ("S", "O"), ("S", "B"), ("S", "S")}
+START_OK = ("O", "B", "S")
+END_OK = ("O", "E", "S")
+
+# token character-shape classes (precedence order). ASCII classes on
+# purpose: Java regex (Spark), RE2-ish DuckDB regexp and Python `re`
+# agree exactly on them, so all three implementations bucket
+# identically.
+SHAPE_RULES = [
+    ("Num", "[0-9]", False),          # contains a digit (search)
+    ("Cap", "^[A-Z][a-z]+$", True),   # Capitalized word
+    ("ALL", "^[A-Z]{2,}$", True),     # acronym
+    ("low", "^[a-z]+$", True),        # lowercase word
+]
+
+
+def shape_col(tok) -> F.Column:
+    """Spark Column: shape class of a token (see SHAPE_RULES)."""
+    c = F.when(F.col(tok).rlike(SHAPE_RULES[0][1]), "Num")
+    for name, pat, _anch in SHAPE_RULES[1:]:
+        c = c.when(F.col(tok).rlike(pat), name)
+    return c.otherwise("other")
+
+
+SHAPE_SQL_DUCK = """CASE
+  WHEN regexp_matches(token, '[0-9]') THEN 'Num'
+  WHEN regexp_matches(token, '^[A-Z][a-z]+$') THEN 'Cap'
+  WHEN regexp_matches(token, '^[A-Z]{2,}$') THEN 'ALL'
+  WHEN regexp_matches(token, '^[a-z]+$') THEN 'low'
+  ELSE 'other' END"""
+
+
+def token_states(split_df: DataFrame) -> DataFrame:
+    """(url, pos, token, state): every train token labeled with its
+    BIES+O state. When gold spans overlap, the span LATEST in the
+    document's span array wins per position (deterministic, matches the
+    oracle's max-sidx rule)."""
+    toks = (split_df
+            .select(F.col("doc_id").cast("string").alias("url"),
+                    F.posexplode("tokens").alias("pos", "token")))
+    lab = (split_df
+           .select(F.col("doc_id").cast("string").alias("url"),
+                   F.posexplode("spans").alias("sidx", "sp"))
+           .select("url", "sidx", F.col("sp.start").alias("s"),
+                   F.col("sp.end").alias("e"))
+           .select("url", "sidx", "s", "e",
+                   F.explode(F.expr("sequence(s, e - 1)")).alias("pos"))
+           .withColumn(
+               "state",
+               F.when(F.col("e") - F.col("s") == 1, "S")
+               .when(F.col("pos") == F.col("s"), "B")
+               .when(F.col("pos") == F.col("e") - 1, "E")
+               .otherwise("I")))
+    w = Window.partitionBy("url", "pos").orderBy(F.col("sidx").desc())
+    best = (lab.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1).select("url", "pos", "state"))
+    return (toks.join(best, ["url", "pos"], "left")
+            .fillna({"state": "O"})
+            .select("url", "pos", "token", "state"))
+
+
+def fit_hmm(split_df: DataFrame) -> DataFrame:
+    """Fitted HMM as ONE tall counts table (part, key, state, cnt):
+
+    - part='em':   key=token, per-state emission count
+    - part='emsh': key=shape class, per-state count (unseen-token backoff)
+    - part='tr':   key=previous state, state=current, bigram count
+    - part='init' / 'fin': key='', first/last-token state counts
+
+    Everything is groupBy aggregation — the whole model is a small
+    dimension table (train-vocab-bounded) and the fit plan has exactly
+    one shuffle per part over uniform keys."""
+    st = token_states(split_df)
+    em = (st.groupBy(F.col("token").alias("key"), "state")
+          .agg(F.count(F.lit(1)).alias("cnt"))
+          .select(F.lit("em").alias("part"), "key", "state", "cnt"))
+    emsh = (st.withColumn("sh", shape_col("token"))
+            .groupBy(F.col("sh").alias("key"), "state")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.lit("emsh").alias("part"), "key", "state", "cnt"))
+    w = Window.partitionBy("url").orderBy("pos")
+    tr = (st.withColumn("prev", F.lag("state").over(w))
+          .where(F.col("prev").isNotNull())
+          .groupBy(F.col("prev").alias("key"), "state")
+          .agg(F.count(F.lit(1)).alias("cnt"))
+          .select(F.lit("tr").alias("part"), "key", "state", "cnt"))
+    wn = Window.partitionBy("url")
+    edged = st.withColumn("mx", F.max("pos").over(wn))
+    init = (edged.where(F.col("pos") == 0)
+            .groupBy("state").agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.lit("init").alias("part"), F.lit("").alias("key"),
+                    "state", "cnt"))
+    fin = (edged.where(F.col("pos") == F.col("mx"))
+           .groupBy("state").agg(F.count(F.lit(1)).alias("cnt"))
+           .select(F.lit("fin").alias("part"), F.lit("").alias("key"),
+                   "state", "cnt"))
+    return em.unionByName(emsh).unionByName(tr).unionByName(init) \
+             .unionByName(fin)
+
+
+def collect_hmm_model(model_df: DataFrame) -> dict:
+    """Materialize the fitted counts table into the plain-dict model the
+    Viterbi UDF closes over. Driver-side by design: the model is a
+    train-vocabulary-bounded dimension (tens of k rows), the same
+    size-class as the k-means centroid collect (clustering.py)."""
+    em: dict = {}
+    emsh: dict = {}
+    tr: dict = {}
+    init: dict = {}
+    fin: dict = {}
+    for r in model_df.collect():
+        if r["part"] == "em":
+            em.setdefault(r["key"], [0] * 5)[_SI[r["state"]]] = r["cnt"]
+        elif r["part"] == "emsh":
+            emsh.setdefault(r["key"], [0] * 5)[_SI[r["state"]]] = r["cnt"]
+        elif r["part"] == "tr":
+            tr[(r["key"], r["state"])] = r["cnt"]
+        elif r["part"] == "init":
+            init[r["state"]] = r["cnt"]
+        elif r["part"] == "fin":
+            fin[r["state"]] = r["cnt"]
+    st = {s: 0 for s in STATES}
+    for counts in em.values():
+        for s, c in zip(STATES, counts):
+            st[s] += c
+    return {"em": em, "emsh": emsh, "tr": tr, "st": st,
+            "init": init, "fin": fin, "ntok": sum(st.values())}
+
+
+def _shape_py(w: str) -> str:
+    """Python twin of shape_col/SHAPE_SQL_DUCK (used inside the decode
+    UDF; ASCII regex semantics match Java/DuckDB exactly)."""
+    import re
+    if re.search(r"[0-9]", w):
+        return "Num"
+    if re.match(r"^[A-Z][a-z]+$", w):
+        return "Cap"
+    if re.match(r"^[A-Z]{2,}$", w):
+        return "ALL"
+    if re.match(r"^[a-z]+$", w):
+        return "low"
+    return "other"
+
+
+def viterbi_spans(tokens: list, model: dict, m: float = 1.0,
+                  alpha: float = 1.0) -> list:
+    """Per-document max-product Viterbi over BIES+O -> [(start, end)].
+
+    Emission score = log P(state|token) - log P(state) (scaled
+    likelihood): P(state|token) is the m-estimated posterior backing
+    off to the token's shape class. Deterministic: fixed iteration
+    order, first-max argmax."""
+    n = len(tokens)
+    if n == 0:
+        return []
+    em, emsh, tr = model["em"], model["emsh"], model["tr"]
+    st, init, fin, ntok = (model["st"], model["init"], model["fin"],
+                           model["ntok"])
+    ninit = sum(init.values())
+    nfin = sum(fin.values())
+    NEG = -1e18
+
+    def emis(w: str, s: str) -> float:
+        si = _SI[s]
+        sh = emsh.get(_shape_py(w), [0] * 5)
+        psh = (sh[si] + alpha) / (sum(sh) + 5 * alpha)
+        e = em.get(w, (0, 0, 0, 0, 0))
+        post = (e[si] + m * psh) / (sum(e) + m)
+        return math.log(post) - math.log(st[s] / ntok)
+
+    V = [[NEG] * 5 for _ in range(n)]
+    bp = [[0] * 5 for _ in range(n)]
+    for s in START_OK:
+        V[0][_SI[s]] = (math.log((init.get(s, 0) + alpha)
+                                 / (ninit + 5 * alpha)) + emis(tokens[0], s))
+    for i in range(1, n):
+        for s in STATES:
+            si = _SI[s]
+            best, arg = NEG, 0
+            for p in STATES:
+                if (p, s) not in LEGAL or V[i - 1][_SI[p]] <= NEG / 2:
+                    continue
+                v = V[i - 1][_SI[p]] + math.log(
+                    (tr.get((p, s), 0) + alpha) / (st[p] + 5 * alpha))
+                if v > best:
+                    best, arg = v, _SI[p]
+            if best > NEG / 2:
+                V[i][si] = best + emis(tokens[i], s)
+                bp[i][si] = arg
+    bestv, cur = NEG, 0
+    for s in END_OK:
+        if V[n - 1][_SI[s]] > NEG / 2:
+            v = V[n - 1][_SI[s]] + math.log(
+                (fin.get(s, 0) + alpha) / (nfin + 5 * alpha))
+            if v > bestv:
+                bestv, cur = v, _SI[s]
+    seq = [cur]
+    for i in range(n - 1, 0, -1):
+        cur = bp[i][cur]
+        seq.append(cur)
+    labels = [STATES[k] for k in reversed(seq)]
+    spans = []
+    a = None
+    for i, lbl in enumerate(labels):
+        if lbl == "S":
+            spans.append((i, i + 1))
+            a = None
+        elif lbl == "B":
+            a = i
+        elif lbl == "E" and a is not None:
+            spans.append((a, i + 1))
+            a = None
+        elif lbl == "O":
+            a = None
+    return spans
+
+
+def decode_spans(docs: DataFrame, model: dict) -> DataFrame:
+    """(url, start, end): Viterbi-decoded spans for every document.
+
+    mapInPandas with the fitted counts in the closure — one Arrow
+    crossing, zero shuffle, embarrassingly parallel (the 100 TB shape:
+    the model ships once per executor with the task closure)."""
+    if "url" not in docs.columns:
+        docs = docs.withColumn("url", F.col("doc_id").cast("string"))
+    src = docs.select("url", "tokens")
+
+    def udf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"url": [], "start": [], "end": []}
+            for url, toks in zip(pdf["url"], pdf["tokens"]):
+                for (a, b) in viterbi_spans([str(t) for t in toks], model):
+                    out["url"].append(str(url))
+                    out["start"].append(a)
+                    out["end"].append(b)
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(udf, schema="url string, start int, end int")
+
+
+# --------------------------------------------------------------------------
+# relation Naive Bayes
+# --------------------------------------------------------------------------
+
+MAX_GAP = 30        # reference's ±30-token rel context window
+W_SCALE = 1000      # integer grid for log weights
+MIN_DF = 2          # feature document-frequency floor
+_CLS = ["neg", "fwd", "bwd"]
+
+
+def _gap_bucket(gap) -> F.Column:
+    return (F.when(gap < 6, gap.cast("string"))
+            .when(gap <= 10, F.lit("10"))
+            .when(gap <= 20, F.lit("20"))
+            .otherwise(F.lit("30")))
+
+
+def candidate_pairs(spans: DataFrame) -> DataFrame:
+    """Position-ordered disjoint span pairs with gap <= MAX_GAP.
+    `spans`: (url, start, end). Self-join on url — bounded per doc by
+    the span count, never cross-document."""
+    h = spans.select("url", F.col("start").alias("h_start"),
+                     F.col("end").alias("h_end"))
+    t = spans.select("url", F.col("start").alias("t_start"),
+                     F.col("end").alias("t_end"))
+    return (h.join(t, "url")
+            .where((F.col("h_end") <= F.col("t_start"))
+                   & (F.col("t_start") - F.col("h_end") <= MAX_GAP)))
+
+
+_PAIR_KEY = ["url", "h_start", "h_end", "t_start", "t_end"]
+
+
+def pair_features(pairs: DataFrame, docs: DataFrame) -> DataFrame:
+    """(pair key..., kind, val): the distinct feature multiset of each
+    ordered candidate pair. Kinds: gap bucket, between-text unigrams
+    (btw) and bigrams (btw2), first between-token, tokens adjacent to
+    the pair (pre/post). Pure DataFrame algebra — one join to the docs
+    tokens, per-kind projections, explode, distinct."""
+    if "url" not in docs.columns:
+        docs = docs.withColumn("url", F.col("doc_id").cast("string"))
+    j = pairs.join(docs.select("url", "tokens"), "url")
+    key = [F.col(c) for c in _PAIR_KEY]
+
+    gap = j.select(*key, F.lit("gap").alias("kind"),
+                   _gap_bucket(F.col("t_start") - F.col("h_end"))
+                   .alias("val"))
+    btw = (j.select(*key, F.lit("btw").alias("kind"),
+                    F.explode(F.slice(F.col("tokens"), F.col("h_end") + 1,
+                                      F.col("t_start") - F.col("h_end")))
+                    .alias("val")))
+    # bigrams: tokens[i] + ' ' + tokens[i+1] for i in [h_end, t_start-2]
+    # (0-based). Spark sequence() descends when start > stop, so the
+    # empty case needs an explicit guard.
+    btw2 = (j.select(
+        *key, F.lit("btw2").alias("kind"),
+        F.explode(F.expr(
+            "CASE WHEN t_start - h_end >= 2 THEN "
+            "transform(sequence(h_end, t_start - 2), "
+            "i -> concat(tokens[i], ' ', tokens[i + 1])) "
+            "ELSE array() END")).alias("val")))
+    first = j.select(*key, F.lit("first").alias("kind"),
+                     F.when(F.col("t_start") > F.col("h_end"),
+                            F.expr("tokens[h_end]"))
+                     .otherwise("<adj>").alias("val"))
+    pre = j.select(*key, F.lit("pre").alias("kind"),
+                   F.when(F.col("h_start") > 0,
+                          F.expr("tokens[h_start - 1]"))
+                   .otherwise("<bos>").alias("val"))
+    post = j.select(*key, F.lit("post").alias("kind"),
+                    F.when(F.col("t_end") < F.size("tokens"),
+                           F.expr("tokens[t_end]"))
+                    .otherwise("<eos>").alias("val"))
+    return (gap.unionByName(btw).unionByName(btw2).unionByName(first)
+            .unionByName(pre).unionByName(post).distinct())
+
+
+def _labeled_train_pairs(split_df: DataFrame) -> DataFrame:
+    """Gold-span candidate pairs labeled neg/fwd/bwd from gold rels.
+    fwd = head span earlier in text, bwd = head later (the pair is
+    always stored in text order)."""
+    spans = (split_df
+             .select(F.col("doc_id").cast("string").alias("url"),
+                     F.explode("spans").alias("sp"))
+             .select("url", F.col("sp.start").alias("start"),
+                     F.col("sp.end").alias("end")).distinct())
+    pairs = candidate_pairs(spans)
+    rels = (split_df
+            .select(F.col("doc_id").cast("string").alias("url"),
+                    "spans", F.explode("relations").alias("r"))
+            .select("url",
+                    F.expr("spans[r.head].start").alias("a_st"),
+                    F.expr("spans[r.head].end").alias("a_en"),
+                    F.expr("spans[r.tail].start").alias("b_st"),
+                    F.expr("spans[r.tail].end").alias("b_en")))
+    fwd_first = F.col("a_st") <= F.col("b_st")
+    orient = (rels.select(
+        "url",
+        F.when(fwd_first, F.col("a_st")).otherwise(F.col("b_st"))
+        .alias("h_start"),
+        F.when(fwd_first, F.col("a_en")).otherwise(F.col("b_en"))
+        .alias("h_end"),
+        F.when(fwd_first, F.col("b_st")).otherwise(F.col("a_st"))
+        .alias("t_start"),
+        F.when(fwd_first, F.col("b_en")).otherwise(F.col("a_en"))
+        .alias("t_end"),
+        F.when(fwd_first, F.lit(1)).otherwise(F.lit(2)).alias("y"))
+        .groupBy(*_PAIR_KEY)
+        # a pair related in BOTH directions resolves to fwd (min y) —
+        # deterministic; does not occur in the reference corpora
+        .agg(F.min("y").alias("y")))
+    return (pairs.join(orient, _PAIR_KEY, "left")
+            .fillna({"y": 0}))
+
+
+def fit_rel_nb(split_df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """-> (weights, priors).
+
+    weights: (kind, val, w_neg, w_fwd, w_bwd) — integer-grid log
+    likelihood ratios floor(W_SCALE*ln((n_y+1)/(cls_y+2)) + pi/10),
+    document frequency >= MIN_DF. priors: one row (c_neg, c_fwd, c_bwd,
+    p_neg, p_fwd, p_bwd) with the class counts and the grid-quantized
+    log priors. Both are train-bounded broadcast dimensions."""
+    lab = _labeled_train_pairs(split_df)
+    feats = pair_features(lab.select(*_PAIR_KEY), split_df) \
+        .join(lab, _PAIR_KEY)
+    counts = (feats.groupBy("kind", "val")
+              .agg(*[F.sum(F.when(F.col("y") == y, 1).otherwise(0))
+                     .alias(f"n_{c}") for y, c in enumerate(_CLS)]))
+    cls = lab.groupBy().agg(
+        *[F.sum(F.when(F.col("y") == y, 1).otherwise(0)).alias(f"c_{c}")
+          for y, c in enumerate(_CLS)])
+
+    def _w(n, c):
+        return F.floor(W_SCALE * F.log((n + 1.0) / (c + 2.0))
+                       + F.lit(GRID_OFFSET)).cast("long")
+
+    weights = (counts.crossJoin(F.broadcast(cls))
+               .where(sum(F.col(f"n_{c}") for c in _CLS) >= MIN_DF)
+               .select("kind", "val",
+                       *[_w(F.col(f"n_{c}"), F.col(f"c_{c}"))
+                         .alias(f"w_{c}") for c in _CLS]))
+    total = sum(F.col(f"c_{c}") for c in _CLS)
+    priors = cls.select(
+        *[F.col(f"c_{c}") for c in _CLS],
+        *[F.floor(W_SCALE * F.log((F.col(f"c_{c}") + 1.0) / (total + 3.0))
+                  + F.lit(GRID_OFFSET)).cast("long").alias(f"p_{c}")
+          for c in _CLS])
+    return weights, priors
+
+
+def predict_rels_nb(pred_spans: DataFrame, docs: DataFrame,
+                    weights: DataFrame, priors: DataFrame,
+                    rel_type: DataFrame) -> DataFrame:
+    """(url, h_start, h_end, t_start, t_end, rel_type): NB-decided
+    relations over predicted spans.
+
+    Scores are exact BIGINT sums: candidate features inner-join the
+    broadcast weight table (absent features contribute nothing — NB
+    semantics), per-pair per-class sums add the grid-quantized priors,
+    and the first-max argmax fires fwd (pair order) or bwd (reversed).
+    The corpus-side plan is join -> explode -> broadcast-join ->
+    partial-agg sum: no shuffle wider than the candidate-pair table."""
+    pairs = candidate_pairs(pred_spans.select("url", "start", "end"))
+    feats = pair_features(pairs, docs)
+    sums = (feats.join(F.broadcast(weights), ["kind", "val"])
+            .groupBy(*_PAIR_KEY)
+            .agg(*[F.sum(f"w_{c}").alias(f"s_{c}") for c in _CLS]))
+    scored = (pairs.join(sums, _PAIR_KEY, "left")
+              .fillna({f"s_{c}": 0 for c in _CLS})
+              .crossJoin(F.broadcast(priors))
+              .select(*_PAIR_KEY,
+                      *[(F.col(f"s_{c}") + F.col(f"p_{c}"))
+                        .alias(f"t_{c}") for c in _CLS]))
+    fwd = (F.col("t_fwd") > F.col("t_neg")) & \
+          (F.col("t_fwd") >= F.col("t_bwd"))
+    bwd = (F.col("t_bwd") > F.col("t_neg")) & \
+          (F.col("t_bwd") > F.col("t_fwd"))
+    out = (scored
+           .withColumn("dir", F.when(fwd, 1).when(bwd, 2))
+           .where(F.col("dir").isNotNull())
+           .select(
+               "url",
+               F.when(F.col("dir") == 1, F.col("h_start"))
+               .otherwise(F.col("t_start")).alias("h_start"),
+               F.when(F.col("dir") == 1, F.col("h_end"))
+               .otherwise(F.col("t_end")).alias("h_end"),
+               F.when(F.col("dir") == 1, F.col("t_start"))
+               .otherwise(F.col("h_start")).alias("t_start"),
+               F.when(F.col("dir") == 1, F.col("t_end"))
+               .otherwise(F.col("h_end")).alias("t_end")))
+    return out.crossJoin(F.broadcast(rel_type))
+
+
+def majority_span_type(split_df: DataFrame) -> DataFrame:
+    """One-row (type): the train split's most frequent gold span type
+    (ties: type asc) — attached to untyped HMM spans for strict typed
+    matching (both reference corpora are single-type 'event')."""
+    w = Window.orderBy(F.col("c").desc(), F.col("type").asc())
+    return (split_df.select(F.explode("spans").alias("sp"))
+            .groupBy(F.col("sp.type").alias("type"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1).select("type"))
