@@ -272,9 +272,24 @@ def _star_components(edges: DataFrame, max_iters: int, parts: int) -> DataFrame:
 
     Returns (node, component) for every node incident to an edge
     (isolated nodes are the caller's own-label default)."""
+
+    def _fingerprint(df: DataFrame):
+        # one cheap aggregate per round instead of two exceptAll
+        # shuffles (the r03 -> r04 cc_components regression fix):
+        # count + order-independent bit_xor digests of the edge set.
+        # XOR cannot overflow (ANSI-safe) and is duplicate-safe here
+        # because both operands are distinct()ed sets. A (vanishingly
+        # unlikely) digest collision only makes the loop attempt the
+        # EXACT exceptAll verification below — never a wrong result.
+        return tuple(df.agg(
+            F.count(F.lit(1)),
+            F.expr("bit_xor(xxhash64(a, b))"),
+            F.expr("bit_xor(a)"), F.expr("bit_xor(b)")).collect()[0])
+
     E = (edges.filter(F.col("a") != F.col("b")).select("a", "b").distinct()
          .repartition(parts, "a").localCheckpoint())
-    converged = E.isEmpty()
+    fp_e = _fingerprint(E)
+    converged = fp_e[0] == 0
     for _ in range(max_iters):
         if converged:
             break
@@ -300,10 +315,14 @@ def _star_components(edges: DataFrame, max_iters: int, parts: int) -> DataFrame:
             .filter(F.col("a") != F.col("b")).distinct()
             .repartition(parts, "a").localCheckpoint()
         )
-        # one symmetric-difference job, not two exceptAll jobs
-        converged = new_e.exceptAll(E).unionByName(
-            E.exceptAll(new_e)).isEmpty()
-        E = new_e
+        fp_new = _fingerprint(new_e)
+        if fp_new == fp_e:
+            # candidate fixpoint: confirm with the exact (expensive)
+            # symmetric difference ONCE, not every round — convergence
+            # stays exact, the guard stays loud
+            converged = new_e.exceptAll(E).unionByName(
+                E.exceptAll(new_e)).isEmpty()
+        E, fp_e = new_e, fp_new
     if not converged:
         raise RuntimeError(
             f"connected components did not converge in {max_iters} "
