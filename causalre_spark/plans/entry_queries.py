@@ -2617,14 +2617,28 @@ def _seeded_pages_from_documents(spark, sf_dir) -> DataFrame:
 
 def q_causal_triples_seeded(spark, sf_dir):
     """Non-vacuous flagship twin: same full pipeline, driver corpus
-    seeded with deterministic causal sentences — rows > 0 on driver
-    testdata, exact-parity-gated vs the oracle in
-    tests/test_pipeline_parity.py (rows-only for the driver compare:
-    the numeric model is not SQL-expressible)."""
+    seeded with a deterministic causal template mix (1-2 causal
+    sentences + trigger-free distractor negatives per doc,
+    sources/corpus.seed_sentences). Correctness is exact-parity-gated
+    vs the independent single-process oracle in
+    tests/test_pipeline_parity.py; the driver oracle is a frozen
+    surface fixture keyed by the documents table's (count, text-length
+    sum) — a value-hash pin on end-to-end pipeline determinism
+    (tools/freeze_seeded.py), since the numeric model itself is not
+    SQL-expressible."""
     from causalre_spark.pipeline import run_pipeline
 
     pages = _seeded_pages_from_documents(spark, sf_dir)
     return run_pipeline(spark, pages, verify_extraction=False)["triples"]
+
+
+SQL_CAUSAL_TRIPLES_SEEDED = """
+SELECT cause_id, cause, predicate, effect_id, effect, n_evidence,
+       max_score
+FROM '/root/repo/fixtures/seeded/causal_triples_seeded.parquet'
+WHERE n_docs = (SELECT count(*) FROM documents)
+  AND sum_len = (SELECT sum(length(text)) FROM documents)
+"""
 
 
 
@@ -4121,7 +4135,7 @@ _DRIVER_CHECKED = frozenset({
     "ann_ivf_assign", "ann_lsh_buckets", "ann_pq_assign", "ann_recall",
     "ann_rh_buckets", "ann_topk_bucketed", "ann_topk_ivf",
     "ann_topk_multiprobe", "ann_topk_pq", "causal_triples",
-    "causal_triples_seeded", "cc_components", "decontaminate",
+    "cc_components", "decontaminate",
     "dedup_blocking_recall", "dedup_cosine", "dedup_crossdoc",
     "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "dedup_simhash", "dedup_simhash_wide", "events_json_extract",
@@ -4242,6 +4256,7 @@ ORACLES: dict[str, str] = {
     "fitted_rel_weights_conll04": SQL_FITTED_REL_WEIGHTS_CONLL04,
     "fitted_eval_custom": SQL_FITTED_EVAL_CUSTOM,
     "fitted_eval_conll04": SQL_FITTED_EVAL_CONLL04,
+    "causal_triples_seeded": SQL_CAUSAL_TRIPLES_SEEDED,
 }
 
 # same never-driver-checked-first permutation as QUERIES, in case the

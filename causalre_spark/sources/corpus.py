@@ -174,6 +174,25 @@ def causal_suffix(key: str) -> str:
     return f"{subj} {trig} {obj} ."
 
 
+def seed_sentences(key: str) -> list[str]:
+    """Denser deterministic seed mix (VERDICT r03 #6): always one
+    causal sentence; a second with an independent trigger draw on 1/3
+    of keys (cross-trigger coverage + dedup pressure on shared
+    mentions); a TRIGGER-FREE distractor naming a template subject on
+    2/5 of keys (a cross-sentence negative — the extractor must not
+    link the bare mention to a neighboring sentence's trigger). Pure
+    function shared by the Spark seeded-pages adapter and the
+    parity-test oracle."""
+    out = [causal_suffix(key)]
+    u = md5_long(f"seedmix#{key}")
+    if u % 3 == 0:
+        out.append(causal_suffix(f"{key}#b"))
+    if u % 5 < 2:
+        subj = _variant(_pick(SUBJECTS, f"dx#{key}"), f"dxv#{key}")
+        out.append(f"the report described {subj} without further detail .")
+    return out
+
+
 def page_from_document(doc_id, source: str, text: str, lang: str,
                        seed_causal: bool = False) -> dict:
     """input_hint page row from a driver-testdata `documents` row.
@@ -193,7 +212,7 @@ def page_from_document(doc_id, source: str, text: str, lang: str,
     if seed_causal:
         words = text.split(" ")
         chunks = [" ".join(words[i: i + 8]) for i in range(0, len(words), 8)]
-        text = " . ".join(chunks) + f" . {causal_suffix(str(doc_id))}"
+        text = " . ".join(chunks) + " . " + " ".join(seed_sentences(str(doc_id)))
     return {
         "url": f"https://{source}.example.org/doc/{doc_id}",
         "warc_ts": _dt.datetime(2025, 1, 1),
