@@ -40,6 +40,10 @@ class PipelineConfig:
                                     # for parity runs and small corpora)
     subtoken_pooling: str = "maxpool"   # config.yaml:95 (first/last/first_last/mean/maxpool)
     tagging_mode: str = "BE"            # config.yaml:113 (BE/BECO)
+    span_mode: str = "nathan"           # config.yaml:119 (nathan/firstlast_grapher/
+                                        # firstlast/spert/attn span-rep modes)
+    rel_mode: str = "between_window_context"  # config.yaml:152 (between_window_context/
+                                        # no_context/between_context/window_context)
     span_win_alpha: float = 0.2         # config.yaml:120 (nathan window = round(alpha*width))
     rel_window_size: int = 30           # config.yaml:155 (±window rel context)
     use_lstm: bool = True               # config.yaml:97-99 (3-layer biLSTM enrichment)

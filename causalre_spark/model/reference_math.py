@@ -475,6 +475,142 @@ def nathan_span_reps(token_reps: np.ndarray, starts: np.ndarray, ends: np.ndarra
 
 
 # ---------------------------------------------------------------------------
+# N8 non-default span-rep modes (SpanRepLayer dispatch, span_rep.py:545-580;
+# VERDICT r03 missing #2). Same frozen-weight discipline as 'nathan'; each
+# mode owns its projection weights (separate module instances in the
+# reference). All ends are python-style (end exclusive).
+# ---------------------------------------------------------------------------
+
+def firstlast_grapher_span_reps(token_reps: np.ndarray, starts: np.ndarray,
+                                ends: np.ndarray, name: str = "span_flg"
+                                ) -> np.ndarray:
+    """First_n_Last_graphER (span_rep.py:14-70): rep =
+    FFN(relu([token[start]; token[end-1]])) — plain endpoint extraction
+    (the start/end FFNs are commented out in the reference), relu
+    BEFORE the projection (unlike 'firstlast')."""
+    if starts.shape[0] == 0:
+        return np.zeros((0, DIM), dtype=np.float32)
+    feat = np.concatenate([token_reps[starts], token_reps[ends - 1]],
+                          axis=1).astype(np.float32)
+    np.maximum(feat, 0.0, out=feat)
+    return _ffn_projection(feat, name, 2 * DIM)
+
+
+def firstlast_span_reps(token_reps: np.ndarray, starts: np.ndarray,
+                        ends: np.ndarray, name: str = "span_fl"
+                        ) -> np.ndarray:
+    """First_n_Last (span_rep.py:76-109): extract_span_reps
+    mode='start_end' with the default alpha=1 window (win=1 -> start
+    rep = token[start], end rep = token[end-1]), concat, FFN."""
+    if starts.shape[0] == 0:
+        return np.zeros((0, DIM), dtype=np.float32)
+    feat = np.concatenate([token_reps[starts], token_reps[ends - 1]],
+                          axis=1).astype(np.float32)
+    return _ffn_projection(feat, name, 2 * DIM)
+
+
+def spert_span_reps(token_reps: np.ndarray, starts: np.ndarray,
+                    ends: np.ndarray, cls_rep: np.ndarray | None,
+                    cfg: PipelineConfig, with_width: bool = True,
+                    with_cls: bool = True, name: str = "span_spert"
+                    ) -> np.ndarray:
+    """Spert (span_rep.py:117-175): rep = FFN([maxpool(span tokens);
+    width_emb(width); cls])."""
+    k = starts.shape[0]
+    if k == 0:
+        return np.zeros((0, DIM), dtype=np.float32)
+    pooled = np.stack([token_reps[s:e].max(axis=0)
+                       for s, e in zip(starts, ends)])
+    parts = [pooled]
+    in_dim = DIM
+    if with_width:
+        parts.append(width_embedding_table(cfg.max_span_width)[ends - starts])
+        in_dim += WIDTH_EMB_DIM
+    if with_cls and cls_rep is not None:
+        parts.append(np.broadcast_to(cls_rep, (k, DIM)))
+        in_dim += DIM
+    feat = np.concatenate(parts, axis=1).astype(np.float32)
+    return _ffn_projection(feat, name, in_dim)
+
+
+SPAN_ATTN_HEADS = 4  # SpanAttentionPoolerSelf default (span_rep.py:260)
+
+
+def attn_span_reps(token_reps: np.ndarray, starts: np.ndarray,
+                   ends: np.ndarray, cls_rep: np.ndarray | None,
+                   cfg: PipelineConfig, with_width: bool = True,
+                   with_cls: bool = True, name: str = "span_attnp"
+                   ) -> np.ndarray:
+    """Attn (span_rep.py:324-387 + SpanAttentionPoolerSelf :260-320):
+    per span, prepend a learned CLS pooler embedding to the sequence,
+    self-attend with the span's content mask (+CLS) as the key padding
+    mask, take the CLS-position output of the MHAttentionTorch block
+    (out = query + LN(attn), layers_other.py:39-68) as the pooled rep;
+    then width/cls concat + FFN. Only the CLS row of the full self-
+    attention is needed, so the port queries with that single row —
+    row-for-row identical to the reference's full-sequence pass."""
+    k = starts.shape[0]
+    if k == 0:
+        return np.zeros((0, DIM), dtype=np.float32)
+    L = token_reps.shape[0]
+    pooler = _vec(f"{name}.cls_emb", DIM).astype(np.float32)
+    seq = np.concatenate([pooler[None, :], token_reps]).astype(np.float32)
+    pooled = np.empty((k, DIM), dtype=np.float32)
+    for i, (s, e) in enumerate(zip(starts, ends)):
+        valid = np.zeros(L + 1, dtype=bool)
+        valid[0] = True
+        valid[1 + s: 1 + e] = True
+        attn = _mha_cross(pooler[None, :], seq, valid[None, :],
+                          f"{name}.attn", n_heads=SPAN_ATTN_HEADS)
+        pooled[i] = pooler + _layer_norm(attn)[0]
+    parts = [pooled]
+    in_dim = DIM
+    if with_width:
+        parts.append(width_embedding_table(cfg.max_span_width)[ends - starts])
+        in_dim += WIDTH_EMB_DIM
+    if with_cls and cls_rep is not None:
+        parts.append(np.broadcast_to(cls_rep, (k, DIM)))
+        in_dim += DIM
+    feat = np.concatenate(parts, axis=1).astype(np.float32)
+    return _ffn_projection(feat, f"{name}.proj", in_dim)
+
+
+SPAN_MODES = ("nathan", "firstlast_grapher", "firstlast", "spert", "attn")
+
+
+def span_reps_by_mode(token_reps: np.ndarray, starts: np.ndarray,
+                      ends: np.ndarray, cls_rep: np.ndarray | None,
+                      cfg: PipelineConfig, with_width: bool = True,
+                      with_cls: bool = True, variant: str = ""
+                      ) -> np.ndarray:
+    """SpanRepLayer mode dispatch (span_rep.py:545-580). `variant`
+    suffixes the frozen weight names so the main and modified-for-rels
+    instances stay independent modules, as in the reference
+    (model.py:83-93). Unknown modes fail loudly."""
+    mode = cfg.span_mode
+    if mode == "nathan":
+        return nathan_span_reps(token_reps, starts, ends, cls_rep, cfg,
+                                with_width=with_width, with_cls=with_cls,
+                                name=f"span_proj{variant}")
+    if mode == "firstlast_grapher":
+        return firstlast_grapher_span_reps(token_reps, starts, ends,
+                                           name=f"span_flg{variant}")
+    if mode == "firstlast":
+        return firstlast_span_reps(token_reps, starts, ends,
+                                   name=f"span_fl{variant}")
+    if mode == "spert":
+        return spert_span_reps(token_reps, starts, ends, cls_rep, cfg,
+                               with_width=with_width, with_cls=with_cls,
+                               name=f"span_spert{variant}")
+    if mode == "attn":
+        return attn_span_reps(token_reps, starts, ends, cls_rep, cfg,
+                              with_width=with_width, with_cls=with_cls,
+                              name=f"span_attnp{variant}")
+    raise ValueError(f"unknown span_mode {mode!r}; expected one of "
+                     f"{SPAN_MODES}")
+
+
+# ---------------------------------------------------------------------------
 # N9: binary filter heads
 # ---------------------------------------------------------------------------
 
@@ -497,37 +633,52 @@ def filter_head_double(reps: np.ndarray, name: str) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 def rel_context_masks(L: int, h_s: np.ndarray, h_e: np.ndarray,
-                      t_s: np.ndarray, t_e: np.ndarray, window: int) -> np.ndarray:
-    """(R, L) bool: (head ±window ∪ tail ±window ∪ between-span tokens)
-    minus head/tail interiors (rel_rep.py:444-487 make_base_context_masks
-    + :286-317 exclusion). Ends python-style; window runs [s-win, s) and
-    [e, e+win)."""
+                      t_s: np.ndarray, t_e: np.ndarray, window: int,
+                      mode: str = "between_window") -> np.ndarray:
+    """(R, L) bool context mask minus head/tail interiors
+    (rel_rep.py:286-317 exclusion). Base per mode (each context algo's
+    make_base_context_masks):
+      'between_window' — head ±window ∪ tail ±window ∪ between tokens
+                         (RelRepBetweenWindowContext, :444-487)
+      'between'        — between tokens only (RelRepBetweenContext,
+                         :383-392)
+      'window'         — head/tail ±window only (RelRepWindowContext,
+                         :400-436)
+    Ends python-style; window runs [s-win, s) and [e, e+win)."""
     idx = np.arange(L)[None, :]
     def win_mask(s, e):
         s, e = s[:, None], e[:, None]
         return ((idx >= s - window) & (idx < s)) | ((idx >= e) & (idx < e + window))
     between = (idx >= np.minimum(h_s, t_s)[:, None]) & (idx < np.maximum(h_e, t_e)[:, None])
-    base = win_mask(h_s, h_e) | win_mask(t_s, t_e) | between
+    if mode == "between":
+        base = between
+    elif mode == "window":
+        base = win_mask(h_s, h_e) | win_mask(t_s, t_e)
+    elif mode == "between_window":
+        base = win_mask(h_s, h_e) | win_mask(t_s, t_e) | between
+    else:
+        raise ValueError(f"unknown rel context mode {mode!r}")
     interiors = (((idx >= h_s[:, None]) & (idx < h_e[:, None]))
                  | ((idx >= t_s[:, None]) & (idx < t_e[:, None])))
     return base & ~interiors
 
 
 def _mha_cross(query: np.ndarray, keys: np.ndarray, masks: np.ndarray,
-               name: str) -> np.ndarray:
+               name: str, n_heads: int = N_HEADS) -> np.ndarray:
     """Multi-head cross attention, torch nn.MultiheadAttention semantics
-    (in/out projections, scaled dot product, key padding mask), N_HEADS
-    heads. query (R, D); keys (L, D) shared; masks (R, L) bool True=valid."""
+    (in/out projections, scaled dot product, key padding mask), n_heads
+    heads (default N_HEADS; the span attn pooler uses 4). query (R, D);
+    keys (L, D) shared; masks (R, L) bool True=valid."""
     R = query.shape[0]
     L = keys.shape[0]
-    dk = DIM // N_HEADS
+    dk = DIM // n_heads
     q = query @ _mat(f"{name}.wq", DIM, DIM) + _vec(f"{name}.bq", DIM)
     k = keys @ _mat(f"{name}.wk", DIM, DIM) + _vec(f"{name}.bk", DIM)
     v = keys @ _mat(f"{name}.wv", DIM, DIM) + _vec(f"{name}.bv", DIM)
     out = np.empty((R, DIM), dtype=np.float32)
     scale = 1.0 / math.sqrt(dk)
     neg = np.float32(-1e9)
-    for h in range(N_HEADS):
+    for h in range(n_heads):
         sl = slice(h * dk, (h + 1) * dk)
         scores = (q[:, sl] @ k[:, sl].T) * scale         # (R, L)
         scores = np.where(masks, scores, neg)
@@ -538,23 +689,26 @@ def _mha_cross(query: np.ndarray, keys: np.ndarray, masks: np.ndarray,
 
 
 def crossattn_pool(head_reps: np.ndarray, tail_reps: np.ndarray,
-                   token_reps: np.ndarray, masks: np.ndarray) -> np.ndarray:
+                   token_reps: np.ndarray, masks: np.ndarray,
+                   name: str = "rel_ctx") -> np.ndarray:
     """RelationContextAttentionPoolerCross (rel_rep.py:100-151):
     query = Linear([head; tail]); one MHA block with residual
     (MHAttentionTorch, layers_other.py:39-68: out = query + LN(attn));
     rows with NO valid context token fall back to the learned no-context
-    embedding (rel_rep.py:320-341, config rel_no_context_rep=emb)."""
+    embedding (rel_rep.py:320-341, config rel_no_context_rep=emb).
+    `name` keys the frozen weights — each configured rel mode is an
+    independent module instance in the reference."""
     R = head_reps.shape[0]
     if R == 0:
         return np.zeros((0, DIM), dtype=np.float32)
     q = (np.concatenate([head_reps, tail_reps], axis=1)
-         @ _mat("rel_ctx.qproj", 2 * DIM, DIM) + _vec("rel_ctx.qproj_b", DIM))
+         @ _mat(f"{name}.qproj", 2 * DIM, DIM) + _vec(f"{name}.qproj_b", DIM))
     has_ctx = masks.any(axis=1)
     out = np.empty((R, DIM), dtype=np.float32)
-    out[~has_ctx] = _vec("rel_ctx.no_context_emb", DIM)
+    out[~has_ctx] = _vec(f"{name}.no_context_emb", DIM)
     if has_ctx.any():
         attn = _mha_cross(q[has_ctx].astype(np.float32), token_reps,
-                          masks[has_ctx], "rel_ctx.attn")
+                          masks[has_ctx], f"{name}.attn")
         out[has_ctx] = q[has_ctx] + _layer_norm(attn)
     return out
 
@@ -575,6 +729,69 @@ def rel_reps_between_window_context(
     ctx = crossattn_pool(head_reps, tail_reps, token_reps, masks)
     feat = np.concatenate([head_reps, ctx, tail_reps], axis=1).astype(np.float32)
     return _ffn_projection(feat, "rel_proj", 3 * DIM)
+
+
+# ---------------------------------------------------------------------------
+# N10 non-default rel-rep modes (RelationRepLayer dispatch; VERDICT r03
+# missing #3). Default crossattn context pooling + learned no-context
+# embedding (config.yaml:153-154), each mode its own frozen weights.
+# ---------------------------------------------------------------------------
+
+def rel_reps_no_context(span_reps_rel: np.ndarray, h_idx: np.ndarray,
+                        t_idx: np.ndarray) -> np.ndarray:
+    """RelRepNoContext (rel_rep.py:19-88): rep = FFN([head_rep;
+    tail_rep]) — no token context at all."""
+    if h_idx.size == 0:
+        return np.zeros((0, DIM), dtype=np.float32)
+    feat = np.concatenate([span_reps_rel[h_idx], span_reps_rel[t_idx]],
+                          axis=1).astype(np.float32)
+    return _ffn_projection(feat, "rel_nc_proj", 2 * DIM)
+
+
+def _rel_reps_ctx_mode(token_reps: np.ndarray, span_reps_rel: np.ndarray,
+                       starts: np.ndarray, ends: np.ndarray,
+                       h_idx: np.ndarray, t_idx: np.ndarray,
+                       cfg: PipelineConfig, mode: str) -> np.ndarray:
+    """Shared chain of RelRepBetweenContext (rel_rep.py:383-392) and
+    RelRepWindowContext (:400-436): mode-specific base context mask,
+    interior exclusion, crossattn pooling, FFN([head; ctx; tail])."""
+    if h_idx.size == 0:
+        return np.zeros((0, DIM), dtype=np.float32)
+    head_reps = span_reps_rel[h_idx]
+    tail_reps = span_reps_rel[t_idx]
+    masks = rel_context_masks(
+        token_reps.shape[0], starts[h_idx], ends[h_idx],
+        starts[t_idx], ends[t_idx], cfg.rel_window_size, mode=mode)
+    ctx = crossattn_pool(head_reps, tail_reps, token_reps, masks,
+                         name=f"rel_ctx_{mode}")
+    feat = np.concatenate([head_reps, ctx, tail_reps], axis=1).astype(np.float32)
+    return _ffn_projection(feat, f"rel_proj_{mode}", 3 * DIM)
+
+
+REL_MODES = ("between_window_context", "no_context", "between_context",
+             "window_context")
+
+
+def rel_reps_by_mode(token_reps: np.ndarray, span_reps_rel: np.ndarray,
+                     starts: np.ndarray, ends: np.ndarray,
+                     h_idx: np.ndarray, t_idx: np.ndarray,
+                     cfg: PipelineConfig) -> np.ndarray:
+    """RelationRepLayer mode dispatch (rel_rep.py:497-541 per
+    config.yaml:152 rel_mode). Unknown modes fail loudly."""
+    mode = cfg.rel_mode
+    if mode == "between_window_context":
+        return rel_reps_between_window_context(
+            token_reps, span_reps_rel, starts, ends, h_idx, t_idx, cfg)
+    if mode == "no_context":
+        return rel_reps_no_context(span_reps_rel, h_idx, t_idx)
+    if mode == "between_context":
+        return _rel_reps_ctx_mode(token_reps, span_reps_rel, starts, ends,
+                                  h_idx, t_idx, cfg, "between")
+    if mode == "window_context":
+        return _rel_reps_ctx_mode(token_reps, span_reps_rel, starts, ends,
+                                  h_idx, t_idx, cfg, "window")
+    raise ValueError(f"unknown rel_mode {mode!r}; expected one of "
+                     f"{REL_MODES}")
 
 
 # ---------------------------------------------------------------------------
@@ -754,9 +971,8 @@ def doc_extract_reference(tokens: list[str], cfg: PipelineConfig = DEFAULT_CONFI
     pre = np.lexsort((ends, starts, -tag_scores))[: cfg.max_tagger_candidates or None]
     starts, ends, tag_scores = starts[pre], ends[pre], tag_scores[pre]
     if starts.shape[0]:
-        span_reps_all = nathan_span_reps(reps, starts, ends, cls_rep, cfg,
-                                         with_width=True, with_cls=True,
-                                         name="span_proj")
+        span_reps_all = span_reps_by_mode(reps, starts, ends, cls_rep, cfg,
+                                          with_width=True, with_cls=True)
         crosses_all = np.array(
             [any(t in core.BOUNDARY_TOKENS for t in toks[s:e])
              for s, e in zip(starts, ends)], dtype=bool)
@@ -779,9 +995,9 @@ def doc_extract_reference(tokens: list[str], cfg: PipelineConfig = DEFAULT_CONFI
     if k == 0:
         return empty
     # N8 modified span reps for rel building (no width emb, no CLS)
-    span_reps_rel = nathan_span_reps(reps, starts, ends, None, cfg,
-                                     with_width=False, with_cls=False,
-                                     name="span_proj_rel")
+    span_reps_rel = span_reps_by_mode(reps, starts, ends, None, cfg,
+                                      with_width=False, with_cls=False,
+                                      variant="_rel")
     # J1 pair gen over top-k spans (NMS comes AFTER the heads in the
     # reference: post_model_prune_inference, model.py:1075-1080)
     if k >= 2:
@@ -795,7 +1011,7 @@ def doc_extract_reference(tokens: list[str], cfg: PipelineConfig = DEFAULT_CONFI
     # filter head ranking true causal pairs first (see module docstring);
     # without it the top-k would keep arbitrary pairs and drop the ones
     # the type head would decode positive.
-    rel_reps = rel_reps_between_window_context(
+    rel_reps = rel_reps_by_mode(
         reps, span_reps_rel, starts, ends, h_idx, t_idx, cfg)
     bridge_all = _trigger_bridge_flags(toks, starts, ends, h_idx, t_idx)
     rel_filter = (filter_head_single(rel_reps, "rel_filter")

@@ -325,3 +325,154 @@ def test_beco_profile_udf_oracle_parity():
         assert got_r == want_r
         checked += 1
     assert checked >= 3
+
+
+# ------------------------------------------- N8/N10 non-default modes
+
+def test_span_rep_mode_expected_values():
+    """span_rep.py:14-70 (graphER first/last), :76-109 (firstlast),
+    :117-175 (spert): each mode's rep recomputed independently from the
+    frozen weight tables."""
+    reps = rm.encode_subwords([f"m{i}" for i in range(12)])[0]
+    cls = rm.encode_subwords(["clsrep"])[1]
+    cfg = PipelineConfig(max_span_width=10)
+    starts = np.array([1, 4], dtype=np.int64)
+    ends = np.array([3, 9], dtype=np.int64)
+
+    # firstlast_grapher: relu BEFORE the projection
+    flg = rm.firstlast_grapher_span_reps(reps, starts, ends)
+    feat = np.maximum(np.concatenate([reps[1], reps[2]]), 0.0).astype(np.float32)
+    want = rm._ffn_projection(feat[None, :], "span_flg", 2 * rm.DIM)[0]
+    assert np.allclose(flg[0], want, atol=1e-5)
+
+    # firstlast: plain endpoint concat (alpha=1 window)
+    fl = rm.firstlast_span_reps(reps, starts, ends)
+    feat = np.concatenate([reps[4], reps[8]]).astype(np.float32)
+    want = rm._ffn_projection(feat[None, :], "span_fl", 2 * rm.DIM)[0]
+    assert np.allclose(fl[1], want, atol=1e-5)
+    assert not np.allclose(flg[0], fl[0])  # independent frozen weights
+
+    # spert: whole-span maxpool + width emb + cls
+    sp = rm.spert_span_reps(reps, starts, ends, cls, cfg)
+    wtab = rm.width_embedding_table(cfg.max_span_width)
+    feat = np.concatenate([reps[4:9].max(axis=0), wtab[5], cls]).astype(np.float32)
+    want = rm._ffn_projection(feat[None, :], "span_spert", feat.shape[0])[0]
+    assert np.allclose(sp[1], want, atol=1e-5)
+    # width/cls off (modified-for-rels shape)
+    sp2 = rm.spert_span_reps(reps, starts, ends, None, cfg,
+                             with_width=False, with_cls=False)
+    feat2 = reps[1:3].max(axis=0).astype(np.float32)
+    want2 = rm._ffn_projection(feat2[None, :], "span_spert", rm.DIM)[0]
+    assert np.allclose(sp2[0], want2, atol=1e-5)
+
+
+def test_attn_span_rep_independent_mha_twin():
+    """span_rep.py:260-320 SpanAttentionPoolerSelf: the pooled CLS row
+    recomputed by an independent 4-head MHA implementation (explicit
+    einsum-free loops) from the same frozen weights; plus the pooling
+    is position-free — spans with identical token content pool
+    identically."""
+    base = rm.encode_subwords([f"a{i}" for i in range(10)])[0].copy()
+    base[6:8] = base[2:4]  # span B [6,8) repeats span A [2,4) content
+    cfg = PipelineConfig(max_span_width=10)
+    starts = np.array([2, 6, 0], dtype=np.int64)
+    ends = np.array([4, 8, 2], dtype=np.int64)
+    cls = rm.encode_subwords(["c"])[1]
+    out = rm.attn_span_reps(base, starts, ends, cls, cfg)
+    assert out.shape == (3, rm.DIM) and np.isfinite(out).all()
+    assert np.allclose(out[0], out[1], atol=1e-5)      # same content
+    assert not np.allclose(out[0], out[2], atol=1e-3)  # different content
+
+    # independent twin for span A
+    name = "span_attnp"
+    pooler = rm._vec(f"{name}.cls_emb", rm.DIM).astype(np.float32)
+    seq = np.concatenate([pooler[None, :], base]).astype(np.float32)
+    wq = rm._mat(f"{name}.attn.wq", rm.DIM, rm.DIM)
+    wk = rm._mat(f"{name}.attn.wk", rm.DIM, rm.DIM)
+    wv = rm._mat(f"{name}.attn.wv", rm.DIM, rm.DIM)
+    wo = rm._mat(f"{name}.attn.wo", rm.DIM, rm.DIM)
+    bq, bk = rm._vec(f"{name}.attn.bq", rm.DIM), rm._vec(f"{name}.attn.bk", rm.DIM)
+    bv, bo = rm._vec(f"{name}.attn.bv", rm.DIM), rm._vec(f"{name}.attn.bo", rm.DIM)
+    valid = [0, 3, 4]  # cls + span [2,4) shifted by 1
+    q = pooler @ wq + bq
+    k = seq @ wk + bk
+    v = seq @ wv + bv
+    dk = rm.DIM // rm.SPAN_ATTN_HEADS
+    heads = []
+    for h in range(rm.SPAN_ATTN_HEADS):
+        sl = slice(h * dk, (h + 1) * dk)
+        sc = np.array([float(q[sl] @ k[j, sl]) / np.sqrt(dk) for j in valid])
+        w = np.exp(sc - sc.max())
+        w /= w.sum()
+        heads.append(sum(wi * v[j, sl] for wi, j in zip(w, valid)))
+    attn = np.concatenate(heads) @ wo + bo
+    pooled = pooler + rm._layer_norm(attn[None, :].astype(np.float32))[0]
+    wtab = rm.width_embedding_table(cfg.max_span_width)
+    feat = np.concatenate([pooled, wtab[2], cls]).astype(np.float32)
+    want = rm._ffn_projection(feat[None, :], f"{name}.proj", feat.shape[0])[0]
+    assert np.allclose(out[0], want, atol=1e-4)
+
+
+def test_rel_context_mask_modes():
+    """rel_rep.py:383-392 (between) and :400-436 (window) base masks,
+    minus interiors; their union is the default between_window mask."""
+    h_s, h_e = np.array([2]), np.array([4])
+    t_s, t_e = np.array([8]), np.array([10])
+    bw = rm.rel_context_masks(14, h_s, h_e, t_s, t_e, 2, "between_window")[0]
+    bt = rm.rel_context_masks(14, h_s, h_e, t_s, t_e, 2, "between")[0]
+    wd = rm.rel_context_masks(14, h_s, h_e, t_s, t_e, 2, "window")[0]
+    assert set(np.nonzero(bt)[0].tolist()) == {4, 5, 6, 7}
+    assert set(np.nonzero(wd)[0].tolist()) == {0, 1, 4, 5, 6, 7, 10, 11}
+    assert (bw == (bt | wd)).all()
+    with pytest.raises(ValueError):
+        rm.rel_context_masks(14, h_s, h_e, t_s, t_e, 2, "bogus")
+
+
+def test_rel_rep_modes_expected_and_dispatch():
+    """rel_rep.py:19-88 no_context expected value; window/between chains
+    produce mode-distinct finite reps; doc_extract_reference runs green
+    under every (span_mode, rel_mode) combination and unknown modes fail
+    loudly."""
+    reps = rm.encode_subwords([f"r{i}" for i in range(14)])[0]
+    cfg = PipelineConfig(model_profile="reference")
+    starts = np.array([2, 8], dtype=np.int64)
+    ends = np.array([4, 10], dtype=np.int64)
+    srel = rm.span_reps_by_mode(reps, starts, ends, None, cfg,
+                                with_width=False, with_cls=False,
+                                variant="_rel")
+    h_idx = np.array([0], dtype=np.int64)
+    t_idx = np.array([1], dtype=np.int64)
+    nc = rm.rel_reps_no_context(srel, h_idx, t_idx)
+    feat = np.concatenate([srel[0], srel[1]]).astype(np.float32)
+    want = rm._ffn_projection(feat[None, :], "rel_nc_proj", 2 * rm.DIM)[0]
+    assert np.allclose(nc[0], want, atol=1e-5)
+
+    outs = {}
+    for mode in rm.REL_MODES:
+        c = PipelineConfig(model_profile="reference", rel_mode=mode)
+        outs[mode] = rm.rel_reps_by_mode(reps, srel, starts, ends,
+                                         h_idx, t_idx, c)
+        assert outs[mode].shape == (1, rm.DIM)
+        assert np.isfinite(outs[mode]).all()
+    vals = list(outs.values())
+    for i in range(len(vals)):
+        for j in range(i + 1, len(vals)):
+            assert not np.allclose(vals[i], vals[j], atol=1e-3)
+
+    # e2e: every mode combination decodes a real doc without error
+    from causalre_spark.extract import tokenize
+    from causalre_spark.sources.corpus import gen_page
+    toks = tokenize(gen_page(0)["text"])
+    for sm in rm.SPAN_MODES:
+        for rmode in rm.REL_MODES:
+            c = PipelineConfig(model_profile="reference",
+                               span_mode=sm, rel_mode=rmode)
+            r = rm.doc_extract_reference(toks, c)
+            assert np.isfinite(r["filter_scores"]).all()
+            assert r["starts"].shape == r["ends"].shape
+    with pytest.raises(ValueError):
+        rm.doc_extract_reference(toks, PipelineConfig(
+            model_profile="reference", span_mode="bogus"))
+    with pytest.raises(ValueError):
+        rm.doc_extract_reference(toks, PipelineConfig(
+            model_profile="reference", rel_mode="bogus"))
