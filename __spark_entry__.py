@@ -15,17 +15,21 @@ queries()      — one entry per implemented operator from SURVEY.md §2
                  benchmark decontamination, stratified sampling,
                  hot-group skew profiling, KG negative sampling, DSIR
                  importance weighting, temperature mixing weights,
-                 composite curation verdict, CC size histogram):
-                 95 queries, 92 with exact DuckDB oracles.
+                 composite curation verdict, CC size histogram,
+                 fitted HMM span tagger + NB relation classifier on the
+                 reference gold splits, seeded-flagship surface):
+                 103 queries, 101 with exact DuckDB oracles.
 oracle_sql()   — exact DuckDB twins for every relational operator; the
-                 three UDF-backed pipeline queries (pipeline_spans,
-                 causal_triples, causal_triples_seeded) are rows-only by
+                 two remaining UDF-backed pipeline queries
+                 (pipeline_spans, causal_triples) are rows-only by
                  design — their golden correctness gate is the pytest
                  oracle-parity suite (tests/test_pipeline_parity.py,
                  tests/test_reference_math.py), which asserts exact
                  span/relation/triple-set equality vs the independent
                  single-process oracle, including on the driver's own
-                 testdata (empty and seeded).
+                 testdata (empty and seeded). causal_triples_seeded is
+                 hash-gated via a frozen surface fixture keyed by the
+                 documents table fingerprint (tools/freeze_seeded.py).
 """
 
 from __future__ import annotations
