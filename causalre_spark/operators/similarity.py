@@ -231,19 +231,18 @@ def ivf_assign(
     the dots are explicit literal addition chains."""
     dots = _centroid_dots(lambda j: f"element_at({vec_col}, {j + 1})",
                           n_centroids, dim)
-    # two-step: materialize each dot ONCE as a column, then argmax over
-    # the columns — n dots + n^2 scalar compares instead of n^2 dot
-    # re-evaluations inside one giant CASE tree
-    with_d = emb.select(
+    # O(n) argmax: one (dot, -centroid) struct array + array_max —
+    # struct ordering takes the highest dot, ties toward the smallest
+    # centroid id (negated). Each dot chain evaluates exactly once and
+    # the expression count stays linear in n_centroids (the former
+    # n²-conjunct CASE was the k² cliff flagged in VERDICT r03).
+    entries = ", ".join(
+        f"named_struct('d', {dots[c]}, 'nc', {-c})"
+        for c in range(n_centroids))
+    return emb.select(
         F.col(id_col),
-        *[F.expr(dots[c]).alias(f"_d{c}") for c in range(n_centroids)])
-    arms = []
-    for c in range(n_centroids):
-        cond = " AND ".join(f"_d{c} >= _d{o}"
-                            for o in range(n_centroids) if o != c)
-        arms.append(f"WHEN {cond} THEN {c}")
-    case = "CASE " + " ".join(arms) + f" ELSE {n_centroids - 1} END"
-    return with_d.select(F.col(id_col), F.expr(case).cast("long").alias("centroid"))
+        F.expr(f"-(array_max(array({entries})).nc)")
+        .cast("long").alias("centroid"))
 
 
 def ann_topk_ivf(
@@ -334,10 +333,24 @@ def _sqdist_literal(vec_elem_fn, offset: int, coeffs: list[float]) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def _pq_argmin(s: int, ksub: int) -> str:
+    """First-min argmin over the _d{s}_{c} columns: one (dist, code)
+    struct array + array_min — lexicographic struct ordering takes the
+    smallest distance, ties toward the smallest code. O(ksub) nodes per
+    subspace (mirrors ivf_assign's linear argmax; replaces the former
+    k²-conjunct CASE)."""
+    entries = ", ".join(f"named_struct('d', _d{s}_{c}, 'c', {c})"
+                        for c in range(ksub))
+    return f"array_min(array({entries})).c"
+
+
 def _pq_argmin_case(s: int, ksub: int) -> str:
-    """First-min argmin over the _d{s}_{c} columns (mirrors ivf_assign's
-    two-step columnized argmax — n*k distance columns + k^2 scalar
-    compares per subspace, never k^2 distance re-evaluations)."""
+    """Oracle-side twin of :func:`_pq_argmin` (the DuckDB SQL in
+    entry_queries): the same first-min argmin spelled as a k²-conjunct
+    CASE — deliberately a DIFFERENT expression shape from the Spark
+    plan so the cross-engine hash compares two independent spellings of
+    the rule, and DuckDB (which has no struct array_min ordering
+    guarantee) stays on plain scalar compares."""
     arms = []
     for c in range(ksub):
         cond = " AND ".join(f"_d{s}_{c} <= _d{s}_{o}"
@@ -366,7 +379,7 @@ def pq_assign(
     ]
     with_d = emb.select(F.col(id_col), *dist_cols)
     code_cols = [
-        F.expr(_pq_argmin_case(s, ksub)).cast("long").alias(f"code_{s}")
+        F.expr(_pq_argmin(s, ksub)).cast("long").alias(f"code_{s}")
         for s in range(m)
     ]
     coded = with_d.select(F.col(id_col), *code_cols)
