@@ -555,14 +555,19 @@ def attn_span_reps(token_reps: np.ndarray, starts: np.ndarray,
     L = token_reps.shape[0]
     pooler = _vec(f"{name}.cls_emb", DIM).astype(np.float32)
     seq = np.concatenate([pooler[None, :], token_reps]).astype(np.float32)
-    pooled = np.empty((k, DIM), dtype=np.float32)
-    for i, (s, e) in enumerate(zip(starts, ends)):
-        valid = np.zeros(L + 1, dtype=bool)
-        valid[0] = True
-        valid[1 + s: 1 + e] = True
-        attn = _mha_cross(pooler[None, :], seq, valid[None, :],
-                          f"{name}.attn", n_heads=SPAN_ATTN_HEADS)
-        pooled[i] = pooler + _layer_norm(attn)[0]
+    # ONE batched MHA call for all k spans: the query row (the pooler
+    # CLS) and the key/value sequence are identical across spans — only
+    # the key padding mask differs — so the per-span loop the reference
+    # runs collapses to a (k, L+1) mask matrix and the Wq/Wk/Wv/Wo
+    # projections are computed once instead of k times (row-identical
+    # output; _mha_cross already supports per-row masks).
+    idx = np.arange(L + 1)[None, :]
+    masks = (idx >= 1 + starts[:, None]) & (idx < 1 + ends[:, None])
+    masks[:, 0] = True  # the prepended CLS row is always attendable
+    q = np.broadcast_to(pooler, (k, DIM)).astype(np.float32)
+    attn = _mha_cross(q, seq, masks, f"{name}.attn",
+                      n_heads=SPAN_ATTN_HEADS)
+    pooled = (q + _layer_norm(attn)).astype(np.float32)
     parts = [pooled]
     in_dim = DIM
     if with_width:

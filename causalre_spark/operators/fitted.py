@@ -219,11 +219,20 @@ def viterbi_spans(tokens: list, model: dict, m: float = 1.0,
     em, emsh, tr = model["em"], model["emsh"], model["tr"]
     st, init, fin, ntok = (model["st"], model["init"], model["fin"],
                            model["ntok"])
+    if ntok == 0:
+        raise ValueError("viterbi_spans: model fitted on an empty train "
+                         "split (ntok=0) — nothing to decode with")
     ninit = sum(init.values())
     nfin = sum(fin.values())
     NEG = -1e18
 
     def emis(w: str, s: str) -> float:
+        # a state entirely absent from the train split (e.g. no
+        # width-1 gold span anywhere -> st['S']==0) has no usable
+        # scaled likelihood; mark it unusable instead of letting
+        # log(0) blow up the Arrow task
+        if st.get(s, 0) == 0:
+            return NEG
         si = _SI[s]
         sh = emsh.get(_shape_py(w), [0] * 5)
         psh = (sh[si] + alpha) / (sum(sh) + 5 * alpha)

@@ -134,8 +134,10 @@ def doc_extract_reference_oracle(tokens: list[str], cfg: PipelineConfig
     # trained behavior) -> top-k by filter score
     c_s = np.array([r["start"] for r in cands], dtype=np.int64)
     c_e = np.array([r["end"] for r in cands], dtype=np.int64)
-    reps_all = rm.nathan_span_reps(reps, c_s, c_e, cls_rep, cfg,
-                                   with_width=True, with_cls=True, name="span_proj")
+    # mode dispatch mirrors doc_extract_reference (cfg.span_mode /
+    # cfg.rel_mode) so the parity gate covers non-default modes too
+    reps_all = rm.span_reps_by_mode(reps, c_s, c_e, cls_rep, cfg,
+                                    with_width=True, with_cls=True)
     f_all = rm.filter_head_single(reps_all, "span_filter")
     for i, r in enumerate(cands):
         crossing = any(t in core.BOUNDARY_TOKENS
@@ -150,14 +152,14 @@ def doc_extract_reference_oracle(tokens: list[str], cfg: PipelineConfig
     s_arr = np.array([r["start"] for r in topk], dtype=np.int64)
     e_arr = np.array([r["end"] for r in topk], dtype=np.int64)
     span_reps = reps_all[[r["rep_idx"] for r in topk]]
-    span_reps_rel = rm.nathan_span_reps(reps, s_arr, e_arr, None, cfg,
-                                        with_width=False, with_cls=False,
-                                        name="span_proj_rel")
+    span_reps_rel = rm.span_reps_by_mode(reps, s_arr, e_arr, None, cfg,
+                                         with_width=False, with_cls=False,
+                                         variant="_rel")
     k = len(topk)
     pair_idx = [(h, t) for h in range(k) for t in range(k) if h != t]
     h_idx = np.array([p[0] for p in pair_idx], dtype=np.int64)
     t_idx = np.array([p[1] for p in pair_idx], dtype=np.int64)
-    rel_reps = rm.rel_reps_between_window_context(
+    rel_reps = rm.rel_reps_by_mode(
         reps, span_reps_rel, s_arr, e_arr, h_idx, t_idx, cfg)
     bridge_all = rm._trigger_bridge_flags(toks, s_arr, e_arr, h_idx, t_idx)
     rel_filter = (rm.filter_head_single(rel_reps, "rel_filter")

@@ -2596,9 +2596,11 @@ def q_causal_triples(spark, sf_dir):
 
 
 def _seeded_pages_from_documents(spark, sf_dir) -> DataFrame:
-    """documents + one deterministic causal-template sentence per doc
-    (sources/corpus.page_from_document(seed_causal=True), the same pure
-    function the parity-test oracle uses) -> input_hint pages."""
+    """documents + a deterministic causal seed mix per doc — 1-2 causal
+    template sentences plus a trigger-free distractor on 2/5 of keys
+    (sources/corpus.page_from_document(seed_causal=True) ->
+    seed_sentences, the same pure functions the parity-test oracle
+    uses) -> input_hint pages."""
     import pandas as pd
 
     from causalre_spark.sources.corpus import PAGES_SCHEMA, page_from_document
@@ -2789,8 +2791,12 @@ def _q_gazetteer_eval(dataset: str):
         train = G.load_gold_split(spark, dataset, "train")
         test = G.load_gold_split(spark, dataset, "test")
         lex = GZ.fit_span_lexicon(train)
-        # 3 consumers (span eval + both rel-pair sides): materialize once
-        pred_s = GZ.tag_spans(test, lex).persist()
+        # 3 consumers (span eval + both rel-pair sides): materialize the
+        # tagged spans once as a local-rows frame (a few hundred rows) —
+        # persist() here would leak a cached frame per invocation since
+        # a returned-lazy-DataFrame query has nowhere to unpersist
+        tagged = GZ.tag_spans(test, lex)
+        pred_s = spark.createDataFrame(tagged.collect(), schema=tagged.schema)
         pred_r = GZ.predict_rels_triggers(
             pred_s, test, GZ.fit_rel_triggers(train),
             GZ.majority_rel_type(train))
@@ -3073,7 +3079,13 @@ def _q_fitted_eval(dataset: str):
         test = G.load_gold_split(spark, dataset, "test")
         model = FT.collect_hmm_model(FT.fit_hmm(train))
         span_type = FT.majority_span_type(train)
-        pred_u = FT.decode_spans(test, model).persist()
+        # materialize the decoded spans ONCE as a local-rows frame (a
+        # few hundred rows — the k-means-centroid class of collect)
+        # instead of persist(): three consumers follow and a persisted
+        # cache would leak for the session lifetime (bench reruns)
+        decoded = FT.decode_spans(test, model)
+        pred_u = spark.createDataFrame(
+            decoded.collect(), schema=decoded.schema)
         pred_s = pred_u.crossJoin(F.broadcast(span_type))
         weights, priors = FT.fit_rel_nb(train)
         pred_r = FT.predict_rels_nb(pred_u, test, weights, priors,
@@ -3121,14 +3133,9 @@ q_fitted_rel_weights_conll04 = _q_fitted_rel_weights("conll04")
 q_fitted_eval_custom = _q_fitted_eval("custom")
 q_fitted_eval_conll04 = _q_fitted_eval("conll04")
 
-# DuckDB twin of operators/fitted.py SHAPE_RULES (ASCII classes: Java
-# regex, DuckDB regexp and Python re agree exactly)
-_DUCK_SHAPE = """CASE
-  WHEN regexp_matches(token, '[0-9]') THEN 'Num'
-  WHEN regexp_matches(token, '^[A-Z][a-z]+$') THEN 'Cap'
-  WHEN regexp_matches(token, '^[A-Z]{2,}$') THEN 'ALL'
-  WHEN regexp_matches(token, '^[a-z]+$') THEN 'low'
-  ELSE 'other' END"""
+# DuckDB twin of operators/fitted.py SHAPE_RULES — single source of
+# truth lives next to the rules themselves (fitted.SHAPE_SQL_DUCK)
+from causalre_spark.operators.fitted import SHAPE_SQL_DUCK as _DUCK_SHAPE  # noqa: E402
 
 
 def _sql_fitted_hmm_model(dataset: str) -> str:

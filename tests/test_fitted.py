@@ -316,3 +316,19 @@ def test_viterbi_empty_and_single():
              "init": {"S": 3, "O": 1}, "fin": {"S": 3, "O": 1}, "ntok": 7}
     assert FT.viterbi_spans([], model) == []
     assert FT.viterbi_spans(["boom"], model) == [(0, 1)]
+
+
+def test_viterbi_degenerate_models():
+    """Graceful handling of fit pathologies: a state absent from the
+    train split (st['S']==0) must not crash the decode (log(0) guard);
+    an empty fit fails loudly."""
+    model = {"em": {"x": [2, 1, 1, 1, 0]},
+             "emsh": {"low": [2, 1, 1, 1, 0]},
+             "tr": {("B", "E"): 1, ("O", "O"): 1},
+             "st": {"O": 2, "B": 1, "I": 1, "E": 1, "S": 0},
+             "init": {"O": 1, "B": 1}, "fin": {"O": 1, "E": 1}, "ntok": 5}
+    spans = FT.viterbi_spans(["x", "x", "x"], model)
+    assert all(e - s >= 2 for s, e in spans)  # width-1 spans unusable
+    empty = dict(model, st={s: 0 for s in "OBIES"}, ntok=0)
+    with pytest.raises(ValueError):
+        FT.viterbi_spans(["x"], empty)

@@ -476,3 +476,38 @@ def test_rel_rep_modes_expected_and_dispatch():
     with pytest.raises(ValueError):
         rm.doc_extract_reference(toks, PipelineConfig(
             model_profile="reference", rel_mode="bogus"))
+
+
+def test_nondefault_mode_udf_oracle_parity():
+    """End-to-end parity for NON-default span/rel modes: the fused UDF
+    extraction and the independent oracle re-derivation both dispatch
+    on cfg.span_mode/cfg.rel_mode and must agree exactly (the r04
+    review found the oracle hardcoded the defaults, leaving the new
+    modes without a real parity gate)."""
+    from causalre_spark.extract import tokenize
+    from causalre_spark.model import batch
+    from causalre_spark.oracle.pipeline import doc_extract_reference_oracle
+    from causalre_spark.sources.corpus import gen_page
+
+    for sm, rmode in (("spert", "no_context"),
+                      ("firstlast", "between_context"),
+                      ("firstlast_grapher", "window_context")):
+        cfg = PipelineConfig(model_profile="reference",
+                             span_mode=sm, rel_mode=rmode)
+        checked = 0
+        for i in range(6):
+            pg = gen_page(i)
+            if pg["lang"] != "en":
+                continue
+            toks = tokenize(pg["text"])
+            r = batch.doc_extract(toks, cfg)
+            spans, rels = doc_extract_reference_oracle(toks, cfg)
+            got = set(zip(r["starts"].tolist(), r["ends"].tolist()))
+            want = {(s["start"], s["end"]) for s in spans}
+            assert got == want, (sm, rmode, i)
+            got_r = set(zip([int(r["starts"][h]) for h in r["rel_h"]],
+                            [int(r["starts"][t]) for t in r["rel_t"]]))
+            want_r = {(x["h_start"], x["t_start"]) for x in rels}
+            assert got_r == want_r, (sm, rmode, i)
+            checked += 1
+        assert checked >= 2

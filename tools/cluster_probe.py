@@ -83,7 +83,7 @@ def _spark_submit() -> str:
 
 
 def _leg(submit: str, zip_path: str, workers: int, corpus: str,
-         mem_mb: int = 10240) -> dict:
+         mem_mb: int = 10240, timeout: int = 3600) -> dict:
     env = dict(os.environ)
     env.pop("PYTHONPATH", None)
     env["PYSPARK_PYTHON"] = env["PYSPARK_DRIVER_PYTHON"] = sys.executable
@@ -105,7 +105,7 @@ def _leg(submit: str, zip_path: str, workers: int, corpus: str,
         os.path.join(REPO, "tools", "cluster_probe.py"),
         "--child", "--corpus", corpus,
     ]
-    r = subprocess.run(cmd, capture_output=True, text=True, timeout=3600,
+    r = subprocess.run(cmd, capture_output=True, text=True, timeout=timeout,
                        env=env, cwd=REPO)
     lines = [ln for ln in r.stdout.splitlines()
              if ln.startswith("CLUSTER_PROBE_JSON ")]
@@ -123,6 +123,10 @@ def main() -> None:
     ap.add_argument("--child", action="store_true")
     ap.add_argument("--corpus", default="/tmp/causalre_bench_corpus_250000")
     ap.add_argument("--pairs", type=int, default=2)  # fixed BEFORE sampling
+    ap.add_argument("--leg-timeout", type=int, default=3600,
+                    help="per-leg spark-submit timeout in seconds (the "
+                         "1-executor warm+timed pass at 2M pages needs "
+                         "more than the old fixed 3600)")
     ap.add_argument("--append", action="store_true",
                     help="append a section to BENCH/CLUSTER.md instead of "
                          "rewriting it (for extra corpus-size legs)")
@@ -137,8 +141,10 @@ def main() -> None:
                                    base_dir="causalre_spark")
     lo_runs, hi_runs = [], []
     for i in range(args.pairs):
-        lo_runs.append(_leg(submit, zip_path, 1, args.corpus))
-        hi_runs.append(_leg(submit, zip_path, 4, args.corpus))
+        lo_runs.append(_leg(submit, zip_path, 1, args.corpus,
+                            timeout=args.leg_timeout))
+        hi_runs.append(_leg(submit, zip_path, 4, args.corpus,
+                            timeout=args.leg_timeout))
         print(f"pair {i + 1}: lo={lo_runs[-1]['secs']}s "
               f"hi={hi_runs[-1]['secs']}s", file=sys.stderr)
     lo = min(lo_runs, key=lambda r: r["secs"])
