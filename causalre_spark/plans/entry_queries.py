@@ -3170,6 +3170,26 @@ em AS (SELECT 'em' AS part, token AS key, state, count(*) AS cnt
 emsh AS (SELECT 'emsh' AS part, {_DUCK_SHAPE} AS key, state,
                 count(*) AS cnt
          FROM st GROUP BY 2, state),
+ctx AS (SELECT state,
+               coalesce(lag(token) OVER (PARTITION BY url ORDER BY pos),
+                        '<bos>') AS ptok,
+               coalesce(lead(token) OVER (PARTITION BY url ORDER BY pos),
+                        '<eos>') AS ntok
+        FROM st),
+emprev AS (SELECT 'emprev' AS part, ptok AS key, state, count(*) AS cnt
+           FROM ctx GROUP BY ptok, state),
+emnext AS (SELECT 'emnext' AS part, ntok AS key, state, count(*) AS cnt
+           FROM ctx GROUP BY ntok, state),
+empsh AS (SELECT 'empsh' AS part,
+                 CASE WHEN ptok = '<bos>' THEN '<bos>'
+                      ELSE {_DUCK_SHAPE.replace("token", "ptok")} END AS key,
+                 state, count(*) AS cnt
+          FROM ctx GROUP BY 2, state),
+emnsh AS (SELECT 'emnsh' AS part,
+                 CASE WHEN ntok = '<eos>' THEN '<eos>'
+                      ELSE {_DUCK_SHAPE.replace("token", "ntok")} END AS key,
+                 state, count(*) AS cnt
+          FROM ctx GROUP BY 2, state),
 trn AS (SELECT 'tr' AS part, prev AS key, state, count(*) AS cnt
         FROM (SELECT state,
                      lag(state) OVER (PARTITION BY url ORDER BY pos) AS prev
@@ -3181,6 +3201,8 @@ fn_ AS (SELECT 'fin' AS part, '' AS key, state, count(*) AS cnt
         FROM st WHERE pos = n - 1 GROUP BY state)
 SELECT part, key, state, CAST(cnt AS BIGINT) AS cnt FROM
   (SELECT * FROM em UNION ALL SELECT * FROM emsh
+   UNION ALL SELECT * FROM emprev UNION ALL SELECT * FROM emnext
+   UNION ALL SELECT * FROM empsh UNION ALL SELECT * FROM emnsh
    UNION ALL SELECT * FROM trn UNION ALL SELECT * FROM ini
    UNION ALL SELECT * FROM fn_)
 """
@@ -3231,6 +3253,13 @@ def _duck_pair_feats(pairs_cte: str, docs_cte: str, out: str) -> str:
     SELECT url, h_start, h_end, t_start, t_end, 'post',
            CASE WHEN t_end < len(tokens) THEN tokens[t_end + 1]
                 ELSE '<eos>' END
+    FROM {out}_j
+    UNION ALL
+    SELECT url, h_start, h_end, t_start, t_end, 'hl', tokens[h_end]
+    FROM {out}_j
+    UNION ALL
+    SELECT url, h_start, h_end, t_start, t_end, 'hw',
+           CAST(least(h_end - h_start, 8) AS VARCHAR)
     FROM {out}_j))"""
 
 

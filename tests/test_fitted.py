@@ -73,6 +73,10 @@ def _twin_label(toks, spans):
 def _twin_fit_hmm(train):
     em = collections.defaultdict(lambda: [0] * 5)
     emsh = collections.defaultdict(lambda: [0] * 5)
+    emprev = collections.defaultdict(lambda: [0] * 5)
+    emnext = collections.defaultdict(lambda: [0] * 5)
+    empsh = collections.defaultdict(lambda: [0] * 5)
+    emnsh = collections.defaultdict(lambda: [0] * 5)
     tr = collections.defaultdict(int)
     st = collections.defaultdict(int)
     init = collections.defaultdict(int)
@@ -88,12 +92,19 @@ def _twin_fit_hmm(train):
         for i, (w, l) in enumerate(zip(toks, lab)):
             em[w][_T_SI[l]] += 1
             emsh[_twin_shape(w)][_T_SI[l]] += 1
+            pt = toks[i - 1] if i > 0 else "<bos>"
+            nt = toks[i + 1] if i < len(toks) - 1 else "<eos>"
+            emprev[pt][_T_SI[l]] += 1
+            emnext[nt][_T_SI[l]] += 1
+            empsh["<bos>" if pt == "<bos>" else _twin_shape(pt)][_T_SI[l]] += 1
+            emnsh["<eos>" if nt == "<eos>" else _twin_shape(nt)][_T_SI[l]] += 1
             st[l] += 1
             ntok += 1
             if i:
                 tr[(lab[i - 1], l)] += 1
-    return dict(em=em, emsh=emsh, tr=tr, st=st, init=init, fin=fin,
-                ntok=ntok)
+    return dict(em=em, emsh=emsh, emprev=emprev, emnext=emnext,
+                empsh=empsh, emnsh=emnsh, tr=tr, st=st, init=init,
+                fin=fin, ntok=ntok)
 
 
 def _twin_viterbi(toks, M, m=1.0, alpha=1.0):
@@ -104,20 +115,33 @@ def _twin_viterbi(toks, M, m=1.0, alpha=1.0):
     ninit = sum(M["init"].values())
     nfin = sum(M["fin"].values())
 
-    def emis(w, s):
+    def emis(i, s):
+        w = toks[i]
         si = _T_SI[s]
         sh = M["emsh"].get(_twin_shape(w), [0] * 5)
         psh = (sh[si] + alpha) / (sum(sh) + 5 * alpha)
         e = M["em"].get(w, [0] * 5)
         post = (e[si] + m * psh) / (sum(e) + m)
-        return math.log(post) - math.log(M["st"][s] / M["ntok"])
+        prior = M["st"][s] / M["ntok"]
+        tot = math.log(post) - math.log(prior)
+        pt = toks[i - 1] if i > 0 else "<bos>"
+        nt = toks[i + 1] if i < n - 1 else "<eos>"
+        for tab, key in (("emprev", pt), ("emnext", nt),
+                         ("empsh", "<bos>" if pt == "<bos>"
+                          else _twin_shape(pt)),
+                         ("emnsh", "<eos>" if nt == "<eos>"
+                          else _twin_shape(nt))):
+            e2 = M[tab].get(key, [0] * 5)
+            p2 = (e2[si] + m * prior) / (sum(e2) + m)
+            tot += 0.75 * (math.log(p2) - math.log(prior))
+        return tot
 
     V = [[NEG] * 5 for _ in range(n)]
     bp = [[0] * 5 for _ in range(n)]
     for s in ("O", "B", "S"):
         V[0][_T_SI[s]] = math.log(
             (M["init"].get(s, 0) + alpha) / (ninit + 5 * alpha)
-        ) + emis(toks[0], s)
+        ) + emis(0, s)
     for i in range(1, n):
         for s in _T_STATES:
             best, arg = NEG, 0
@@ -130,7 +154,7 @@ def _twin_viterbi(toks, M, m=1.0, alpha=1.0):
                 if v > best:
                     best, arg = v, _T_SI[p]
             if best > NEG / 2:
-                V[i][_T_SI[s]] = best + emis(toks[i], s)
+                V[i][_T_SI[s]] = best + emis(i, s)
                 bp[i][_T_SI[s]] = arg
     bestv, cur = NEG, 0
     for s in ("O", "E", "S"):
@@ -188,6 +212,8 @@ def _twin_feats(toks, a, b):
     fs.append(("first", btw[0] if btw else "<adj>"))
     fs.append(("pre", toks[a[0] - 1] if a[0] > 0 else "<bos>"))
     fs.append(("post", toks[b[1]] if b[1] < len(toks) else "<eos>"))
+    fs.append(("hl", toks[a[1] - 1]))
+    fs.append(("hw", str(min(a[1] - a[0], 8))))
     return set(fs)
 
 
@@ -301,11 +327,11 @@ def test_fitted_parity_and_gates(spark, ds):
     stp, sfp, sfn, sf1 = _twin_prf(twin_spans, gs)
     rtp, rfp, rfn, rf1 = _twin_prf(twin_rels, gr)
     if ds == "conll04":
-        assert sf1 >= 0.65, (stp, sfp, sfn, sf1)
-        assert rf1 >= 0.25, (rtp, rfp, rfn, rf1)
+        assert sf1 >= 0.70, (stp, sfp, sfn, sf1)
+        assert rf1 >= 0.30, (rtp, rfp, rfn, rf1)
     else:
-        assert sf1 >= 0.15, (stp, sfp, sfn, sf1)
-        assert rtp >= 1 and rf1 > 0.0, (rtp, rfp, rfn, rf1)
+        assert sf1 >= 0.30, (stp, sfp, sfn, sf1)
+        assert rf1 >= 0.15, (rtp, rfp, rfn, rf1)
 
 
 def test_viterbi_empty_and_single():
