@@ -35,8 +35,10 @@ fit-by-aggregation ladder, and lifts gold-eval rel F1 off zero
 - **Relation classifier**: a 3-class (none / forward / backward) Naive
   Bayes over ordered candidate span pairs with lexical-structural
   features: between-text tokens and bigrams, quantized gap bucket,
-  first between-token, tokens adjacent to the pair (pre/post), the
-  head span's last token (hl) and width bucket (hw). Both
+  first/last between-token, tokens adjacent to the pair (pre/post),
+  each span's last token (hl/tl), shape class (hlsh/tlsh) and width
+  bucket (hw/tw), with a val-split-selected decision margin (MARGIN)
+  and frequency floor (MIN_DF). Both
   fit AND inference are pure DataFrame algebra: the fit is a groupBy
   over exploded pair features; inference joins candidate features to
   the broadcast weight table and sums per pair. Weights are
@@ -383,7 +385,14 @@ def decode_spans(docs: DataFrame, model: dict) -> DataFrame:
 
 MAX_GAP = 30        # reference's ±30-token rel context window
 W_SCALE = 1000      # integer grid for log weights
-MIN_DF = 2          # feature document-frequency floor
+# MIN_DF / MARGIN are selected on the reference VAL splits (88 custom /
+# 101 conll04 docs — never the test split): one global config, argmax
+# of summed val rel F1 over {MIN_DF 2,3} × {MARGIN 0..1500} × feature
+# sets. MARGIN is in W_SCALE grid units (1500 = 1.5 nats): fwd/bwd must
+# beat the neg score by this much, trading NB's overconfident recall
+# for precision (fp ≈ 3×tp at MARGIN=0).
+MIN_DF = 3          # feature pair-frequency floor
+MARGIN = 1500       # fwd/bwd-over-neg decision margin (grid units)
 _CLS = ["neg", "fwd", "bwd"]
 
 
@@ -413,14 +422,17 @@ _PAIR_KEY = ["url", "h_start", "h_end", "t_start", "t_end"]
 def pair_features(pairs: DataFrame, docs: DataFrame) -> DataFrame:
     """(pair key..., kind, val): the distinct feature multiset of each
     ordered candidate pair. Kinds: gap bucket, between-text unigrams
-    (btw) and bigrams (btw2), first between-token, tokens adjacent to
-    the pair (pre/post), head-span last token (hl) and head width
-    bucket (hw, capped at 8) — the span content/size signal the pure
-    context kinds miss. Pure DataFrame algebra — one join to the docs
-    tokens, per-kind projections, explode, distinct."""
+    (btw) and bigrams (btw2), first/last between-token (first/last),
+    tokens adjacent to the pair (pre/post), each span's last token
+    (hl/tl), its shape class (hlsh/tlsh) and width bucket (hw/tw,
+    capped at 8) — the span content/size signal the pure context kinds
+    miss. Pure DataFrame algebra — one join to the docs tokens,
+    per-kind projections, explode, distinct."""
     if "url" not in docs.columns:
         docs = docs.withColumn("url", F.col("doc_id").cast("string"))
-    j = pairs.join(docs.select("url", "tokens"), "url")
+    j = (pairs.join(docs.select("url", "tokens"), "url")
+         .withColumn("_hl", F.expr("tokens[h_end - 1]"))
+         .withColumn("_tl", F.expr("tokens[t_end - 1]")))
     key = [F.col(c) for c in _PAIR_KEY]
 
     gap = j.select(*key, F.lit("gap").alias("kind"),
@@ -452,14 +464,29 @@ def pair_features(pairs: DataFrame, docs: DataFrame) -> DataFrame:
                     F.when(F.col("t_end") < F.size("tokens"),
                            F.expr("tokens[t_end]"))
                     .otherwise("<eos>").alias("val"))
+    last = j.select(*key, F.lit("last").alias("kind"),
+                    F.when(F.col("t_start") > F.col("h_end"),
+                           F.expr("tokens[t_start - 1]"))
+                    .otherwise("<adj>").alias("val"))
     hl = j.select(*key, F.lit("hl").alias("kind"),
-                  F.expr("tokens[h_end - 1]").alias("val"))
+                  F.col("_hl").alias("val"))
+    tl = j.select(*key, F.lit("tl").alias("kind"),
+                  F.col("_tl").alias("val"))
+    hlsh = j.select(*key, F.lit("hlsh").alias("kind"),
+                    shape_col("_hl").alias("val"))
+    tlsh = j.select(*key, F.lit("tlsh").alias("kind"),
+                    shape_col("_tl").alias("val"))
     hw = j.select(*key, F.lit("hw").alias("kind"),
                   F.least(F.col("h_end") - F.col("h_start"), F.lit(8))
                   .cast("string").alias("val"))
+    tw = j.select(*key, F.lit("tw").alias("kind"),
+                  F.least(F.col("t_end") - F.col("t_start"), F.lit(8))
+                  .cast("string").alias("val"))
     return (gap.unionByName(btw).unionByName(btw2).unionByName(first)
-            .unionByName(pre).unionByName(post).unionByName(hl)
-            .unionByName(hw).distinct())
+            .unionByName(last).unionByName(pre).unionByName(post)
+            .unionByName(hl).unionByName(tl).unionByName(hlsh)
+            .unionByName(tlsh).unionByName(hw).unionByName(tw)
+            .distinct())
 
 
 def _labeled_train_pairs(split_df: DataFrame) -> DataFrame:
@@ -545,7 +572,8 @@ def predict_rels_nb(pred_spans: DataFrame, docs: DataFrame,
     Scores are exact BIGINT sums: candidate features inner-join the
     broadcast weight table (absent features contribute nothing — NB
     semantics), per-pair per-class sums add the grid-quantized priors,
-    and the first-max argmax fires fwd (pair order) or bwd (reversed).
+    and the first-max argmax fires fwd (pair order) or bwd (reversed)
+    only when it clears the neg score by MARGIN grid units.
     The corpus-side plan is join -> explode -> broadcast-join ->
     partial-agg sum: no shuffle wider than the candidate-pair table."""
     pairs = candidate_pairs(pred_spans.select("url", "start", "end"))
@@ -559,9 +587,9 @@ def predict_rels_nb(pred_spans: DataFrame, docs: DataFrame,
               .select(*_PAIR_KEY,
                       *[(F.col(f"s_{c}") + F.col(f"p_{c}"))
                         .alias(f"t_{c}") for c in _CLS]))
-    fwd = (F.col("t_fwd") > F.col("t_neg")) & \
+    fwd = (F.col("t_fwd") > F.col("t_neg") + MARGIN) & \
           (F.col("t_fwd") >= F.col("t_bwd"))
-    bwd = (F.col("t_bwd") > F.col("t_neg")) & \
+    bwd = (F.col("t_bwd") > F.col("t_neg") + MARGIN) & \
           (F.col("t_bwd") > F.col("t_fwd"))
     out = (scored
            .withColumn("dir", F.when(fwd, 1).when(bwd, 2))

@@ -3255,11 +3255,31 @@ def _duck_pair_feats(pairs_cte: str, docs_cte: str, out: str) -> str:
                 ELSE '<eos>' END
     FROM {out}_j
     UNION ALL
+    SELECT url, h_start, h_end, t_start, t_end, 'last',
+           CASE WHEN t_start > h_end THEN tokens[t_start]
+                ELSE '<adj>' END
+    FROM {out}_j
+    UNION ALL
     SELECT url, h_start, h_end, t_start, t_end, 'hl', tokens[h_end]
+    FROM {out}_j
+    UNION ALL
+    SELECT url, h_start, h_end, t_start, t_end, 'tl', tokens[t_end]
+    FROM {out}_j
+    UNION ALL
+    SELECT url, h_start, h_end, t_start, t_end, 'hlsh',
+           {_DUCK_SHAPE.replace("token", "tokens[h_end]")}
+    FROM {out}_j
+    UNION ALL
+    SELECT url, h_start, h_end, t_start, t_end, 'tlsh',
+           {_DUCK_SHAPE.replace("token", "tokens[t_end]")}
     FROM {out}_j
     UNION ALL
     SELECT url, h_start, h_end, t_start, t_end, 'hw',
            CAST(least(h_end - h_start, 8) AS VARCHAR)
+    FROM {out}_j
+    UNION ALL
+    SELECT url, h_start, h_end, t_start, t_end, 'tw',
+           CAST(least(t_end - t_start, 8) AS VARCHAR)
     FROM {out}_j))"""
 
 
@@ -3316,7 +3336,7 @@ fweights AS (SELECT kind, val,
                     {w('n_fwd', 'c_fwd')} AS w_fwd,
                     {w('n_bwd', 'c_bwd')} AS w_bwd
              FROM fcounts, fcls
-             WHERE n_neg + n_fwd + n_bwd >= 2),
+             WHERE n_neg + n_fwd + n_bwd >= 3),
 fpriors AS (SELECT
     {w('c_neg', 'c_neg + c_fwd + c_bwd + 1.0')} AS p_neg,
     {w('c_fwd', 'c_neg + c_fwd + c_bwd + 1.0')} AS p_fwd,
@@ -3365,18 +3385,18 @@ fstype AS (SELECT type FROM
               FROM (SELECT unnest(spans) AS s FROM '{tr}')
               GROUP BY 1 ORDER BY c DESC, type ASC LIMIT 1)),
 fpredr AS (SELECT url,
-                  CASE WHEN t_fwd > t_neg AND t_fwd >= t_bwd
+                  CASE WHEN t_fwd > t_neg + 1500 AND t_fwd >= t_bwd
                        THEN h_start ELSE t_start END AS h_start,
-                  CASE WHEN t_fwd > t_neg AND t_fwd >= t_bwd
+                  CASE WHEN t_fwd > t_neg + 1500 AND t_fwd >= t_bwd
                        THEN h_end ELSE t_end END AS h_end,
-                  CASE WHEN t_fwd > t_neg AND t_fwd >= t_bwd
+                  CASE WHEN t_fwd > t_neg + 1500 AND t_fwd >= t_bwd
                        THEN t_start ELSE h_start END AS t_start,
-                  CASE WHEN t_fwd > t_neg AND t_fwd >= t_bwd
+                  CASE WHEN t_fwd > t_neg + 1500 AND t_fwd >= t_bwd
                        THEN t_end ELSE h_end END AS t_end,
                   (SELECT rel_type FROM frtype) AS rel_type
            FROM fscored
-           WHERE (t_fwd > t_neg AND t_fwd >= t_bwd)
-              OR (t_bwd > t_neg AND t_bwd > t_fwd)),
+           WHERE (t_fwd > t_neg + 1500 AND t_fwd >= t_bwd)
+              OR (t_bwd > t_neg + 1500 AND t_bwd > t_fwd)),
 fte_gsp AS (SELECT CAST(doc_id AS VARCHAR) AS url, s."start" AS start,
                    s."end" AS "end", s."type" AS type
             FROM (SELECT doc_id, unnest(spans) AS s FROM '{te}')),

@@ -43,10 +43,14 @@ def main() -> None:
         "",
         "operators/fitted.py — span tagger = first-order BIES+O HMM",
         "(fit = one groupBy per count table; decode = per-doc Viterbi",
-        "in an Arrow mapInPandas UDF, zero shuffle); relations = 3-class",
-        "(none/fwd/bwd) Naive Bayes over between-text unigrams+bigrams,",
-        "gap bucket and pair-adjacent tokens, with integer-grid log",
-        "weights so fit AND inference are exact BIGINT DataFrame algebra",
+        "in an Arrow mapInPandas UDF, zero shuffle, with tempered NB",
+        "prev/next-token context terms in the emissions); relations =",
+        "3-class (none/fwd/bwd) Naive Bayes over between-text",
+        "unigrams+bigrams, gap bucket, pair-adjacent tokens and each",
+        "span's last token / shape / width, decided with a margin",
+        "(MARGIN=1500 grid units) and frequency floor (MIN_DF=3)",
+        "selected on the VAL splits — never test. Integer-grid log",
+        "weights keep fit AND inference exact BIGINT DataFrame algebra",
         "(DuckDB oracle recomputes them end-to-end). Strict rows are the",
         "oracle-gated fitted_eval_* queries; loose rows reuse the A2",
         "operators. This lifts rel F1 off 0.0 on BOTH gold test splits",
