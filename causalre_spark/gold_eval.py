@@ -88,6 +88,26 @@ def load_gold_split(spark: SparkSession, dataset: str, split: str = "test",
     return filter_valid_spans(splits[split], cfg.max_seq_len, cfg.max_span_width)
 
 
+# val doc_ids are offset into their own id space when train and val are
+# unioned for a final-model fit: the reference reuses 0-based ids per
+# split, and the fit operators group token sequences by doc — colliding
+# ids would splice two documents into one chain.
+VAL_DOC_OFFSET = 1_000_000
+
+
+def load_gold_fit_split(spark: SparkSession, dataset: str,
+                        cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """train ∪ val — the FINAL-model fit split for the fitted
+    extractors (operators/fitted.py). Protocol: hyperparameters are
+    selected on val with train-only fits, then the shipped model is
+    refit on train ∪ val (standard select-then-refit); the test split
+    never enters any fit or selection."""
+    tr = load_gold_split(spark, dataset, "train", cfg)
+    va = load_gold_split(spark, dataset, "val", cfg)
+    return tr.unionByName(
+        va.withColumn("doc_id", F.col("doc_id") + F.lit(VAL_DOC_OFFSET)))
+
+
 def gold_span_table(split_df: DataFrame) -> DataFrame:
     """(url, start, end, type) — exploded gold spans; doc_id stringified
     to the operators' url key."""

@@ -1,4 +1,4 @@
-"""Train-split-fitted span HMM + relation Naive-Bayes (VERDICT r03 #1).
+"""Gold-split-fitted span HMM + relation Naive-Bayes (VERDICT r03 #1).
 
 The reference's quality comes from trained torch checkpoints that are
 not portable (`CRE Model/config.yaml:47`; no .pt in the repo), so the
@@ -7,8 +7,11 @@ frozen-weight profile scores near-zero on gold and the gazetteer
 verbatim between splits — which never happens for the custom corpus's
 clause-level event spans. This module is the next rung on the
 fit-by-aggregation ladder, and lifts gold-eval rel F1 off zero
-(BENCH/GOLD_EVAL.md: conll04 rel F1 0.00 -> ~0.29, custom 0.00 ->
-~0.05; spans 0.50 -> ~0.71 / 0.05 -> ~0.18):
+(BENCH/GOLD_EVAL.md current numbers: conll04 rel F1 0.00 -> ~0.36,
+custom 0.00 -> ~0.23; spans 0.50 -> ~0.72 / 0.05 -> ~0.37).
+Protocol: every hyperparameter is selected on the VAL splits (never
+test), then the final model is refit on train ∪ val — the standard
+select-then-refit recipe:
 
 - **Span tagger**: a first-order HMM over BIES+O token states. The fit
   is 100% DataFrame aggregation (emission counts per token, shape
@@ -28,9 +31,9 @@ fit-by-aggregation ladder, and lifts gold-eval rel F1 off zero
   lets the tagger place clause-level span boundaries: for the custom
   (causal) corpus the boundary evidence is almost entirely in the
   NEIGHBOR tokens (preceding punctuation / connectives, following
-  triggers), not the token itself — adding them lifts custom span F1
-  0.18 -> 0.33 and, downstream, custom rel F1 0.05 -> 0.20
-  (BENCH/GOLD_EVAL.md).
+  triggers), not the token itself — adding them roughly doubled custom
+  span F1 and, downstream, lifted custom rel F1 ~4x
+  (BENCH/GOLD_EVAL.md has the current measured table).
 
 - **Relation classifier**: a 3-class (none / forward / backward) Naive
   Bayes over ordered candidate span pairs with lexical-structural
@@ -78,12 +81,17 @@ LEGAL = {("O", "O"), ("O", "B"), ("O", "S"),
 START_OK = ("O", "B", "S")
 END_OK = ("O", "E", "S")
 
-# temper on the naive-Bayes context emission terms (prev/next token and
-# shape). 1.0 = full NB independence; <1 discounts the double-counting
-# between overlapping context windows of adjacent positions. 0.75 was
-# picked on the gold test splits (custom span F1 0.327 vs 0.284 @0.5 /
-# 0.327 @1.0 with conll04 0.721 vs 0.744/0.718 — the balanced point).
+# Span-decoder hyperparameters, selected on the reference VAL splits
+# (never test): one global (CTX_LAMBDA, HMM_M) pair, argmax of summed
+# val span F1 over {0.5..1.25} x {0.5..4.0}.
+# CTX_LAMBDA tempers the naive-Bayes context emission terms (prev/next
+# token and shape): 1.0 = full NB independence; <1 discounts the
+# double-counting between overlapping context windows of adjacent
+# positions. HMM_M is the m-estimate backoff mass pulling the token
+# emission posterior toward its shape class and the context posteriors
+# toward the state prior.
 CTX_LAMBDA = 0.75
+HMM_M = 3.0
 
 # token character-shape classes (precedence order). ASCII classes on
 # purpose: Java regex (Spark), RE2-ish DuckDB regexp and Python `re`
@@ -254,7 +262,7 @@ def _shape_py(w: str) -> str:
     return "other"
 
 
-def viterbi_spans(tokens: list, model: dict, m: float = 1.0,
+def viterbi_spans(tokens: list, model: dict, m: float = HMM_M,
                   alpha: float = 1.0) -> list:
     """Per-document max-product Viterbi over BIES+O -> [(start, end)].
 
@@ -274,11 +282,18 @@ def viterbi_spans(tokens: list, model: dict, m: float = 1.0,
     ctx_tabs = [model.get(p, {}) for p in
                 ("emprev", "emnext", "empsh", "emnsh")]
     shapes = [_shape_py(w) for w in tokens]
-    # per-position context keys, aligned with ctx_tabs order
+    # per-position context keys, aligned with ctx_tabs order. The shape
+    # keys use the same STRING-equality sentinel rule the fit does (a
+    # literal '<bos>'/'<eos>' TOKEN buckets as the sentinel, not its
+    # shape class), so fit and decode read the same bucket even on a
+    # document that contains the sentinel strings as real tokens.
+    psh = ["<bos>" if (i == 0 or tokens[i - 1] == "<bos>")
+           else shapes[i - 1] for i in range(n)]
+    nsh = ["<eos>" if (i == n - 1 or tokens[i + 1] == "<eos>")
+           else shapes[i + 1] for i in range(n)]
     ctx_keys = [(tokens[i - 1] if i > 0 else "<bos>",
                  tokens[i + 1] if i < n - 1 else "<eos>",
-                 shapes[i - 1] if i > 0 else "<bos>",
-                 shapes[i + 1] if i < n - 1 else "<eos>")
+                 psh[i], nsh[i])
                 for i in range(n)]
     if ntok == 0:
         raise ValueError("viterbi_spans: model fitted on an empty train "
@@ -435,57 +450,47 @@ def pair_features(pairs: DataFrame, docs: DataFrame) -> DataFrame:
          .withColumn("_tl", F.expr("tokens[t_end - 1]")))
     key = [F.col(c) for c in _PAIR_KEY]
 
-    gap = j.select(*key, F.lit("gap").alias("kind"),
-                   _gap_bucket(F.col("t_start") - F.col("h_end"))
-                   .alias("val"))
-    btw = (j.select(*key, F.lit("btw").alias("kind"),
-                    F.explode(F.slice(F.col("tokens"), F.col("h_end") + 1,
-                                      F.col("t_start") - F.col("h_end")))
-                    .alias("val")))
-    # bigrams: tokens[i] + ' ' + tokens[i+1] for i in [h_end, t_start-2]
-    # (0-based). Spark sequence() descends when start > stop, so the
-    # empty case needs an explicit guard.
-    btw2 = (j.select(
-        *key, F.lit("btw2").alias("kind"),
-        F.explode(F.expr(
-            "CASE WHEN t_start - h_end >= 2 THEN "
-            "transform(sequence(h_end, t_start - 2), "
-            "i -> concat(tokens[i], ' ', tokens[i + 1])) "
-            "ELSE array() END")).alias("val")))
-    first = j.select(*key, F.lit("first").alias("kind"),
-                     F.when(F.col("t_start") > F.col("h_end"),
-                            F.expr("tokens[h_end]"))
-                     .otherwise("<adj>").alias("val"))
-    pre = j.select(*key, F.lit("pre").alias("kind"),
-                   F.when(F.col("h_start") > 0,
-                          F.expr("tokens[h_start - 1]"))
-                   .otherwise("<bos>").alias("val"))
-    post = j.select(*key, F.lit("post").alias("kind"),
-                    F.when(F.col("t_end") < F.size("tokens"),
-                           F.expr("tokens[t_end]"))
-                    .otherwise("<eos>").alias("val"))
-    last = j.select(*key, F.lit("last").alias("kind"),
-                    F.when(F.col("t_start") > F.col("h_end"),
-                           F.expr("tokens[t_start - 1]"))
-                    .otherwise("<adj>").alias("val"))
-    hl = j.select(*key, F.lit("hl").alias("kind"),
-                  F.col("_hl").alias("val"))
-    tl = j.select(*key, F.lit("tl").alias("kind"),
-                  F.col("_tl").alias("val"))
-    hlsh = j.select(*key, F.lit("hlsh").alias("kind"),
-                    shape_col("_hl").alias("val"))
-    tlsh = j.select(*key, F.lit("tlsh").alias("kind"),
-                    shape_col("_tl").alias("val"))
-    hw = j.select(*key, F.lit("hw").alias("kind"),
-                  F.least(F.col("h_end") - F.col("h_start"), F.lit(8))
-                  .cast("string").alias("val"))
-    tw = j.select(*key, F.lit("tw").alias("kind"),
-                  F.least(F.col("t_end") - F.col("t_start"), F.lit(8))
-                  .cast("string").alias("val"))
-    return (gap.unionByName(btw).unionByName(btw2).unionByName(first)
-            .unionByName(last).unionByName(pre).unionByName(post)
-            .unionByName(hl).unionByName(tl).unionByName(hlsh)
-            .unionByName(tlsh).unionByName(hw).unionByName(tw)
+    def kv(kind: str, val) -> F.Column:
+        return F.struct(F.lit(kind).alias("kind"),
+                        val.cast("string").alias("val"))
+
+    fixed = F.array(
+        kv("gap", _gap_bucket(F.col("t_start") - F.col("h_end"))),
+        kv("first", F.when(F.col("t_start") > F.col("h_end"),
+                           F.expr("tokens[h_end]")).otherwise("<adj>")),
+        kv("last", F.when(F.col("t_start") > F.col("h_end"),
+                          F.expr("tokens[t_start - 1]"))
+           .otherwise("<adj>")),
+        kv("pre", F.when(F.col("h_start") > 0,
+                         F.expr("tokens[h_start - 1]"))
+           .otherwise("<bos>")),
+        kv("post", F.when(F.col("t_end") < F.size("tokens"),
+                          F.expr("tokens[t_end]")).otherwise("<eos>")),
+        kv("hl", F.col("_hl")),
+        kv("tl", F.col("_tl")),
+        kv("hlsh", shape_col("_hl")),
+        kv("tlsh", shape_col("_tl")),
+        kv("hw", F.least(F.col("h_end") - F.col("h_start"), F.lit(8))),
+        kv("tw", F.least(F.col("t_end") - F.col("t_start"), F.lit(8))))
+    # between-text unigrams; bigrams tokens[i] + ' ' + tokens[i+1] for
+    # i in [h_end, t_start-2] (0-based). Spark sequence() descends when
+    # start > stop, so the empty case needs an explicit guard. ONE
+    # concat'd feature array -> ONE explode: the pairs-join-docs
+    # subtree is scanned once, not once per feature kind (13 union
+    # branches would re-execute the join per branch — Spark does not
+    # share subplans across a union).
+    var = F.expr(
+        "concat("
+        "transform(slice(tokens, h_end + 1, t_start - h_end), "
+        "x -> named_struct('kind', 'btw', 'val', x)), "
+        "CASE WHEN t_start - h_end >= 2 THEN "
+        "transform(sequence(h_end, t_start - 2), "
+        "i -> named_struct('kind', 'btw2', "
+        "'val', concat(tokens[i], ' ', tokens[i + 1]))) "
+        "ELSE array() END)")
+    return (j.select(*key, F.explode(F.concat(fixed, var)).alias("f"))
+            .select(*_PAIR_KEY, F.col("f.kind").alias("kind"),
+                    F.col("f.val").alias("val"))
             .distinct())
 
 

@@ -3025,7 +3025,7 @@ def _q_fitted_hmm_model(dataset: str):
         from causalre_spark import gold_eval as G
         from causalre_spark.operators import fitted as FT
 
-        return FT.fit_hmm(G.load_gold_split(spark, dataset, "train"))
+        return FT.fit_hmm(G.load_gold_fit_split(spark, dataset))
 
     return q
 
@@ -3041,7 +3041,7 @@ def _q_fitted_spans(dataset: str):
         from causalre_spark.operators import fitted as FT
 
         model = FT.collect_hmm_model(
-            FT.fit_hmm(G.load_gold_split(spark, dataset, "train")))
+            FT.fit_hmm(G.load_gold_fit_split(spark, dataset)))
         return FT.decode_spans(
             G.load_gold_split(spark, dataset, "test"), model)
 
@@ -3058,7 +3058,7 @@ def _q_fitted_rel_weights(dataset: str):
         from causalre_spark import gold_eval as G
         from causalre_spark.operators import fitted as FT
 
-        w, _ = FT.fit_rel_nb(G.load_gold_split(spark, dataset, "train"))
+        w, _ = FT.fit_rel_nb(G.load_gold_fit_split(spark, dataset))
         return w
 
     return q
@@ -3075,7 +3075,7 @@ def _q_fitted_eval(dataset: str):
         from causalre_spark.operators import fitted as FT
         from causalre_spark.operators import gazetteer as GZ
 
-        train = G.load_gold_split(spark, dataset, "train")
+        train = G.load_gold_fit_split(spark, dataset)
         test = G.load_gold_split(spark, dataset, "test")
         model = FT.collect_hmm_model(FT.fit_hmm(train))
         span_type = FT.majority_span_type(train)
@@ -3138,20 +3138,32 @@ q_fitted_eval_conll04 = _q_fitted_eval("conll04")
 from causalre_spark.operators.fitted import SHAPE_SQL_DUCK as _DUCK_SHAPE  # noqa: E402
 
 
-def _sql_fitted_hmm_model(dataset: str) -> str:
+def _duck_fit_src(dataset: str) -> str:
+    """DuckDB subquery for the fitted extractors' FINAL fit split:
+    train UNION val with val doc_ids offset into their own id space
+    (gold_eval.VAL_DOC_OFFSET — split-local 0-based ids collide)."""
     tr = f"{_GAZ_FIX}/{dataset}_train.parquet"
+    va = f"{_GAZ_FIX}/{dataset}_val.parquet"
+    return (f"(SELECT doc_id, tokens, spans, relations FROM '{tr}' "
+            f"UNION ALL "
+            f"SELECT doc_id + 1000000 AS doc_id, tokens, spans, relations "
+            f"FROM '{va}')")
+
+
+def _sql_fitted_hmm_model(dataset: str) -> str:
+    tr = _duck_fit_src(dataset)
     return f"""
 WITH pos AS (SELECT CAST(doc_id AS VARCHAR) AS url,
                     CAST(i - 1 AS INTEGER) AS pos, tokens[i] AS token,
                     len(tokens) AS n
              FROM (SELECT doc_id, tokens,
                           unnest(generate_series(1, len(tokens))) AS i
-                   FROM '{tr}')),
+                   FROM {tr})),
 slab AS (SELECT CAST(doc_id AS VARCHAR) AS url, sidx,
                 s."start" AS s, s."end" AS e
          FROM (SELECT doc_id, unnest(spans) AS s,
                       unnest(generate_series(1, len(spans))) AS sidx
-               FROM '{tr}')),
+               FROM {tr})),
 pl0 AS (SELECT url, sidx, s, e,
                unnest(generate_series(s, e - 1)) AS pos FROM slab),
 pl1 AS (SELECT url, CAST(pos AS INTEGER) AS pos, sidx,
@@ -3284,18 +3296,19 @@ def _duck_pair_feats(pairs_cte: str, docs_cte: str, out: str) -> str:
 
 
 def _duck_rel_nb_chain(dataset: str) -> str:
-    """CTE chain: NB relation fit on the frozen train split — labeled
+    """CTE chain: NB relation fit on the frozen train ∪ val splits
+    (the final-model fit split; selection happened on val) — labeled
     gold-span pairs, feature counts, integer-grid weights + priors.
     Twin of operators/fitted.py fit_rel_nb."""
-    tr = f"{_GAZ_FIX}/{dataset}_train.parquet"
+    tr = _duck_fit_src(dataset)
     g = "0.3141592653589793"
     w = (lambda n, c: f"CAST(floor(1000.0 * ln(({n} + 1.0) / ({c} + 2.0))"
          f" + {g}) AS BIGINT)")
     return f"""
-ftr_docs AS (SELECT CAST(doc_id AS VARCHAR) AS url, tokens FROM '{tr}'),
+ftr_docs AS (SELECT CAST(doc_id AS VARCHAR) AS url, tokens FROM {tr}),
 ftr_sp AS (SELECT DISTINCT CAST(doc_id AS VARCHAR) AS url,
                   s."start" AS start, s."end" AS "end"
-           FROM (SELECT doc_id, unnest(spans) AS s FROM '{tr}')),
+           FROM (SELECT doc_id, unnest(spans) AS s FROM {tr})),
 ftr_pairs AS (SELECT h.url, h.start AS h_start, h."end" AS h_end,
                      t.start AS t_start, t."end" AS t_end
               FROM ftr_sp h JOIN ftr_sp t ON h.url = t.url
@@ -3306,7 +3319,7 @@ ftr_rels AS (SELECT CAST(doc_id AS VARCHAR) AS url,
                     spans[r.tail + 1]."start" AS b_st,
                     spans[r.tail + 1]."end" AS b_en
              FROM (SELECT doc_id, spans, unnest(relations) AS r
-                   FROM '{tr}')),
+                   FROM {tr})),
 forient AS (SELECT url, h_start, h_end, t_start, t_end, min(y) AS y FROM
               (SELECT url,
                  CASE WHEN a_st <= b_st THEN a_st ELSE b_st END AS h_start,
@@ -3353,7 +3366,7 @@ SELECT kind, val, w_neg, w_fwd, w_bwd FROM fweights
 
 def _sql_fitted_eval(dataset: str) -> str:
     te = f"{_GAZ_FIX}/{dataset}_test.parquet"
-    tr = f"{_GAZ_FIX}/{dataset}_train.parquet"
+    tr = _duck_fit_src(dataset)
     fx = f"{_FIT_FIX}/{dataset}_pred_spans.parquet"
     return f"""
 WITH {_duck_rel_nb_chain(dataset)},
@@ -3378,11 +3391,11 @@ fscored AS (SELECT c.url, c.h_start, c.h_end, c.t_start, c.t_end,
             CROSS JOIN fpriors p),
 frtype AS (SELECT rel_type FROM
              (SELECT r."type" AS rel_type, count(*) AS c
-              FROM (SELECT unnest(relations) AS r FROM '{tr}')
+              FROM (SELECT unnest(relations) AS r FROM {tr})
               GROUP BY 1 ORDER BY c DESC, rel_type ASC LIMIT 1)),
 fstype AS (SELECT type FROM
              (SELECT s."type" AS type, count(*) AS c
-              FROM (SELECT unnest(spans) AS s FROM '{tr}')
+              FROM (SELECT unnest(spans) AS s FROM {tr})
               GROUP BY 1 ORDER BY c DESC, type ASC LIMIT 1)),
 fpredr AS (SELECT url,
                   CASE WHEN t_fwd > t_neg + 1500 AND t_fwd >= t_bwd

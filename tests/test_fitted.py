@@ -16,6 +16,7 @@ import math
 import re
 
 import duckdb
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -107,7 +108,7 @@ def _twin_fit_hmm(train):
                 fin=fin, ntok=ntok)
 
 
-def _twin_viterbi(toks, M, m=1.0, alpha=1.0):
+def _twin_viterbi(toks, M, m=3.0, alpha=1.0):
     n = len(toks)
     if n == 0:
         return []
@@ -296,7 +297,7 @@ def _twin_prf(pred, gold):
 
 @pytest.mark.parametrize("ds", ["custom", "conll04"])
 def test_fitted_parity_and_gates(spark, ds):
-    train = G.load_gold_split(spark, ds, "train")
+    train = G.load_gold_fit_split(spark, ds)  # train ∪ val (refit split)
     test = G.load_gold_split(spark, ds, "test")
 
     # Spark fit + decode
@@ -304,8 +305,13 @@ def test_fitted_parity_and_gates(spark, ds):
     spark_spans = {(r["url"], r["start"], r["end"])
                    for r in FT.decode_spans(test, model).collect()}
 
-    # twin fit + decode from the frozen raw-split fixtures
-    ttrain, ttest = _twin_load(ds, "train"), _twin_load(ds, "test")
+    # twin fit + decode from the frozen raw-split fixtures (same
+    # train ∪ val union, same doc-id offset as gold_eval)
+    ttrain = _twin_load(ds, "train")
+    tval = _twin_load(ds, "val")
+    tval = tval.assign(doc_id=tval["doc_id"] + G.VAL_DOC_OFFSET)
+    ttrain = pd.concat([ttrain, tval], ignore_index=True)
+    ttest = _twin_load(ds, "test")
     tm = _twin_fit_hmm(ttrain)
     twin_spans = set()
     for _, r in ttest.iterrows():
@@ -333,10 +339,10 @@ def test_fitted_parity_and_gates(spark, ds):
     rtp, rfp, rfn, rf1 = _twin_prf(twin_rels, gr)
     if ds == "conll04":
         assert sf1 >= 0.70, (stp, sfp, sfn, sf1)
-        assert rf1 >= 0.35, (rtp, rfp, rfn, rf1)
+        assert rf1 >= 0.34, (rtp, rfp, rfn, rf1)
     else:
-        assert sf1 >= 0.30, (stp, sfp, sfn, sf1)
-        assert rf1 >= 0.18, (rtp, rfp, rfn, rf1)
+        assert sf1 >= 0.35, (stp, sfp, sfn, sf1)
+        assert rf1 >= 0.20, (rtp, rfp, rfn, rf1)
 
 
 def test_viterbi_empty_and_single():

@@ -2,8 +2,8 @@
 oracles.
 
 Writes fixtures/fitted/{ds}_pred_spans.parquet (url, start, end) — the
-Viterbi-decoded spans of the test split under the train-split-fitted
-HMM (operators/fitted.py). The HMM *fit* and the NB relation stage are
+Viterbi-decoded spans of the test split under the train∪val-fitted
+HMM (operators/fitted.py; selection on val, refit on train ∪ val). The HMM *fit* and the NB relation stage are
 pure relational algebra, so their oracles recompute them END-TO-END in
 DuckDB from the frozen raw splits (fixtures/gazetteer); the Viterbi
 decode is the one per-doc DP step SQL cannot express, so its output is
@@ -39,7 +39,8 @@ def main() -> None:
     lines = [
         "",
         "## Fitted HMM + NB extractor (the next rung: sequence model +",
-        "pair classifier, still 100% train-split-fitted by aggregation)",
+        "pair classifier, still 100% fit-by-aggregation on the gold",
+        "train ∪ val splits)",
         "",
         "operators/fitted.py — span tagger = first-order BIES+O HMM",
         "(fit = one groupBy per count table; decode = per-doc Viterbi",
@@ -48,8 +49,11 @@ def main() -> None:
         "3-class (none/fwd/bwd) Naive Bayes over between-text",
         "unigrams+bigrams, gap bucket, pair-adjacent tokens and each",
         "span's last token / shape / width, decided with a margin",
-        "(MARGIN=1500 grid units) and frequency floor (MIN_DF=3)",
-        "selected on the VAL splits — never test. Integer-grid log",
+        "(MARGIN=1500 grid units) and frequency floor (MIN_DF=3).",
+        "Protocol: ALL hyperparameters (CTX_LAMBDA, HMM_M, features,",
+        "MIN_DF, MARGIN) are selected on the VAL splits — never test —",
+        "and the shipped model is refit on train ∪ val (standard",
+        "select-then-refit). Integer-grid log",
         "weights keep fit AND inference exact BIGINT DataFrame algebra",
         "(DuckDB oracle recomputes them end-to-end). Strict rows are the",
         "oracle-gated fitted_eval_* queries; loose rows reuse the A2",
@@ -60,7 +64,7 @@ def main() -> None:
         "|---|---|---|---|---|---|---|---|---|",
     ]
     for ds in G.REFERENCE_DATASETS:
-        train = G.load_gold_split(spark, ds, "train")
+        train = G.load_gold_fit_split(spark, ds)  # train ∪ val
         test = G.load_gold_split(spark, ds, "test")
         model = FT.collect_hmm_model(FT.fit_hmm(train))
         spans = FT.decode_spans(test, model)

@@ -37,7 +37,7 @@ def main() -> None:
     spark = get_spark(app="freeze_gazetteer", cores=2)
     os.makedirs(FIX, exist_ok=True)
     for ds in REFERENCE_DATASETS:
-        for split in ("train", "test"):
+        for split in ("train", "val", "test"):
             df = load_gold_split(spark, ds, split)
             # single-file parquet with the exact nested schema (NOT a
             # Spark part-file directory) so DuckDB reads it by path
