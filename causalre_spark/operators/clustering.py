@@ -29,10 +29,12 @@ from pyspark.sql import functions as F
 from causalre_spark.operators.similarity import _dot, _dot_literal, _norm
 
 
-def _assign_to_centroids(emb: DataFrame, cents: dict[int, list[float]],
-                         id_col: str, vec_col: str) -> DataFrame:
-    """(id, cluster): nearest centroid by squared L2, via the monotone
-    equivalent argmax of (x·c − ½|c|²).
+def _assign_col(cents: dict[int, list[float]], vec_col: str):
+    """Nearest-centroid cluster id as a COLUMN expression: nearest by
+    squared L2, via the monotone equivalent argmax of (x·c − ½|c|²).
+    Callers attach it with a map-only projection — never by joining the
+    (id, cluster) frame back onto the vectors, which would shuffle the
+    full table twice to add a row-local column.
 
     Argmax shape: ONE array of (score, -cluster_id) structs + array_max
     — struct ordering picks the highest score and breaks ties toward
@@ -42,10 +44,14 @@ def _assign_to_centroids(emb: DataFrame, cents: dict[int, list[float]],
     k=1000 (VERDICT r03 'what's wrong' #2). The literal-centroid dot
     chains themselves stay O(k·dim) — at k in the thousands, move the
     assignment into an Arrow Pandas UDF instead; at the registered k=8
-    the literal plan keeps the whole iteration inside whole-stage
-    codegen with zero extra shuffles."""
+    the literal plan keeps the whole iteration JVM-side with zero extra
+    shuffles. (At k·dim = 512 terms the FUSED whole-stage method can
+    exceed Janino's 64 KB limit when this column sits on a join's map
+    side; Spark then falls back to per-operator codegen — measured cost
+    ~5% on semantic_dedup, an accepted trade against the join-free
+    plan.)"""
     cids = sorted(cents)
-    elem = lambda j: f"element_at({vec_col}, {j + 1})"  # noqa: E731
+    elem = lambda j: f"{vec_col}[{j}]"  # noqa: E731
     entries = []
     for c in cids:
         halfsq = 0.5 * sum(v * v for v in cents[c])
@@ -53,21 +59,29 @@ def _assign_to_centroids(emb: DataFrame, cents: dict[int, list[float]],
             f"named_struct('s', ({_dot_literal(elem, cents[c])} "
             f"- CAST({halfsq:.17e} AS DOUBLE)), 'nc', {-c})")
     best = f"array_max(array({', '.join(entries)}))"
+    return F.expr(f"-({best}.nc)").cast("long")
+
+
+def _assign_to_centroids(emb: DataFrame, cents: dict[int, list[float]],
+                         id_col: str, vec_col: str) -> DataFrame:
+    """(id, cluster) frame view of :func:`_assign_col`."""
     return emb.select(F.col(id_col),
-                      F.expr(f"-({best}.nc)").cast("long").alias("cluster"))
+                      _assign_col(cents, vec_col).alias("cluster"))
 
 
-def kmeans_assign(emb: DataFrame, k: int = 8, iters: int = 2,
-                  dim: int = 64, id_col: str = "vec_id",
-                  vec_col: str = "embedding") -> DataFrame:
-    """Lloyd k-means over an embedding column; returns (id, cluster)
-    after `iters` assignment steps.
+def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 2,
+               dim: int = 64, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> dict[int, list[float]]:
+    """Lloyd k-means fit; returns the centroids in force after `iters`
+    assignment steps (i.e. iters-1 mean updates — the dict the final
+    assignment projects against).
 
     init: centroids = the k lowest-id vectors (deterministic under any
     partitioning). Each iteration: assign (argmin L2 over centroid
-    literals), then re-estimate means with ONE aggregation producing
-    dim per-dimension sums + a count per cluster (partial-agg friendly;
-    the k×dim result is the only thing that ever reaches the driver).
+    literals, a map-only COLUMN — no id-join back onto the vectors),
+    then re-estimate means with ONE aggregation producing dim
+    per-dimension sums + a count per cluster (partial-agg friendly; the
+    k×dim result is the only thing that ever reaches the driver).
     Empty clusters drop out of the estimate and later argmins — both
     engines see the same surviving cluster set."""
     init = (emb.orderBy(F.col(id_col).asc()).limit(k)
@@ -75,22 +89,28 @@ def kmeans_assign(emb: DataFrame, k: int = 8, iters: int = 2,
     init.sort(key=lambda r: r[id_col])
     cents = {c: [float(x) for x in r[vec_col]] for c, r in enumerate(init)}
 
-    n_steps = max(1, iters)
-    assign = None
-    for step in range(n_steps):
-        assign = _assign_to_centroids(emb, cents, id_col, vec_col)
-        if step == n_steps - 1:
-            break  # the post-final-assignment update would go unused
+    for _ in range(max(1, iters) - 1):
         means = (
-            emb.join(assign, id_col)
+            emb.select(F.col(vec_col),
+                       _assign_col(cents, vec_col).alias("cluster"))
             .groupBy("cluster")
-            .agg(*[F.sum(F.expr(f"cast(element_at({vec_col}, {j + 1}) as double)"))
+            .agg(*[F.sum(F.expr(f"cast({vec_col}[{j}] as double)"))
                    .alias(f"_m{j}") for j in range(dim)],
                  F.count(F.lit(1)).alias("_n"))
         ).collect()
         cents = {int(r["cluster"]): [r[f"_m{j}"] / r["_n"] for j in range(dim)]
                  for r in means}
-    return assign
+    return cents
+
+
+def kmeans_assign(emb: DataFrame, k: int = 8, iters: int = 2,
+                  dim: int = 64, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """(id, cluster) after `iters` Lloyd assignment steps — see
+    :func:`kmeans_fit`; the returned frame is a single map-only
+    projection against the fitted centroid literals."""
+    cents = kmeans_fit(emb, k, iters, dim, id_col, vec_col)
+    return _assign_to_centroids(emb, cents, id_col, vec_col)
 
 
 def kmeans_sizes(emb: DataFrame, k: int = 8, iters: int = 2,
@@ -110,9 +130,12 @@ def semantic_dedup_pairs(emb: DataFrame, thd: float, k: int = 8,
     clusters only — (id_a, id_b, cosine) with rounded cosine >= thd,
     id_a < id_b. Same exact-verify contract as
     similarity.cosine_near_dup_pairs, with the learned clustering as
-    the blocker instead of sign-LSH."""
-    assign = kmeans_assign(emb, k, iters, dim, id_col, vec_col)
-    with_c = emb.join(assign, id_col)
+    the blocker instead of sign-LSH. The cluster label is attached as a
+    map-only projection against the fitted centroids — the only
+    shuffle left is the in-cluster pair join itself."""
+    cents = kmeans_fit(emb, k, iters, dim, id_col, vec_col)
+    with_c = emb.select(F.col(id_col), F.col(vec_col),
+                        _assign_col(cents, vec_col).alias("cluster"))
     a = with_c.select("cluster", F.col(id_col).alias("id_a"),
                       F.col(vec_col).alias("va"))
     b = with_c.select("cluster", F.col(id_col).alias("id_b"),

@@ -78,14 +78,20 @@ def lsh_sign_buckets(
     (Axis-aligned hyperplanes — deterministic and portable; random
     hyperplanes would need a broadcast projection matrix, same plan
     shape.) Returns (id, bucket)."""
-    terms = [
-        f"(case when element_at({vec_col}, {d + 1}) > 0 then {1 << d} else 0 end)"
-        for d in range(n_bits)
-    ]
     return emb.select(
         F.col(id_col),
-        F.expr(" + ".join(terms)).cast("long").alias("bucket"),
+        _lsh_sign_bucket_col(n_bits, vec_col).alias("bucket"),
     )
+
+
+def _lsh_sign_bucket_col(n_bits: int, vec_col: str):
+    """Axis-aligned sign bucket as a COLUMN expression (see
+    _rh_bucket_col for why callers project rather than join it on)."""
+    terms = [
+        f"(case when {vec_col}[{d}] > 0 then {1 << d} else 0 end)"
+        for d in range(n_bits)
+    ]
+    return F.expr(" + ".join(terms)).cast("long")
 
 
 def lsh_bucket_stats(emb: DataFrame, n_bits: int = 8,
@@ -107,9 +113,11 @@ def cosine_near_dup_pairs(
 
     The bucket equi-join bounds candidates to ~n²/2^n_bits; at larger
     scale raise n_bits (or use multiple probe tables) — same plan shape.
+    The bucket itself is a map-only projection, not an id-join.
     """
-    b = lsh_sign_buckets(emb, n_bits, id_col, vec_col)
-    with_b = emb.join(b, id_col)
+    with_b = emb.select(
+        F.col(id_col), F.col(vec_col),
+        _lsh_sign_bucket_col(n_bits, vec_col).alias("bucket"))
     a = with_b.select("bucket", F.col(id_col).alias("id_a"),
                       F.col(vec_col).alias("va"))
     c = with_b.select("bucket", F.col(id_col).alias("id_b"),
@@ -146,6 +154,20 @@ def _dot_literal(vec_elem_fn, coeffs: list[float]) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def _rh_bucket_col(n_planes: int, dim: int, vec_col: str):
+    """Random-hyperplane sign-LSH bucket as a COLUMN expression, so
+    callers attach it with a map-only projection instead of joining the
+    id->bucket frame back onto the vectors (a self-join on the full
+    table — pure waste at 10^12 rows when the bucket is a row-local
+    function of the vector)."""
+    terms = []
+    for p in range(n_planes):
+        dot = _dot_literal(lambda j: f"{vec_col}[{j}]",
+                           hyperplane_coeffs(p, dim))
+        terms.append(f"(case when {dot} > 0 then {1 << p} else 0 end)")
+    return F.expr(" + ".join(terms)).cast("long")
+
+
 def random_hyperplane_buckets(
     emb: DataFrame, n_planes: int = 8, dim: int = 16,
     id_col: str = "vec_id", vec_col: str = "embedding",
@@ -156,14 +178,9 @@ def random_hyperplane_buckets(
     embedding dimensions give badly skewed buckets; random hyperplanes
     make bucket occupancy approach uniform and collision probability the
     classic 1 - theta/pi per plane. Returns (id, bucket)."""
-    terms = []
-    for p in range(n_planes):
-        dot = _dot_literal(lambda j: f"element_at({vec_col}, {j + 1})",
-                           hyperplane_coeffs(p, dim))
-        terms.append(f"(case when {dot} > 0 then {1 << p} else 0 end)")
     return emb.select(
         F.col(id_col),
-        F.expr(" + ".join(terms)).cast("long").alias("bucket"),
+        _rh_bucket_col(n_planes, dim, vec_col).alias("bucket"),
     )
 
 
@@ -176,9 +193,12 @@ def ann_topk_multiprobe(
     the n_probes buckets at Hamming distance 1 (flipping the lowest
     planes) — recovers most of the recall a single-bucket probe loses,
     for (1 + n_probes)/2^n_planes of the scan cost. Candidates come from
-    a broadcast semi-join on the small probe-bucket set."""
-    b = random_hyperplane_buckets(emb, n_planes, dim, id_col, vec_col)
-    with_b = emb.join(b, id_col)
+    a broadcast semi-join on the small probe-bucket set. The bucket is
+    attached as a map-only projection (_rh_bucket_col) — no
+    id-join back onto the vector table."""
+    with_b = emb.select(
+        F.col(id_col), F.col(vec_col),
+        _rh_bucket_col(n_planes, dim, vec_col).alias("bucket"))
     qb = with_b.filter(F.col(id_col) == query_id).select(
         "bucket", F.col(vec_col).alias("qvec"))
     probes = qb.select(
@@ -222,14 +242,10 @@ def _centroid_dots(vec_elem_fn, n_centroids: int, dim: int) -> list[str]:
     return [_dot_literal(vec_elem_fn, c) for c in cents]
 
 
-def ivf_assign(
-    emb: DataFrame, n_centroids: int = 8, dim: int = 16,
-    id_col: str = "vec_id", vec_col: str = "embedding",
-) -> DataFrame:
-    """IVF list assignment: each vector goes to the centroid with the
-    max dot product (first-max tie-break). Bit-exact across engines —
-    the dots are explicit literal addition chains."""
-    dots = _centroid_dots(lambda j: f"element_at({vec_col}, {j + 1})",
+def _ivf_centroid_col(n_centroids: int, dim: int, vec_col: str):
+    """Nearest-centroid id as a COLUMN expression (see _rh_bucket_col
+    for why callers project it instead of joining it back on)."""
+    dots = _centroid_dots(lambda j: f"{vec_col}[{j}]",
                           n_centroids, dim)
     # O(n) argmax: one (dot, -centroid) struct array + array_max —
     # struct ordering takes the highest dot, ties toward the smallest
@@ -239,10 +255,19 @@ def ivf_assign(
     entries = ", ".join(
         f"named_struct('d', {dots[c]}, 'nc', {-c})"
         for c in range(n_centroids))
+    return F.expr(f"-(array_max(array({entries})).nc)").cast("long")
+
+
+def ivf_assign(
+    emb: DataFrame, n_centroids: int = 8, dim: int = 16,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF list assignment: each vector goes to the centroid with the
+    max dot product (first-max tie-break). Bit-exact across engines —
+    the dots are explicit literal addition chains."""
     return emb.select(
         F.col(id_col),
-        F.expr(f"-(array_max(array({entries})).nc)")
-        .cast("long").alias("centroid"))
+        _ivf_centroid_col(n_centroids, dim, vec_col).alias("centroid"))
 
 
 def ann_topk_ivf(
@@ -253,10 +278,13 @@ def ann_topk_ivf(
     """IVF ANN top-k: rank centroids by the query's dot product, probe
     the best n_probe inverted lists, exact cosine top-k inside them.
     At scale the assignment is a precomputed index column and the probe
-    is a partition-pruned scan of n_probe/n_centroids of the data."""
-    assign = ivf_assign(emb, n_centroids, dim, id_col, vec_col)
-    with_c = emb.join(assign, id_col)
-    dots = _centroid_dots(lambda j: f"element_at({vec_col}, {j + 1})",
+    is a partition-pruned scan of n_probe/n_centroids of the data; here
+    it is a map-only projection (_ivf_centroid_col), never an id-join
+    back onto the vector table."""
+    with_c = emb.select(
+        F.col(id_col), F.col(vec_col),
+        _ivf_centroid_col(n_centroids, dim, vec_col).alias("centroid"))
+    dots = _centroid_dots(lambda j: f"{vec_col}[{j}]",
                           n_centroids, dim)
     pairs = ", ".join(
         f"struct(cast({c} as long) as centroid, {dots[c]} as d)"
@@ -372,7 +400,7 @@ def pq_assign(
     scans instead of the raw embeddings."""
     dsub = dim // m
     book = pq_codebook(m, ksub, dsub)
-    elem = lambda j: f"element_at({vec_col}, {j + 1})"  # noqa: E731
+    elem = lambda j: f"{vec_col}[{j}]"  # noqa: E731
     dist_cols = [
         F.expr(_sqdist_literal(elem, s * dsub, book[s][c])).alias(f"_d{s}_{c}")
         for s in range(m) for c in range(ksub)
@@ -395,7 +423,7 @@ def ann_topk_pq(
     dim: int = 64, id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
     """PQ-ADC approximate top-k: build the query's (subspace, code) ->
-    squared-distance table (m*ksub rows — computed once, broadcast),
+    squared-distance table (m*ksub entries — computed once, broadcast),
     then score every vector as the SUM of table entries at its codes
     and take the k smallest. The billion-scale ANN query shape (Jegou
     et al. 2011, 'Product Quantization for Nearest Neighbor Search' —
@@ -403,38 +431,43 @@ def ann_topk_pq(
     list pruning): the scan reads only the 32-bit pq codes, never the
     raw vectors, and the per-vector cost is m table lookups + adds.
 
-    Here the lookup is relational: codes in long form equi-join the
-    broadcast distance table on (subspace, code) and re-aggregate per
-    vector — one shuffle on the uniform vec id; Catalyst keeps the
-    whole thing JVM-side."""
+    Here the lookup is MAP-ONLY: the whole distance table is one wide
+    row (m array<double> columns of ksub entries each — 128 doubles at
+    the defaults), broadcast-cross-joined onto the code scan, and each
+    vector's score is the explicit s-ascending chain of
+    element_at(dt_s, code_s + 1) adds. No explode (the former long-form
+    spelling multiplied the scan by m rows), no equi-join, and no
+    re-aggregation shuffle — at 10^12 vectors the query is a pure
+    projection over the packed-code column feeding straight into the
+    TakeOrderedAndProject top-k; Catalyst keeps the whole thing
+    JVM-side. (The DuckDB oracle deliberately keeps the long-form
+    join+GROUP BY spelling — two independent spellings of the rule.)"""
     dsub = dim // m
     book = pq_codebook(m, ksub, dsub)
     assign = pq_assign(emb, m, ksub, dim, id_col, vec_col)
-    codes = assign.select(
-        id_col,
-        F.explode(F.expr(
-            "array(" + ", ".join(
-                f"struct(cast({s} as long) as s, code_{s} as code)"
-                for s in range(m)) + ")"
-        )).alias("sc"),
-    ).select(id_col, F.col("sc.s").alias("s"), F.col("sc.code").alias("code"))
-    qelem = lambda j: f"element_at(qvec, {j + 1})"  # noqa: E731
-    pairs = ", ".join(
-        f"struct(cast({s} as long) as s, cast({c} as long) as code, "
-        f"{_sqdist_literal(qelem, s * dsub, book[s][c])} as d)"
-        for s in range(m) for c in range(ksub))
+    qelem = lambda j: f"qvec[{j}]"  # noqa: E731
+    dt_cols = [
+        F.expr("array(" + ", ".join(
+            _sqdist_literal(qelem, s * dsub, book[s][c])
+            for c in range(ksub)) + ")").alias(f"dt_{s}")
+        for s in range(m)
+    ]
     dtable = (
         emb.filter(F.col(id_col) == query_id)
         .select(F.col(vec_col).alias("qvec"))
-        .select(F.explode(F.expr(f"array({pairs})")).alias("scd"))
-        .select(F.col("scd.s").alias("s"), F.col("scd.code").alias("code"),
-                F.col("scd.d").alias("d"))
+        .select(*dt_cols)
     )
+    # explicit left-to-right s-ascending fold, same order the oracle's
+    # s-keyed join feeds its sum — bit-stable across partitionings
+    # because every term lives in the same row
+    adc = F.element_at(F.col("dt_0"), F.col("code_0").cast("int") + 1)
+    for s in range(1, m):
+        adc = adc + F.element_at(F.col(f"dt_{s}"),
+                                 F.col(f"code_{s}").cast("int") + 1)
     scored = (
-        codes.filter(F.col(id_col) != query_id)
-        .join(F.broadcast(dtable), ["s", "code"])
-        .groupBy(id_col)
-        .agg(F.round(F.sum("d"), 4).alias("adc_dist"))
+        assign.filter(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(dtable))
+        .select(F.col(id_col), F.round(adc, 4).alias("adc_dist"))
     )
     order = [F.col("adc_dist").asc(), F.col(id_col).asc()]
     top = scored.orderBy(*order).limit(k)

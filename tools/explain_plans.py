@@ -357,12 +357,16 @@ def main() -> int:
     checks.append(("chunking: no Python eval",
                    "BatchEvalPython" not in p and "ArrowEval" not in p, p))
 
-    # PQ-ADC: the (subspace, code) distance table must broadcast; the
-    # final top-k must be TakeOrderedAndProject, not a global sort
+    # PQ-ADC: the one-row wide distance table must broadcast onto a
+    # MAP-ONLY scoring scan (no explode, no equi-join, no shuffle);
+    # the final top-k must be TakeOrderedAndProject, not a global sort
     p = plan_of(Q.q_ann_topk_pq(spark, SF))
     sections.append(("ann_topk_pq (PQ-ADC top-k)", p))
-    checks.append(("pq adc: distance table join is broadcast",
-                   "BroadcastHashJoin" in p, p))
+    checks.append(("pq adc: distance table is broadcast (nested-loop on 1 row)",
+                   "BroadcastNestedLoopJoin" in p, p))
+    checks.append(("pq adc: scoring is map-only (no shuffle exchange)",
+                   "Exchange hashpartitioning" not in p
+                   and "Exchange rangepartitioning" not in p, p))
     checks.append(("pq adc: top-k is TakeOrderedAndProject",
                    "TakeOrderedAndProject" in p, p))
     checks.append(("pq adc: no Python eval",
