@@ -18,7 +18,7 @@ queries()      — one entry per implemented operator from SURVEY.md §2
                  composite curation verdict, CC size histogram,
                  fitted HMM span tagger + NB relation classifier on the
                  reference gold splits, seeded-flagship surface):
-                 103 queries, 101 with exact DuckDB oracles.
+                 104 queries, 102 with exact DuckDB oracles.
 oracle_sql()   — exact DuckDB twins for every relational operator; the
                  two remaining UDF-backed pipeline queries
                  (pipeline_spans, causal_triples) are rows-only by

@@ -741,6 +741,43 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return dedup.jaccard_verify(pairs, sh, thd=0.3)
 
 
+def q_dedup_near_clusters(spark, sf_dir):
+    """Fuzzy-dedup CLUSTER RESOLUTION — the step every production
+    dedup pipeline runs after pair finding (RefinedWeb, Penedo et al.
+    2023 §'MinHash deduplication'; CCNet): verified MinHash near-dup
+    pairs -> connected components over the dup graph -> canonical
+    keeper = min doc_id per component. One row per clustered document
+    (singletons omitted): (doc_id, cluster_rep, cluster_size, keep).
+    Deleting `keep = false` rows is the actual dedup action.
+
+    Scale shape: pairs are the LSH-banded verified set (never
+    all-pairs), components reuse linking.connected_components with
+    keyed BIGINT doc ids (driver union-find under caps, else
+    large/small-star contraction), and the keeper rule is pure
+    integer algebra. The oracle recomputes the components with a
+    recursive label-closure CTE — an independent second spelling of
+    the CC fixpoint (cc_components' oracle is the other)."""
+    from causalre_spark.operators import linking
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = dedup.word_shingles(docs, n=3).persist()
+    pairs = dedup.jaccard_verify(
+        dedup.minhash_lsh_pairs(sh, n_hashes=6, band_size=2), sh, thd=0.3)
+    edges = pairs.select(F.col("id_a").alias("form_a"),
+                         F.col("id_b").alias("form_b"))
+    nodes = (edges.select(F.col("form_a").alias("form"))
+             .unionByName(edges.select(F.col("form_b").alias("form")))
+             .distinct())
+    comp = linking.connected_components(nodes, edges, keyed=True)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    return (comp.join(sizes, "component")
+            .select(F.col("form").alias("doc_id"),
+                    F.col("component").alias("cluster_rep"),
+                    "cluster_size",
+                    (F.col("form") == F.col("component")).alias("keep")))
+
+
 def _duck_minhash_cte(n: int, n_hashes: int, band_size: int) -> str:
     norm = NORMALIZE_SQL_DUCK.format(x="text")
     mins = ", ".join(
@@ -779,6 +816,35 @@ FROM shared s
 JOIN counts ca ON ca.id = s.id_a
 JOIN counts cb ON cb.id = s.id_b
 WHERE round(s.n_shared / (ca.n_sh + cb.n_sh - s.n_shared), 4) >= 0.3
+"""
+
+
+SQL_DEDUP_NEAR_CLUSTERS = f"""
+WITH RECURSIVE {_duck_minhash_cte(3, 6, 2)},
+vpairs AS (SELECT s.id_a, s.id_b
+           FROM shared s
+           JOIN counts ca ON ca.id = s.id_a
+           JOIN counts cb ON cb.id = s.id_b
+           WHERE round(s.n_shared / (ca.n_sh + cb.n_sh - s.n_shared), 4)
+                 >= 0.3),
+dedges AS (SELECT id_a AS src, id_b AS dst FROM vpairs
+           UNION ALL
+           SELECT id_b AS src, id_a AS dst FROM vpairs),
+-- label closure: (node, lab) reachable pairs; UNION dedup terminates
+-- the recursion at the component transitive closure. component label =
+-- min over the closure — an independent spelling of the CC fixpoint
+-- (the Spark side is union-find / star contraction).
+reach(node, lab) AS (
+    SELECT src AS node, src AS lab FROM dedges
+    UNION
+    SELECT e.dst AS node, r.lab FROM reach r
+    JOIN dedges e ON e.src = r.node),
+comp AS (SELECT node, min(lab) AS cluster_rep FROM reach GROUP BY node),
+csz AS (SELECT cluster_rep, count(*) AS cluster_size
+        FROM comp GROUP BY cluster_rep)
+SELECT c.node AS doc_id, c.cluster_rep, s.cluster_size,
+       c.node = c.cluster_rep AS keep
+FROM comp c JOIN csz s USING (cluster_rep)
 """
 
 
@@ -4095,6 +4161,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # dedup family (training-data ops)
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_near_clusters": q_dedup_near_clusters,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_blocking_recall": q_dedup_blocking_recall,
     "dedup_simhash": q_dedup_simhash,
@@ -4245,6 +4312,7 @@ ORACLES: dict[str, str] = {
     "f3_sigmoid_decode": SQL_F3,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
+    "dedup_near_clusters": SQL_DEDUP_NEAR_CLUSTERS,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
     "dedup_blocking_recall": _duck_blocking_recall(),
     "dedup_simhash": SQL_DEDUP_SIMHASH,

@@ -22,7 +22,7 @@ SUBSET = [
     "dedup_crossdoc", "decontaminate", "sample_stratified",
     "domain_skew_stats", "kg_negative_samples", "dsir_weights",
     "lang_mixing_weights", "curation_verdict", "cc_size_stats",
-    "bm25_topk", "dedup_compaction",
+    "bm25_topk", "dedup_compaction", "dedup_near_clusters",
 ]
 
 
