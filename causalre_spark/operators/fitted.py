@@ -311,9 +311,9 @@ def viterbi_spans(tokens: list, model: dict, m: float = HMM_M,
             return NEG
         si = _SI[s]
         sh = emsh.get(shapes[i], [0] * 5)
-        psh = (sh[si] + alpha) / (sum(sh) + 5 * alpha)
+        p_shape = (sh[si] + alpha) / (sum(sh) + 5 * alpha)
         e = em.get(tokens[i], (0, 0, 0, 0, 0))
-        post = (e[si] + m * psh) / (sum(e) + m)
+        post = (e[si] + m * p_shape) / (sum(e) + m)
         prior = st[s] / ntok
         tot = math.log(post) - math.log(prior)
         # NB context terms: an absent key/table yields p2 == prior

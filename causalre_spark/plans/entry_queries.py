@@ -3202,6 +3202,9 @@ q_fitted_eval_conll04 = _q_fitted_eval("conll04")
 # DuckDB twin of operators/fitted.py SHAPE_RULES — single source of
 # truth lives next to the rules themselves (fitted.SHAPE_SQL_DUCK)
 from causalre_spark.operators.fitted import SHAPE_SQL_DUCK as _DUCK_SHAPE  # noqa: E402
+from causalre_spark.operators.fitted import MARGIN as _FT_MARGIN  # noqa: E402
+from causalre_spark.operators.fitted import MIN_DF as _FT_MIN_DF  # noqa: E402
+from causalre_spark.gold_eval import VAL_DOC_OFFSET as _G_VAL_OFF  # noqa: E402
 
 
 def _duck_fit_src(dataset: str) -> str:
@@ -3212,7 +3215,7 @@ def _duck_fit_src(dataset: str) -> str:
     va = f"{_GAZ_FIX}/{dataset}_val.parquet"
     return (f"(SELECT doc_id, tokens, spans, relations FROM '{tr}' "
             f"UNION ALL "
-            f"SELECT doc_id + 1000000 AS doc_id, tokens, spans, relations "
+            f"SELECT doc_id + {_G_VAL_OFF} AS doc_id, tokens, spans, relations "
             f"FROM '{va}')")
 
 
@@ -3415,7 +3418,7 @@ fweights AS (SELECT kind, val,
                     {w('n_fwd', 'c_fwd')} AS w_fwd,
                     {w('n_bwd', 'c_bwd')} AS w_bwd
              FROM fcounts, fcls
-             WHERE n_neg + n_fwd + n_bwd >= 3),
+             WHERE n_neg + n_fwd + n_bwd >= {_FT_MIN_DF}),
 fpriors AS (SELECT
     {w('c_neg', 'c_neg + c_fwd + c_bwd + 1.0')} AS p_neg,
     {w('c_fwd', 'c_neg + c_fwd + c_bwd + 1.0')} AS p_fwd,
@@ -3464,18 +3467,18 @@ fstype AS (SELECT type FROM
               FROM (SELECT unnest(spans) AS s FROM {tr})
               GROUP BY 1 ORDER BY c DESC, type ASC LIMIT 1)),
 fpredr AS (SELECT url,
-                  CASE WHEN t_fwd > t_neg + 1500 AND t_fwd >= t_bwd
+                  CASE WHEN t_fwd > t_neg + {_FT_MARGIN} AND t_fwd >= t_bwd
                        THEN h_start ELSE t_start END AS h_start,
-                  CASE WHEN t_fwd > t_neg + 1500 AND t_fwd >= t_bwd
+                  CASE WHEN t_fwd > t_neg + {_FT_MARGIN} AND t_fwd >= t_bwd
                        THEN h_end ELSE t_end END AS h_end,
-                  CASE WHEN t_fwd > t_neg + 1500 AND t_fwd >= t_bwd
+                  CASE WHEN t_fwd > t_neg + {_FT_MARGIN} AND t_fwd >= t_bwd
                        THEN t_start ELSE h_start END AS t_start,
-                  CASE WHEN t_fwd > t_neg + 1500 AND t_fwd >= t_bwd
+                  CASE WHEN t_fwd > t_neg + {_FT_MARGIN} AND t_fwd >= t_bwd
                        THEN t_end ELSE h_end END AS t_end,
                   (SELECT rel_type FROM frtype) AS rel_type
            FROM fscored
-           WHERE (t_fwd > t_neg + 1500 AND t_fwd >= t_bwd)
-              OR (t_bwd > t_neg + 1500 AND t_bwd > t_fwd)),
+           WHERE (t_fwd > t_neg + {_FT_MARGIN} AND t_fwd >= t_bwd)
+              OR (t_bwd > t_neg + {_FT_MARGIN} AND t_bwd > t_fwd)),
 fte_gsp AS (SELECT CAST(doc_id AS VARCHAR) AS url, s."start" AS start,
                    s."end" AS "end", s."type" AS type
             FROM (SELECT doc_id, unnest(spans) AS s FROM '{te}')),
