@@ -3117,7 +3117,7 @@ def _q_fitted_spans(dataset: str):
 def _q_fitted_rel_weights(dataset: str):
     def q(spark, sf_dir):
         """NB relation feature weights (kind, val, w_neg, w_fwd, w_bwd)
-        fitted on the train split — integer-grid log likelihood ratios
+        fitted on train ∪ val — integer-grid log likelihood ratios
         (operators/fitted.py fit_rel_nb). Fully recomputed by the
         oracle: gold-span pair generation, fwd/bwd labeling, feature
         explosion, counting and quantization."""
