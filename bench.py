@@ -204,16 +204,17 @@ def write_baseline_md(scale_lo: dict, scale_hi: dict, eff: float,
                     f"{s['docs_per_sec']} | {s['triples_per_sec']} |\n")
         factor = scale_hi["cores"] // scale_lo["cores"]
         f.write(
-            "\n**PRIMARY two-cluster-size criterion — true multi-executor "
-            "probe (spark-submit local-cluster, 1 vs 4 executor JVMs, "
-            "1M pages): see BENCH/CLUSTER.md — end-to-end efficiency "
-            "0.936 on round-4 code (0.94-1.0 across recorded pairs), "
-            "identical triples at both cluster sizes.** The thread pair "
-            "below is the small-corpus (250k-page) in-process "
-            "cross-check: its end-to-end number undershoots whenever the "
-            "fixed per-stage tail is a large share of a small corpus's "
-            "wall-clock (CLUSTER.md's size progression and "
-            "SCALE_MODEL.md quantify this), while its extract-stage "
+            "\n**PRIMARY two-cluster-size criterion — the true "
+            "multi-executor probe (spark-submit local-cluster, 1 vs 4 "
+            "executor JVMs; tools/cluster_probe.py): see BENCH/CLUSTER.md "
+            "for the recorded pairs and whether they meet the >= 0.8 "
+            "bar (triple counts are identical at both cluster sizes).** "
+            "The "
+            "thread pair below is the small-corpus (250k-page) "
+            "in-process cross-check: its end-to-end number undershoots "
+            "whenever the fixed per-stage tail is a large share of a "
+            "small corpus's wall-clock (CLUSTER.md's size progression "
+            "and SCALE_MODEL.md quantify this), while its extract-stage "
             "number tracks the data-parallel scaling that dominates at "
             "production scale.\n\n"
             f"**End-to-end scaling efficiency ({scale_lo['cores']} -> "

@@ -113,12 +113,17 @@ def shape_col(tok) -> F.Column:
     return c.otherwise("other")
 
 
-SHAPE_SQL_DUCK = """CASE
-  WHEN regexp_matches(token, '[0-9]') THEN 'Num'
-  WHEN regexp_matches(token, '^[A-Z][a-z]+$') THEN 'Cap'
-  WHEN regexp_matches(token, '^[A-Z]{2,}$') THEN 'ALL'
-  WHEN regexp_matches(token, '^[a-z]+$') THEN 'low'
+# parameterized on the column expression so oracle sites can aim it at
+# ptok/ntok/tokens[h_end]/... without substring surgery on the SQL text
+# ({{2,}} survives .format as the regex quantifier {2,})
+SHAPE_SQL_DUCK_FMT = """CASE
+  WHEN regexp_matches({col}, '[0-9]') THEN 'Num'
+  WHEN regexp_matches({col}, '^[A-Z][a-z]+$') THEN 'Cap'
+  WHEN regexp_matches({col}, '^[A-Z]{{2,}}$') THEN 'ALL'
+  WHEN regexp_matches({col}, '^[a-z]+$') THEN 'low'
   ELSE 'other' END"""
+
+SHAPE_SQL_DUCK = SHAPE_SQL_DUCK_FMT.format(col="token")
 
 
 def token_states(split_df: DataFrame) -> DataFrame:

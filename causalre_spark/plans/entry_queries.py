@@ -3202,6 +3202,7 @@ q_fitted_eval_conll04 = _q_fitted_eval("conll04")
 # DuckDB twin of operators/fitted.py SHAPE_RULES — single source of
 # truth lives next to the rules themselves (fitted.SHAPE_SQL_DUCK)
 from causalre_spark.operators.fitted import SHAPE_SQL_DUCK as _DUCK_SHAPE  # noqa: E402
+from causalre_spark.operators.fitted import SHAPE_SQL_DUCK_FMT as _DUCK_SHAPE_FMT  # noqa: E402
 from causalre_spark.operators.fitted import MARGIN as _FT_MARGIN  # noqa: E402
 from causalre_spark.operators.fitted import MIN_DF as _FT_MIN_DF  # noqa: E402
 from causalre_spark.gold_eval import VAL_DOC_OFFSET as _G_VAL_OFF  # noqa: E402
@@ -3263,12 +3264,12 @@ emnext AS (SELECT 'emnext' AS part, ntok AS key, state, count(*) AS cnt
            FROM ctx GROUP BY ntok, state),
 empsh AS (SELECT 'empsh' AS part,
                  CASE WHEN ptok = '<bos>' THEN '<bos>'
-                      ELSE {_DUCK_SHAPE.replace("token", "ptok")} END AS key,
+                      ELSE {_DUCK_SHAPE_FMT.format(col="ptok")} END AS key,
                  state, count(*) AS cnt
           FROM ctx GROUP BY 2, state),
 emnsh AS (SELECT 'emnsh' AS part,
                  CASE WHEN ntok = '<eos>' THEN '<eos>'
-                      ELSE {_DUCK_SHAPE.replace("token", "ntok")} END AS key,
+                      ELSE {_DUCK_SHAPE_FMT.format(col="ntok")} END AS key,
                  state, count(*) AS cnt
           FROM ctx GROUP BY 2, state),
 trn AS (SELECT 'tr' AS part, prev AS key, state, count(*) AS cnt
@@ -3348,11 +3349,11 @@ def _duck_pair_feats(pairs_cte: str, docs_cte: str, out: str) -> str:
     FROM {out}_j
     UNION ALL
     SELECT url, h_start, h_end, t_start, t_end, 'hlsh',
-           {_DUCK_SHAPE.replace("token", "tokens[h_end]")}
+           {_DUCK_SHAPE_FMT.format(col="tokens[h_end]")}
     FROM {out}_j
     UNION ALL
     SELECT url, h_start, h_end, t_start, t_end, 'tlsh',
-           {_DUCK_SHAPE.replace("token", "tokens[t_end]")}
+           {_DUCK_SHAPE_FMT.format(col="tokens[t_end]")}
     FROM {out}_j
     UNION ALL
     SELECT url, h_start, h_end, t_start, t_end, 'hw',

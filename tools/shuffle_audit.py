@@ -33,21 +33,25 @@ from causalre_spark.config import DEFAULT_CONFIG
 from causalre_spark.pipeline import extract_docs, run_pipeline
 from causalre_spark.session import get_spark
 
-UI_PORT = 4049
+def _make_api(spark):
+    # spark.port.maxRetries rebinds the UI when the requested port is
+    # taken — a hardcoded URL would then read a DIFFERENT app's totals.
+    # uiWebUrl is the port this app actually bound.
+    base = spark.sparkContext.uiWebUrl
 
+    def _api(path: str):
+        with urllib.request.urlopen(f"{base}/api/v1/{path}") as r:
+            return json.loads(r.read())
 
-def _api(path: str):
-    with urllib.request.urlopen(
-            f"http://localhost:{UI_PORT}/api/v1/{path}") as r:
-        return json.loads(r.read())
+    return _api
 
 
 def main() -> None:
     corpus = sys.argv[1]
     spark = get_spark(
         app="shuffle_audit",
-        extra_conf={"spark.ui.enabled": "true",
-                    "spark.ui.port": str(UI_PORT)})
+        extra_conf={"spark.ui.enabled": "true"})
+    _api = _make_api(spark)
     pages = spark.read.parquet(corpus)
     n_pages = pages.count()
 
@@ -73,16 +77,20 @@ def main() -> None:
 
     total_w, total_r, stages = totals()
     extract_w = w1 - w0
+    # attribute the pipeline run alone: exclude the page-count and
+    # extract-only probe passes, or a nonzero extract shuffle would be
+    # double-counted in the headline per-page figure
+    pipe_w, pipe_r = total_w - w1, total_r - r1
     top = sorted(stages, key=lambda s: -s["shuffleWriteBytes"])[:8]
     print(json.dumps({
         "corpus": corpus,
         "n_pages": n_pages,
         "n_triples": n_triples,
         "n_stages": len(stages),
-        "shuffle_write_bytes": total_w,
-        "shuffle_read_bytes": total_r,
+        "shuffle_write_bytes": pipe_w,
+        "shuffle_read_bytes": pipe_r,
         "extract_shuffle_write_bytes": extract_w,
-        "write_bytes_per_page": round(total_w / max(n_pages, 1), 2),
+        "write_bytes_per_page": round(pipe_w / max(n_pages, 1), 2),
         "extract_secs": timings.get("docs_secs"),
         "top_stages": [
             {"stage": s["stageId"],
