@@ -3130,26 +3130,36 @@ def _q_fitted_rel_weights(dataset: str):
     return q
 
 
-def _q_fitted_eval(dataset: str):
+def _q_fitted_eval(dataset: str, tagger: str = "hmm"):
     def q(spark, sf_dir):
-        """Strict span/rel P/R/F1 of the fitted HMM + NB extractor on
-        the gold test split (one row per task) — the BENCH/GOLD_EVAL.md
-        headline rows. Spark recomputes fit + decode + NB + eval live;
-        the oracle recomputes everything except the Viterbi decode
-        (frozen spans) in SQL."""
+        """Strict span/rel P/R/F1 of a fitted span tagger + the NB
+        relation classifier on the gold test split (one row per task) —
+        the BENCH/GOLD_EVAL.md headline rows. tagger='hmm' refits the
+        HMM live (fit is pure aggregation); tagger='ptron' decodes under
+        the frozen averaged-perceptron weights (the IPM fit is iterative
+        — tools/freeze_perceptron.py). Spark recomputes decode + NB +
+        eval live; the oracle recomputes everything except the Viterbi
+        decode (frozen spans) in SQL."""
         from causalre_spark import gold_eval as G
         from causalre_spark.operators import fitted as FT
         from causalre_spark.operators import gazetteer as GZ
 
         train = G.load_gold_fit_split(spark, dataset)
         test = G.load_gold_split(spark, dataset, "test")
-        model = FT.collect_hmm_model(FT.fit_hmm(train))
         span_type = FT.majority_span_type(train)
         # materialize the decoded spans ONCE as a local-rows frame (a
         # few hundred rows — the k-means-centroid class of collect)
         # instead of persist(): three consumers follow and a persisted
         # cache would leak for the session lifetime (bench reruns)
-        decoded = FT.decode_spans(test, model)
+        if tagger == "ptron":
+            from causalre_spark.operators import perceptron as PT
+
+            W, Wt = PT.load_frozen_weights(
+                f"{_PT_FIX}/{dataset}_weights.parquet")
+            decoded = PT.decode_spans(test, W, Wt)
+        else:
+            model = FT.collect_hmm_model(FT.fit_hmm(train))
+            decoded = FT.decode_spans(test, model)
         pred_u = spark.createDataFrame(
             decoded.collect(), schema=decoded.schema)
         pred_s = pred_u.crossJoin(F.broadcast(span_type))
@@ -3198,6 +3208,42 @@ q_fitted_rel_weights_custom = _q_fitted_rel_weights("custom")
 q_fitted_rel_weights_conll04 = _q_fitted_rel_weights("conll04")
 q_fitted_eval_custom = _q_fitted_eval("custom")
 q_fitted_eval_conll04 = _q_fitted_eval("conll04")
+
+# --------------------------------------------------------------------------
+# averaged-perceptron span tagger (operators/perceptron.py): the
+# discriminative rung above the HMM — same gold splits, same NB relation
+# chain, weights fitted by exact scaled-integer IPM and frozen by
+# tools/freeze_perceptron.py (the fit is iterative — not SQL). The
+# decode runs LIVE under the frozen weights; its oracle pins the frozen
+# decode fixture, and the eval oracle recomputes NB + eval end-to-end in
+# SQL from the frozen spans (the exact _sql_fitted_eval chain).
+# --------------------------------------------------------------------------
+
+_PT_FIX = "/root/repo/fixtures/perceptron"
+
+
+def _q_fitted_ptron_spans(dataset: str):
+    def q(spark, sf_dir):
+        """Perceptron-decoded spans of the gold test split under the
+        frozen train∪val-fitted weights (url, start, end) — live
+        mapInPandas Viterbi, zero shuffle. The oracle reads the frozen
+        decode fixture (determinism pin); exactness of fit and decode
+        is gated by the scalar twins in tests/test_perceptron.py."""
+        from causalre_spark import gold_eval as G
+        from causalre_spark.operators import perceptron as PT
+
+        W, Wt = PT.load_frozen_weights(
+            f"{_PT_FIX}/{dataset}_weights.parquet")
+        return PT.decode_spans(
+            G.load_gold_split(spark, dataset, "test"), W, Wt)
+
+    return q
+
+
+q_fitted_ptron_spans_custom = _q_fitted_ptron_spans("custom")
+q_fitted_ptron_spans_conll04 = _q_fitted_ptron_spans("conll04")
+q_fitted_ptron_eval_custom = _q_fitted_eval("custom", tagger="ptron")
+q_fitted_ptron_eval_conll04 = _q_fitted_eval("conll04", tagger="ptron")
 
 # DuckDB twin of operators/fitted.py SHAPE_RULES — single source of
 # truth lives next to the rules themselves (fitted.SHAPE_SQL_DUCK)
@@ -3434,10 +3480,10 @@ SELECT kind, val, w_neg, w_fwd, w_bwd FROM fweights
 """
 
 
-def _sql_fitted_eval(dataset: str) -> str:
+def _sql_fitted_eval(dataset: str, fix_dir: str = _FIT_FIX) -> str:
     te = f"{_GAZ_FIX}/{dataset}_test.parquet"
     tr = _duck_fit_src(dataset)
-    fx = f"{_FIT_FIX}/{dataset}_pred_spans.parquet"
+    fx = f"{fix_dir}/{dataset}_pred_spans.parquet"
     return f"""
 WITH {_duck_rel_nb_chain(dataset)},
 fte_docs AS (SELECT CAST(doc_id AS VARCHAR) AS url, tokens FROM '{te}'),
@@ -3541,6 +3587,14 @@ SQL_FITTED_REL_WEIGHTS_CUSTOM = _sql_fitted_rel_weights("custom")
 SQL_FITTED_REL_WEIGHTS_CONLL04 = _sql_fitted_rel_weights("conll04")
 SQL_FITTED_EVAL_CUSTOM = _sql_fitted_eval("custom")
 SQL_FITTED_EVAL_CONLL04 = _sql_fitted_eval("conll04")
+SQL_FITTED_PTRON_SPANS_CUSTOM = (
+    f"SELECT url, start, \"end\" "
+    f"FROM '{_PT_FIX}/custom_pred_spans.parquet'")
+SQL_FITTED_PTRON_SPANS_CONLL04 = (
+    f"SELECT url, start, \"end\" "
+    f"FROM '{_PT_FIX}/conll04_pred_spans.parquet'")
+SQL_FITTED_PTRON_EVAL_CUSTOM = _sql_fitted_eval("custom", fix_dir=_PT_FIX)
+SQL_FITTED_PTRON_EVAL_CONLL04 = _sql_fitted_eval("conll04", fix_dir=_PT_FIX)
 
 
 # --------------------------------------------------------------------------
@@ -4258,6 +4312,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fitted_rel_weights_conll04": q_fitted_rel_weights_conll04,
     "fitted_eval_custom": q_fitted_eval_custom,
     "fitted_eval_conll04": q_fitted_eval_conll04,
+    "fitted_ptron_spans_custom": q_fitted_ptron_spans_custom,
+    "fitted_ptron_spans_conll04": q_fitted_ptron_spans_conll04,
+    "fitted_ptron_eval_custom": q_fitted_ptron_eval_custom,
+    "fitted_ptron_eval_conll04": q_fitted_ptron_eval_conll04,
     "causal_triples": q_causal_triples,
     "causal_triples_seeded": q_causal_triples_seeded,
 }
@@ -4397,6 +4455,10 @@ ORACLES: dict[str, str] = {
     "fitted_rel_weights_conll04": SQL_FITTED_REL_WEIGHTS_CONLL04,
     "fitted_eval_custom": SQL_FITTED_EVAL_CUSTOM,
     "fitted_eval_conll04": SQL_FITTED_EVAL_CONLL04,
+    "fitted_ptron_spans_custom": SQL_FITTED_PTRON_SPANS_CUSTOM,
+    "fitted_ptron_spans_conll04": SQL_FITTED_PTRON_SPANS_CONLL04,
+    "fitted_ptron_eval_custom": SQL_FITTED_PTRON_EVAL_CUSTOM,
+    "fitted_ptron_eval_conll04": SQL_FITTED_PTRON_EVAL_CONLL04,
     "causal_triples_seeded": SQL_CAUSAL_TRIPLES_SEEDED,
 }
 

@@ -1,0 +1,261 @@
+"""Averaged-perceptron span tagger (operators/perceptron.py) vs an
+INDEPENDENT scalar-Python twin.
+
+The twin re-implements shape/features/Viterbi/IPM with plain dicts and
+loops (no Spark, no shared code with the operator module) — exact
+integer weight-dict equality proves the distributed fit (sharding,
+per-epoch applyInPandas, delta aggregation, exact //P mixing, running
+average) computes precisely the published IPM recipe, and exact span-set
+equality proves the Arrow decode UDF matches the scalar decoder. The F1
+gates pin the BENCH/GOLD_EVAL.md perceptron rows against silent fixture
+or code drift."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from causalre_spark.operators import perceptron as PT
+
+FIX = "/root/repo/fixtures/gazetteer"
+PT_FIX = "/root/repo/fixtures/perceptron"
+
+_STATES = ["O", "B", "I", "E", "S"]
+_SI = {s: i for i, s in enumerate(_STATES)}
+_LEGAL = {("O", "O"), ("O", "B"), ("O", "S"), ("B", "I"), ("B", "E"),
+          ("I", "I"), ("I", "E"), ("E", "O"), ("E", "B"), ("E", "S"),
+          ("S", "O"), ("S", "B"), ("S", "S")}
+
+
+# --------------------------------------------------------------------------
+# independent scalar twin
+# --------------------------------------------------------------------------
+
+def _twin_shape(w):
+    if not w:
+        return "other"
+    if w.isdigit():
+        return "digits"
+    if all(not c.isalnum() for c in w):
+        return "punct"
+    if w[0].isupper():
+        return "cap"
+    if w.islower():
+        return "lower"
+    return "other"
+
+
+def _twin_feats(toks, i):
+    n = len(toks)
+    pt = toks[i - 1] if i > 0 else "<bos>"
+    nt = toks[i + 1] if i < n - 1 else "<eos>"
+    w = toks[i]
+    return [("w", w), ("sh", _twin_shape(w)), ("pw", pt), ("nw", nt),
+            ("psh", _twin_shape(pt) if i > 0 else "<bos>"),
+            ("nsh", _twin_shape(nt) if i < n - 1 else "<eos>"),
+            ("suf", w[-3:]), ("pre", w[:2]),
+            ("wsh", w + "|" + (_twin_shape(nt) if i < n - 1 else "<eos>")),
+            ("pww", pt + "|" + w)]
+
+
+def _twin_viterbi(toks, W, Wt):
+    n = len(toks)
+    if n == 0:
+        return []
+    emis = [[sum(W.get((f, s), 0) for f in _twin_feats(toks, i))
+             for s in _STATES] for i in range(n)]
+    NEG = float("-inf")
+    dp = [[NEG] * 5 for _ in range(n)]
+    bp = [[0] * 5 for _ in range(n)]
+    for s in ("O", "B", "S"):
+        dp[0][_SI[s]] = emis[0][_SI[s]]
+    for i in range(1, n):
+        for s in _STATES:
+            si = _SI[s]
+            best, barg = NEG, -1
+            for p in _STATES:
+                if (p, s) not in _LEGAL or dp[i - 1][_SI[p]] == NEG:
+                    continue
+                v = dp[i - 1][_SI[p]] + Wt.get((p, s), 0)
+                if v > best:
+                    best, barg = v, _SI[p]
+            if barg >= 0:
+                dp[i][si] = best + emis[i][si]
+                bp[i][si] = barg
+    ends = [_SI[s] for s in ("O", "E", "S") if dp[n - 1][_SI[s]] > NEG]
+    if not ends:
+        return ["O"] * n
+    last = max(ends, key=lambda si: (dp[n - 1][si], -si))
+    seq = [last]
+    for i in range(n - 1, 0, -1):
+        seq.append(bp[i][seq[-1]])
+    return [_STATES[k] for k in reversed(seq)]
+
+
+def _twin_tags(n, spans):
+    tags = ["O"] * n
+    for s, e in spans:
+        if e - s == 1:
+            tags[s] = "S"
+        else:
+            tags[s] = "B"
+            tags[e - 1] = "E"
+            for i in range(s + 1, e - 1):
+                tags[i] = "I"
+    return tags
+
+
+def _twin_fit(docs, P, epochs):
+    parts = [[] for _ in range(P)]
+    for d in docs:
+        parts[d[0] % P].append(d)
+    W, Wt = {}, {}
+    avgW, avgWt = defaultdict(int), defaultdict(int)
+    for _ in range(epochs):
+        agg, aggt = defaultdict(int), defaultdict(int)
+        for p in range(P):
+            lw, lwt = dict(W), dict(Wt)
+            for _, toks, gold in sorted(parts[p]):
+                pred = _twin_viterbi(toks, lw, lwt)
+                if pred == gold:
+                    continue
+                for i in range(len(toks)):
+                    if pred[i] == gold[i]:
+                        continue
+                    for f in _twin_feats(toks, i):
+                        for s, d in ((gold[i], P), (pred[i], -P)):
+                            agg[(f, s)] += d
+                            lw[(f, s)] = lw.get((f, s), 0) + d
+                for i in range(1, len(toks)):
+                    gt = (gold[i - 1], gold[i])
+                    pr = (pred[i - 1], pred[i])
+                    if gt != pr:
+                        aggt[gt] += P
+                        aggt[pr] -= P
+                        lwt[gt] = lwt.get(gt, 0) + P
+                        lwt[pr] = lwt.get(pr, 0) - P
+        for k, v in agg.items():
+            if v:
+                W[k] = W.get(k, 0) + v // P
+        for k, v in aggt.items():
+            if v:
+                Wt[k] = Wt.get(k, 0) + v // P
+        for k, v in W.items():
+            avgW[k] += v
+        for k, v in Wt.items():
+            avgWt[k] += v
+    return ({k: v for k, v in avgW.items() if v},
+            {k: v for k, v in avgWt.items() if v})
+
+
+def _load_docs(ds, split, max_doc=None):
+    where = f"WHERE doc_id < {max_doc}" if max_doc is not None else ""
+    rows = duckdb.sql(
+        f"SELECT doc_id, tokens, spans FROM '{FIX}/{ds}_{split}.parquet' "
+        f"{where} ORDER BY doc_id").fetchall()
+    return [(int(d),
+             [str(x) for x in t],
+             _twin_tags(len(t), [(int(s["start"]), int(s["end"]))
+                                 for s in sp]))
+            for d, t, sp in rows]
+
+
+# --------------------------------------------------------------------------
+# gates
+# --------------------------------------------------------------------------
+
+def test_ipm_fit_matches_scalar_twin_exactly(spark):
+    """Spark fit_ipm == scalar IPM twin: exact integer weight dicts
+    (custom train subset, 3 epochs). Covers sharding, per-epoch delta
+    aggregation, exact //P mixing and the running average."""
+    df = (spark.read.parquet(f"{FIX}/custom_train.parquet")
+          .where(F.col("doc_id") < 120))
+    W, Wt = PT.fit_ipm(df, epochs=3)
+    W = {k: v for k, v in W.items() if v}
+    Wt = {k: v for k, v in Wt.items() if v}
+    W2, Wt2 = _twin_fit(_load_docs("custom", "train", max_doc=120),
+                        P=PT.P_SHARDS, epochs=3)
+    assert Wt == Wt2
+    assert W == W2
+
+
+def test_decode_matches_scalar_twin_exactly(spark):
+    """Spark mapInPandas decode == scalar twin Viterbi per doc under the
+    same small fitted weights (exact span-set equality, conll04 val)."""
+    fit_df = (spark.read.parquet(f"{FIX}/conll04_train.parquet")
+              .where(F.col("doc_id") < 150))
+    W, Wt = PT.fit_ipm(fit_df, epochs=2)
+    docs = spark.read.parquet(f"{FIX}/conll04_val.parquet")
+    got = {(r["url"], r["start"], r["end"])
+           for r in PT.decode_spans(docs, W, Wt).collect()}
+    want = set()
+    rows = duckdb.sql(
+        f"SELECT doc_id, tokens FROM '{FIX}/conll04_val.parquet'"
+    ).fetchall()
+    for d, toks in rows:
+        toks = [str(x) for x in toks]
+        tags = _twin_viterbi(toks, W, Wt)
+        a = None
+        for i, t in enumerate(tags):
+            if t == "S":
+                want.add((str(d), i, i + 1))
+                a = None
+            elif t == "B":
+                a = i
+            elif t == "E" and a is not None:
+                want.add((str(d), a, i + 1))
+                a = None
+            elif t == "O":
+                a = None
+    assert got == want
+
+
+def test_weights_rows_roundtrip():
+    W = {(("w", "fire"), "B"): 7, (("sh", "cap"), "O"): -3,
+         (("suf", "ing"), "S"): 0}
+    Wt = {("O", "B"): 5, ("B", "E"): -2}
+    rows = PT.weights_to_rows(W, Wt)
+    # zero weights drop; rows sort deterministically
+    assert len(rows) == 4
+    assert rows == sorted(rows)
+    W2, Wt2 = PT.rows_to_weights(
+        [dict(zip(("kind", "val", "prev", "state", "w"), r)) for r in rows])
+    assert W2 == {k: v for k, v in W.items() if v}
+    assert Wt2 == Wt
+
+
+def test_tags_spans_roundtrip():
+    spans = [(0, 1), (2, 5), (7, 9)]
+    tags = PT.spans_to_tags(10, spans)
+    assert PT.tags_to_spans(tags) == spans
+    # malformed sequences never crash and never emit inverted spans
+    for bad in (["E", "I", "B"], ["I", "I"], ["B", "O", "E"], []):
+        for a, b in PT.tags_to_spans(bad):
+            assert a < b
+
+
+@pytest.mark.parametrize("ds,floor", [("conll04", 0.78), ("custom", 0.30)])
+def test_frozen_weights_quality_gate(spark, ds, floor):
+    """Decode under the FROZEN weights reproduces the frozen prediction
+    fixture exactly (catches stale fixtures after operator changes) and
+    clears the BENCH/GOLD_EVAL.md strict span F1 floor."""
+    W, Wt = PT.load_frozen_weights(f"{PT_FIX}/{ds}_weights.parquet")
+    docs = spark.read.parquet(f"{FIX}/{ds}_test.parquet")
+    got = {(r["url"], r["start"], r["end"])
+           for r in PT.decode_spans(docs, W, Wt).collect()}
+    frozen = {(r[0], r[1], r[2]) for r in duckdb.sql(
+        f"SELECT url, start, \"end\" "
+        f"FROM '{PT_FIX}/{ds}_pred_spans.parquet'").fetchall()}
+    assert got == frozen
+    gold = {(str(r[0]), int(r[1]), int(r[2])) for r in duckdb.sql(
+        f"SELECT doc_id, s.\"start\", s.\"end\" FROM "
+        f"(SELECT doc_id, unnest(spans) AS s "
+        f" FROM '{FIX}/{ds}_test.parquet')").fetchall()}
+    tp = len(got & gold)
+    prec = tp / max(len(got), 1)
+    rec = tp / max(len(gold), 1)
+    f1 = 2 * prec * rec / max(prec + rec, 1e-12)
+    assert f1 >= floor, f"{ds} frozen-perceptron span F1 {f1:.4f} < {floor}"
