@@ -18,9 +18,9 @@ queries()      — one entry per implemented operator from SURVEY.md §2
                  composite curation verdict, CC size histogram,
                  fitted HMM span tagger + NB relation classifier on the
                  reference gold splits, averaged-perceptron span tagger
-                 fitted by exact scaled-integer Iterative Parameter
-                 Mixing, seeded-flagship surface):
-                 108 queries, 106 with exact DuckDB oracles.
+                 and relation classifier fitted by exact scaled-integer
+                 Iterative Parameter Mixing, seeded-flagship surface):
+                 110 queries, 108 with exact DuckDB oracles.
 oracle_sql()   — exact DuckDB twins for every relational operator; the
                  two remaining UDF-backed pipeline queries
                  (pipeline_spans, causal_triples) are rows-only by

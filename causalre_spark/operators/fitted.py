@@ -531,7 +531,7 @@ def _labeled_train_pairs(split_df: DataFrame) -> DataFrame:
         F.when(fwd_first, F.lit(1)).otherwise(F.lit(2)).alias("y"))
         .groupBy(*_PAIR_KEY)
         # a pair related in BOTH directions resolves to fwd (min y) —
-        # deterministic; does not occur in the reference corpora
+        # deterministic; occurs once in the custom train split (doc 70)
         .agg(F.min("y").alias("y")))
     return (pairs.join(orient, _PAIR_KEY, "left")
             .fillna({"y": 0}))

@@ -352,6 +352,179 @@ def load_frozen_weights(path: str) -> tuple[dict, dict]:
     return rows_to_weights(pq.read_table(path).to_pylist())
 
 
+def fit_rel_ipm(split_df: DataFrame, epochs: int) -> dict:
+    """Multiclass (neg/fwd/bwd) averaged-perceptron relation classifier
+    fitted with the same exact scaled-integer IPM as the span tagger ->
+    W[((kind, val), cls)] integer weights.
+
+    Training items are the gold-span candidate pairs of
+    fitted._labeled_train_pairs (text-ordered, gap <= 30) with the SAME
+    distinct feature multiset the NB uses (fitted.pair_features) plus a
+    bias feature — so NB and perceptron differ ONLY in how the weights
+    are estimated, and the existing DuckDB feature CTE recomputes
+    inference end-to-end. Per epoch: one applyInPandas over doc_id % 8
+    shards (pairs of a doc stay together), local sequential multiclass
+    epoch in (doc_id, pair-key) order, delta sum, exact //P mix,
+    running average. Replaces NB where val selects it: val rel F1 over
+    train-only-fit PREDICTED spans 0.361 vs 0.334 (conll04) and 0.222
+    vs 0.180 (custom) — see BENCH/GOLD_EVAL.md."""
+    from causalre_spark.operators import fitted as FT
+
+    lab = FT._labeled_train_pairs(split_df)
+    feats = rel_pair_features(lab.select(*FT._PAIR_KEY), split_df)
+    items = (feats.groupBy(*FT._PAIR_KEY)
+             .agg(F.collect_list(F.struct("kind", "val")).alias("fs"))
+             .join(lab, FT._PAIR_KEY)
+             .withColumn("doc", F.col("url").cast("long"))
+             .withColumn("shard",
+                         (F.col("doc") % P_SHARDS).cast("int"))
+             .select("shard", "doc", "h_start", "h_end", "t_start",
+                     "t_end", "fs", "y")
+             .persist())
+    try:
+        W: dict = {}
+        avgW: dict = defaultdict(int)
+        for _ in range(epochs):
+            bW = dict(W)
+
+            def udf(pdf: pd.DataFrame) -> pd.DataFrame:
+                order = sorted(
+                    range(len(pdf)),
+                    key=lambda i: (int(pdf["doc"].iat[i]),
+                                   int(pdf["h_start"].iat[i]),
+                                   int(pdf["h_end"].iat[i]),
+                                   int(pdf["t_start"].iat[i]),
+                                   int(pdf["t_end"].iat[i])))
+                rows = [([(str(f["kind"]), str(f["val"])) for f in
+                          pdf["fs"].iat[i]], int(pdf["y"].iat[i]))
+                        for i in order]
+                dW = _local_rel_epoch(rows, bW, step=P_SHARDS)
+                out = {"kind": [], "val": [], "cls": [], "delta": []}
+                for ((kind, val), c), d in dW.items():
+                    out["kind"].append(kind)
+                    out["val"].append(val)
+                    out["cls"].append(c)
+                    out["delta"].append(d)
+                return pd.DataFrame(out)
+
+            deltas = (items.groupBy("shard").applyInPandas(
+                udf, schema="kind string, val string, cls int, delta long")
+                .groupBy("kind", "val", "cls")
+                .agg(F.sum("delta").alias("delta"))
+                .where(F.col("delta") != 0))
+            for r in deltas.collect():
+                k = ((r["kind"], r["val"]), r["cls"])
+                W[k] = W.get(k, 0) + r["delta"] // P_SHARDS
+            for k, v in W.items():
+                avgW[k] += v
+        return dict(avgW)
+    finally:
+        items.unpersist()
+
+
+def _local_rel_epoch(rows: list, W: dict, step: int) -> dict:
+    """One sequential multiclass-perceptron epoch over (features, y)
+    rows; returns integer deltas in units of ``step``. Argmax breaks
+    ties toward the lower class index (neg < fwd < bwd)."""
+    dW: dict = defaultdict(int)
+    lw = dict(W)
+    for fs, y in rows:
+        scores = [sum(lw.get((f, c), 0) for f in fs) for c in range(3)]
+        pred = max(range(3), key=lambda c: (scores[c], -c))
+        if pred != y:
+            for f in fs:
+                dW[(f, y)] += step
+                dW[(f, pred)] -= step
+                lw[(f, y)] = lw.get((f, y), 0) + step
+                lw[(f, pred)] = lw.get((f, pred), 0) - step
+    return dW
+
+
+def rel_pair_features(pairs: DataFrame, docs: DataFrame) -> DataFrame:
+    """fitted.pair_features plus one bias feature per pair (the
+    perceptron's class-prior surface; NB carries priors separately)."""
+    from causalre_spark.operators import fitted as FT
+
+    f = FT.pair_features(pairs, docs)
+    bias = (pairs.select(*FT._PAIR_KEY).distinct()
+            .withColumn("kind", F.lit("bias"))
+            .withColumn("val", F.lit("")))
+    return f.unionByName(bias)
+
+
+_REL_CLS = ["neg", "fwd", "bwd"]
+
+
+def rel_weights_to_rows(W: dict) -> list:
+    """(kind, val, w_neg, w_fwd, w_bwd) rows for the frozen rel-weights
+    parquet, classes pivoted wide, sorted for determinism."""
+    byf: dict = {}
+    for ((kind, val), c), w in W.items():
+        if w:
+            byf.setdefault((kind, val), [0, 0, 0])[c] = int(w)
+    return sorted((k, v, *ws) for (k, v), ws in byf.items())
+
+
+def load_frozen_rel_weights(path: str) -> dict:
+    """Inverse of rel_weights_to_rows (driver-side pyarrow read)."""
+    import pyarrow.parquet as pq
+
+    W: dict = {}
+    for r in pq.read_table(path).to_pylist():
+        for c, name in enumerate(_REL_CLS):
+            if r[f"w_{name}"]:
+                W[((r["kind"], r["val"]), c)] = int(r[f"w_{name}"])
+    return W
+
+
+def predict_rels_ptron(pred_spans: DataFrame, docs: DataFrame,
+                       weights: DataFrame,
+                       rel_type: DataFrame) -> DataFrame:
+    """(url, h_start, h_end, t_start, t_end, rel_type): perceptron-
+    decided relations over predicted spans — pure DataFrame algebra
+    (the fit is frozen; inference is feature join + BIGINT sums +
+    first-max argmax, exactly the NB inference shape with the bias
+    feature standing in for priors). fwd fires iff s_fwd > s_neg and
+    s_fwd >= s_bwd; bwd iff s_bwd > s_neg and s_bwd > s_fwd (ties
+    resolve toward the lower class index, matching _local_rel_epoch).
+    The corpus-side plan is join -> explode -> broadcast-join ->
+    partial-agg sum: no shuffle wider than the candidate-pair table."""
+    from causalre_spark.operators import fitted as FT
+
+    pairs = FT.candidate_pairs(pred_spans.select("url", "start", "end"))
+    feats = rel_pair_features(pairs, docs)
+    key = FT._PAIR_KEY
+    sums = (feats.join(F.broadcast(weights), ["kind", "val"])
+            .groupBy(*key)
+            .agg(*[F.sum(f"w_{c}").alias(f"s_{c}") for c in _REL_CLS]))
+    scored = (pairs.join(sums, key, "left")
+              .fillna({f"s_{c}": 0 for c in _REL_CLS}))
+    fwd = (F.col("s_fwd") > F.col("s_neg")) & \
+          (F.col("s_fwd") >= F.col("s_bwd"))
+    bwd = (F.col("s_bwd") > F.col("s_neg")) & \
+          (F.col("s_bwd") > F.col("s_fwd"))
+    out = (scored
+           .withColumn("dir", F.when(fwd, 1).when(bwd, 2))
+           .where(F.col("dir").isNotNull())
+           .select(
+               "url",
+               F.when(F.col("dir") == 1, F.col("h_start"))
+               .otherwise(F.col("t_start")).alias("h_start"),
+               F.when(F.col("dir") == 1, F.col("h_end"))
+               .otherwise(F.col("t_end")).alias("h_end"),
+               F.when(F.col("dir") == 1, F.col("t_start"))
+               .otherwise(F.col("h_start")).alias("t_start"),
+               F.when(F.col("dir") == 1, F.col("t_end"))
+               .otherwise(F.col("h_end")).alias("t_end")))
+    return out.crossJoin(F.broadcast(rel_type))
+
+
+# relation-perceptron epochs, selected on the VAL splits by rel F1 over
+# PREDICTED val spans from a train-only span fit (the deployment-matched
+# criterion): argmax over {8,12,20,30,40}.
+REL_EPOCHS = {"conll04": 20, "custom": 30}
+
+
 def decode_spans(docs: DataFrame, W: dict, Wt: dict) -> DataFrame:
     """(url, start, end): perceptron-decoded spans for every document —
     mapInPandas with the weights in the closure (one Arrow crossing,

@@ -3167,37 +3167,44 @@ def _q_fitted_eval(dataset: str, tagger: str = "hmm"):
         pred_r = FT.predict_rels_nb(pred_u, test, weights, priors,
                                     GZ.majority_rel_type(train))
         gold_s, gold_r = G.gold_span_table(test), G.gold_rel_table(test)
-
-        def _counts(gold, pred, keys, task):
-            g = gold.select(*keys).distinct().withColumn("_g", F.lit(1))
-            p = pred.select(*keys).distinct().withColumn("_p", F.lit(1))
-            return (
-                g.join(p, keys, "full_outer")
-                .agg(
-                    F.sum(F.when(F.col("_g").isNotNull()
-                                 & F.col("_p").isNotNull(), 1)
-                          .otherwise(0)).alias("tp"),
-                    F.sum(F.when(F.col("_g").isNull(), 1)
-                          .otherwise(0)).alias("fp"),
-                    F.sum(F.when(F.col("_p").isNull(), 1)
-                          .otherwise(0)).alias("fn"))
-                .select(F.lit(task).alias("task"), "tp", "fp", "fn"))
-
-        m = _counts(gold_s, pred_s, ["url", "start", "end", "type"],
-                    "span").unionByName(
-            _counts(gold_r, pred_r,
-                    ["url", "h_start", "h_end", "t_start", "t_end",
-                     "rel_type"], "rel"))
-        prec = F.col("tp") / F.greatest(F.col("tp") + F.col("fp"), F.lit(1))
-        rec = F.col("tp") / F.greatest(F.col("tp") + F.col("fn"), F.lit(1))
-        return m.select(
-            "task", "tp", "fp", "fn",
-            F.round(prec, 6).alias("precision"),
-            F.round(rec, 6).alias("recall"),
-            F.round(2 * prec * rec
-                    / F.greatest(prec + rec, F.lit(1e-12)), 6).alias("f1"))
+        return _strict_eval_rows(pred_s, pred_r, gold_s, gold_r)
 
     return q
+
+
+def _strict_eval_rows(pred_s, pred_r, gold_s, gold_r) -> DataFrame:
+    """(task, tp, fp, fn, precision, recall, f1) strict-match rows for a
+    span table and a rel table — the shared tail of every fitted-model
+    eval query (HMM+NB, perceptron+NB, all-perceptron)."""
+
+    def _counts(gold, pred, keys, task):
+        g = gold.select(*keys).distinct().withColumn("_g", F.lit(1))
+        p = pred.select(*keys).distinct().withColumn("_p", F.lit(1))
+        return (
+            g.join(p, keys, "full_outer")
+            .agg(
+                F.sum(F.when(F.col("_g").isNotNull()
+                             & F.col("_p").isNotNull(), 1)
+                      .otherwise(0)).alias("tp"),
+                F.sum(F.when(F.col("_g").isNull(), 1)
+                      .otherwise(0)).alias("fp"),
+                F.sum(F.when(F.col("_p").isNull(), 1)
+                      .otherwise(0)).alias("fn"))
+            .select(F.lit(task).alias("task"), "tp", "fp", "fn"))
+
+    m = _counts(gold_s, pred_s, ["url", "start", "end", "type"],
+                "span").unionByName(
+        _counts(gold_r, pred_r,
+                ["url", "h_start", "h_end", "t_start", "t_end",
+                 "rel_type"], "rel"))
+    prec = F.col("tp") / F.greatest(F.col("tp") + F.col("fp"), F.lit(1))
+    rec = F.col("tp") / F.greatest(F.col("tp") + F.col("fn"), F.lit(1))
+    return m.select(
+        "task", "tp", "fp", "fn",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(2 * prec * rec
+                / F.greatest(prec + rec, F.lit(1e-12)), 6).alias("f1"))
 
 
 q_fitted_hmm_model_custom = _q_fitted_hmm_model("custom")
@@ -3244,6 +3251,46 @@ q_fitted_ptron_spans_custom = _q_fitted_ptron_spans("custom")
 q_fitted_ptron_spans_conll04 = _q_fitted_ptron_spans("conll04")
 q_fitted_ptron_eval_custom = _q_fitted_eval("custom", tagger="ptron")
 q_fitted_ptron_eval_conll04 = _q_fitted_eval("conll04", tagger="ptron")
+
+
+def _q_ptron_full_eval(dataset: str):
+    def q(spark, sf_dir):
+        """Strict span/rel P/R/F1 of the ALL-perceptron extractor:
+        spans decoded live under the frozen span-perceptron weights,
+        relations predicted live under the frozen rel-perceptron
+        weights (multiclass averaged perceptron over the NB feature
+        kinds + bias — operators/perceptron.py predict_rels_ptron).
+        The oracle recomputes the whole INFERENCE chain in SQL (pair
+        gen, features, weight sums, first-max argmax, eval) from the
+        frozen spans + weights — only the iterative fits are frozen.
+        Val selects this rel classifier over the NB on both datasets
+        (rel F1 over predicted val spans; BENCH/GOLD_EVAL.md)."""
+        from causalre_spark import gold_eval as G
+        from causalre_spark.operators import fitted as FT
+        from causalre_spark.operators import gazetteer as GZ
+        from causalre_spark.operators import perceptron as PT
+
+        train = G.load_gold_fit_split(spark, dataset)
+        test = G.load_gold_split(spark, dataset, "test")
+        span_type = FT.majority_span_type(train)
+        W, Wt = PT.load_frozen_weights(
+            f"{_PT_FIX}/{dataset}_weights.parquet")
+        decoded = PT.decode_spans(test, W, Wt)
+        pred_u = spark.createDataFrame(
+            decoded.collect(), schema=decoded.schema)
+        pred_s = pred_u.crossJoin(F.broadcast(span_type))
+        rel_w = spark.read.parquet(
+            f"{_PT_FIX}/{dataset}_rel_weights.parquet")
+        pred_r = PT.predict_rels_ptron(pred_u, test, rel_w,
+                                       GZ.majority_rel_type(train))
+        gold_s, gold_r = G.gold_span_table(test), G.gold_rel_table(test)
+        return _strict_eval_rows(pred_s, pred_r, gold_s, gold_r)
+
+    return q
+
+
+q_ptron_full_eval_custom = _q_ptron_full_eval("custom")
+q_ptron_full_eval_conll04 = _q_ptron_full_eval("conll04")
 
 # DuckDB twin of operators/fitted.py SHAPE_RULES — single source of
 # truth lives next to the rules themselves (fitted.SHAPE_SQL_DUCK)
@@ -3595,6 +3642,121 @@ SQL_FITTED_PTRON_SPANS_CONLL04 = (
     f"FROM '{_PT_FIX}/conll04_pred_spans.parquet'")
 SQL_FITTED_PTRON_EVAL_CUSTOM = _sql_fitted_eval("custom", fix_dir=_PT_FIX)
 SQL_FITTED_PTRON_EVAL_CONLL04 = _sql_fitted_eval("conll04", fix_dir=_PT_FIX)
+
+
+def _sql_ptron_full_eval(dataset: str) -> str:
+    """All-perceptron eval oracle: spans from the frozen decode fixture,
+    relations recomputed END-TO-END in SQL from the frozen rel-weights
+    parquet (pair gen -> _duck_pair_feats + bias -> weight sums ->
+    first-max argmax with the lower-class tie rule), then the strict
+    span/rel eval — the same tail as _sql_fitted_eval. Only the two
+    iterative FITS are frozen; every inference step is recomputed."""
+    te = f"{_GAZ_FIX}/{dataset}_test.parquet"
+    tr = _duck_fit_src(dataset)
+    fx = f"{_PT_FIX}/{dataset}_pred_spans.parquet"
+    wx = f"{_PT_FIX}/{dataset}_rel_weights.parquet"
+    return f"""
+WITH fte_docs AS (SELECT CAST(doc_id AS VARCHAR) AS url, tokens
+                  FROM '{te}'),
+fpx AS (SELECT url, start, "end" FROM '{fx}'),
+fcpairs AS (SELECT h.url, h.start AS h_start, h."end" AS h_end,
+                   t.start AS t_start, t."end" AS t_end
+            FROM fpx h JOIN fpx t ON h.url = t.url
+              AND h."end" <= t.start AND t.start - h."end" <= 30),
+{_duck_pair_feats('fcpairs', 'fte_docs', 'ffeat_te')},
+ffeat AS (SELECT * FROM ffeat_te
+          UNION ALL
+          SELECT url, h_start, h_end, t_start, t_end,
+                 'bias' AS kind, '' AS val
+          FROM fcpairs),
+fw AS (SELECT kind, val, w_neg, w_fwd, w_bwd FROM '{wx}'),
+fsums AS (SELECT url, h_start, h_end, t_start, t_end,
+                 sum(w_neg) AS s_neg, sum(w_fwd) AS s_fwd,
+                 sum(w_bwd) AS s_bwd
+          FROM ffeat JOIN fw USING (kind, val)
+          GROUP BY 1, 2, 3, 4, 5),
+fscored AS (SELECT c.url, c.h_start, c.h_end, c.t_start, c.t_end,
+                   coalesce(s.s_neg, 0) AS t_neg,
+                   coalesce(s.s_fwd, 0) AS t_fwd,
+                   coalesce(s.s_bwd, 0) AS t_bwd
+            FROM fcpairs c LEFT JOIN fsums s
+            USING (url, h_start, h_end, t_start, t_end)),
+frtype AS (SELECT rel_type FROM
+             (SELECT r."type" AS rel_type, count(*) AS c
+              FROM (SELECT unnest(relations) AS r FROM {tr})
+              GROUP BY 1 ORDER BY c DESC, rel_type ASC LIMIT 1)),
+fstype AS (SELECT type FROM
+             (SELECT s."type" AS type, count(*) AS c
+              FROM (SELECT unnest(spans) AS s FROM {tr})
+              GROUP BY 1 ORDER BY c DESC, type ASC LIMIT 1)),
+fpredr AS (SELECT url,
+                  CASE WHEN t_fwd > t_neg AND t_fwd >= t_bwd
+                       THEN h_start ELSE t_start END AS h_start,
+                  CASE WHEN t_fwd > t_neg AND t_fwd >= t_bwd
+                       THEN h_end ELSE t_end END AS h_end,
+                  CASE WHEN t_fwd > t_neg AND t_fwd >= t_bwd
+                       THEN t_start ELSE h_start END AS t_start,
+                  CASE WHEN t_fwd > t_neg AND t_fwd >= t_bwd
+                       THEN t_end ELSE h_end END AS t_end,
+                  (SELECT rel_type FROM frtype) AS rel_type
+           FROM fscored
+           WHERE (t_fwd > t_neg AND t_fwd >= t_bwd)
+              OR (t_bwd > t_neg AND t_bwd > t_fwd)),
+fte_gsp AS (SELECT CAST(doc_id AS VARCHAR) AS url, s."start" AS start,
+                   s."end" AS "end", s."type" AS type
+            FROM (SELECT doc_id, unnest(spans) AS s FROM '{te}')),
+fte_grel AS (SELECT CAST(doc_id AS VARCHAR) AS url,
+                    spans[r.head + 1]."start" AS h_start,
+                    spans[r.head + 1]."end" AS h_end,
+                    spans[r.tail + 1]."start" AS t_start,
+                    spans[r.tail + 1]."end" AS t_end,
+                    r."type" AS rel_type
+             FROM (SELECT doc_id, spans, unnest(relations) AS r
+                   FROM '{te}')),
+fsg AS (SELECT DISTINCT url, start, "end", type FROM fte_gsp),
+fsp AS (SELECT DISTINCT url, start, "end",
+               (SELECT type FROM fstype) AS type FROM fpx),
+frg AS (SELECT DISTINCT url, h_start, h_end, t_start, t_end, rel_type
+        FROM fte_grel),
+frp AS (SELECT DISTINCT url, h_start, h_end, t_start, t_end, rel_type
+        FROM fpredr),
+fsc AS (SELECT
+  (SELECT count(*) FROM fsg JOIN fsp
+     USING (url, start, "end", type)) AS tp,
+  (SELECT count(*) FROM fsp WHERE NOT EXISTS (SELECT 1 FROM fsg
+     WHERE fsg.url = fsp.url AND fsg.start = fsp.start
+       AND fsg."end" = fsp."end" AND fsg.type = fsp.type)) AS fp,
+  (SELECT count(*) FROM fsg WHERE NOT EXISTS (SELECT 1 FROM fsp
+     WHERE fsg.url = fsp.url AND fsg.start = fsp.start
+       AND fsg."end" = fsp."end" AND fsg.type = fsp.type)) AS fn),
+frc AS (SELECT
+  (SELECT count(*) FROM frg JOIN frp
+     USING (url, h_start, h_end, t_start, t_end, rel_type)) AS tp,
+  (SELECT count(*) FROM frp WHERE NOT EXISTS (SELECT 1 FROM frg
+     WHERE frg.url = frp.url AND frg.h_start = frp.h_start
+       AND frg.h_end = frp.h_end AND frg.t_start = frp.t_start
+       AND frg.t_end = frp.t_end AND frg.rel_type = frp.rel_type)) AS fp,
+  (SELECT count(*) FROM frg WHERE NOT EXISTS (SELECT 1 FROM frp
+     WHERE frg.url = frp.url AND frg.h_start = frp.h_start
+       AND frg.h_end = frp.h_end AND frg.t_start = frp.t_start
+       AND frg.t_end = frp.t_end AND frg.rel_type = frp.rel_type)) AS fn),
+fm AS (SELECT 'span' AS task, tp, fp, fn FROM fsc
+       UNION ALL
+       SELECT 'rel' AS task, tp, fp, fn FROM frc)
+SELECT task, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(fn AS BIGINT) AS fn,
+       round(tp / greatest(tp + fp, 1), 6) AS precision,
+       round(tp / greatest(tp + fn, 1), 6) AS recall,
+       round(2.0 * (tp / greatest(tp + fp, 1))
+             * (tp / greatest(tp + fn, 1))
+             / greatest(tp / greatest(tp + fp, 1)
+                        + tp / greatest(tp + fn, 1), 1e-12), 6) AS f1
+FROM fm
+"""
+
+
+SQL_PTRON_FULL_EVAL_CUSTOM = _sql_ptron_full_eval("custom")
+SQL_PTRON_FULL_EVAL_CONLL04 = _sql_ptron_full_eval("conll04")
 
 
 # --------------------------------------------------------------------------
@@ -4316,6 +4478,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fitted_ptron_spans_conll04": q_fitted_ptron_spans_conll04,
     "fitted_ptron_eval_custom": q_fitted_ptron_eval_custom,
     "fitted_ptron_eval_conll04": q_fitted_ptron_eval_conll04,
+    "ptron_full_eval_custom": q_ptron_full_eval_custom,
+    "ptron_full_eval_conll04": q_ptron_full_eval_conll04,
     "causal_triples": q_causal_triples,
     "causal_triples_seeded": q_causal_triples_seeded,
 }
@@ -4459,6 +4623,8 @@ ORACLES: dict[str, str] = {
     "fitted_ptron_spans_conll04": SQL_FITTED_PTRON_SPANS_CONLL04,
     "fitted_ptron_eval_custom": SQL_FITTED_PTRON_EVAL_CUSTOM,
     "fitted_ptron_eval_conll04": SQL_FITTED_PTRON_EVAL_CONLL04,
+    "ptron_full_eval_custom": SQL_PTRON_FULL_EVAL_CUSTOM,
+    "ptron_full_eval_conll04": SQL_PTRON_FULL_EVAL_CONLL04,
     "causal_triples_seeded": SQL_CAUSAL_TRIPLES_SEEDED,
 }
 

@@ -12,6 +12,7 @@ or code drift."""
 
 from __future__ import annotations
 
+import collections
 from collections import defaultdict
 
 import duckdb
@@ -235,6 +236,124 @@ def test_tags_spans_roundtrip():
     for bad in (["E", "I", "B"], ["I", "I"], ["B", "O", "E"], []):
         for a, b in PT.tags_to_spans(bad):
             assert a < b
+
+
+# --------------------------------------------------------------------------
+# relation perceptron (fit_rel_ipm / predict_rels_ptron) vs scalar twins.
+# Pair generation + feature twins are reused from tests/test_fitted.py —
+# the established independent NB twins (no production code paths).
+# --------------------------------------------------------------------------
+
+def _twin_rel_items(df):
+    """(url_int, a, b, y, feats+bias) labeled gold-span candidate pairs,
+    fwd-wins on a both-direction pair (the production min-y rule)."""
+    import test_fitted as TF
+
+    sbd = collections.defaultdict(set)
+    for _, r in df.iterrows():
+        for s in r.spans:
+            sbd[str(r.doc_id)].add((s["start"], s["end"]))
+    gr = TF._twin_gold_rels(df)
+    fwd = {(u, hs, he, ts, te) for (u, hs, he, ts, te) in gr if hs <= ts}
+    bwd = {(u, ts, te, hs, he) for (u, hs, he, ts, te) in gr if hs > ts}
+    items = []
+    for (u, a, b, fs) in TF._twin_pairs(df, sbd):
+        key = (u, a[0], a[1], b[0], b[1])
+        y = 1 if key in fwd else (2 if key in bwd else 0)
+        items.append((int(u), a, b, y, fs | {("bias", "")}))
+    return items
+
+
+def _twin_rel_fit(items, P, epochs):
+    parts = [[] for _ in range(P)]
+    for it in items:
+        parts[it[0] % P].append(it)
+    for p in parts:
+        p.sort(key=lambda it: (it[0], it[1], it[2]))
+    W = {}
+    avg = collections.defaultdict(int)
+    for _ in range(epochs):
+        agg = collections.defaultdict(int)
+        for part in parts:
+            lw = dict(W)
+            for _, a, b, y, fs in part:
+                sc = [sum(lw.get((f, c), 0) for f in fs) for c in range(3)]
+                pred = max(range(3), key=lambda c: (sc[c], -c))
+                if pred != y:
+                    for f in fs:
+                        agg[(f, y)] += P
+                        agg[(f, pred)] -= P
+                        lw[(f, y)] = lw.get((f, y), 0) + P
+                        lw[(f, pred)] = lw.get((f, pred), 0) - P
+        for k, v in agg.items():
+            if v:
+                W[k] = W.get(k, 0) + v // P
+        for k, v in W.items():
+            avg[k] += v
+    return {k: v for k, v in avg.items() if v}
+
+
+def test_rel_ipm_fit_matches_scalar_twin_exactly(spark):
+    """Spark fit_rel_ipm == scalar twin: exact integer weight dicts
+    (custom train subset, 2 epochs). Covers labeled-pair generation
+    (min-y rule), the bias feature, shard ordering, delta aggregation
+    and exact //P mixing."""
+    df = (spark.read.parquet(f"{FIX}/custom_train.parquet")
+          .where(F.col("doc_id") < 150))
+    W = {k: v for k, v in PT.fit_rel_ipm(df, epochs=2).items() if v}
+    pdf = duckdb.sql(
+        f"SELECT * FROM '{FIX}/custom_train.parquet' "
+        f"WHERE doc_id < 150 ORDER BY doc_id").df()
+    W2 = _twin_rel_fit(_twin_rel_items(pdf), P=PT.P_SHARDS, epochs=2)
+    assert W == W2
+
+
+def test_predict_rels_ptron_matches_twin(spark):
+    """Spark inference under the FROZEN rel weights == scalar twin
+    (exact oriented rel-set equality on the conll04 test split over the
+    frozen perceptron spans) — the same chain the ptron_full_eval
+    oracle recomputes in SQL, gated here against an independent Python
+    path too."""
+    import test_fitted as TF
+
+    ds = "conll04"
+    rel_w = spark.read.parquet(f"{PT_FIX}/{ds}_rel_weights.parquet")
+    spans = spark.read.parquet(f"{PT_FIX}/{ds}_pred_spans.parquet")
+    docs = spark.read.parquet(f"{FIX}/{ds}_test.parquet") \
+        .withColumn("url", F.col("doc_id").cast("string"))
+    rt = spark.createDataFrame([("x",)], "rel_type string")
+    got = {(r["url"], r["h_start"], r["h_end"], r["t_start"], r["t_end"])
+           for r in PT.predict_rels_ptron(spans, docs, rel_w, rt).collect()}
+
+    W = PT.load_frozen_rel_weights(f"{PT_FIX}/{ds}_rel_weights.parquet")
+    sbd = collections.defaultdict(set)
+    for u, s, e in duckdb.sql(
+            f"SELECT url, start, \"end\" "
+            f"FROM '{PT_FIX}/{ds}_pred_spans.parquet'").fetchall():
+        sbd[str(u)].add((int(s), int(e)))
+    pdf = duckdb.sql(
+        f"SELECT * FROM '{FIX}/{ds}_test.parquet' ORDER BY doc_id").df()
+    want = set()
+    for (u, a, b, fs) in TF._twin_pairs(pdf, sbd):
+        fs = fs | {("bias", "")}
+        sc = [sum(W.get((f, c), 0) for f in fs) for c in range(3)]
+        pred = max(range(3), key=lambda c: (sc[c], -c))
+        if pred == 1:
+            want.add((u, a[0], a[1], b[0], b[1]))
+        elif pred == 2:
+            want.add((u, b[0], b[1], a[0], a[1]))
+    assert got == want
+
+
+@pytest.mark.parametrize("ds,floor", [("conll04", 0.45), ("custom", 0.15)])
+def test_rel_perceptron_quality_gate(spark, ds, floor):
+    """The oracle-gated all-perceptron eval clears the GOLD_EVAL.md rel
+    F1 floor (conll04 0.487 / custom 0.196 recorded)."""
+    from causalre_spark.plans.entry_queries import QUERIES
+
+    rows = {r.task: r for r in
+            QUERIES[f"ptron_full_eval_{ds}"](spark, "").collect()}
+    assert rows["rel"].f1 >= floor
 
 
 @pytest.mark.parametrize("ds,floor", [("conll04", 0.78), ("custom", 0.30)])
