@@ -357,3 +357,58 @@ def contamination_stats(eval_shingles: DataFrame,
         )
         .withColumn("contaminated", F.col("overlap_frac") > threshold)
     )
+
+def remove_dup_substrings(docs: DataFrame, k: int = 8, min_count: int = 2,
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Exact duplicated-substring REMOVAL — the rewrite stage of Lee et
+    al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better", ExactSubstr): every token covered by a word ``k``-gram that
+    occurs >= ``min_count`` times in the whole corpus (counting repeats
+    inside one document, like the paper's suffix-array occurrence count)
+    is cut from the document. crossdoc_ngram_stats measures the signal;
+    this operator performs the edit and returns the cleaned text.
+
+    Output: (doc_id, n_tokens, n_removed, clean_text) — clean_text is
+    the kept tokens of the NORMALIZED text re-joined with single spaces
+    (the same normalization every dedup operator keys on).
+
+    Scale shape: the corpus-wide phase is ONE shuffle — positional
+    k-grams collapse to 48-bit md5 BIGINTs map-side, the occurrence
+    count is a partial hash aggregation on those integers, and the
+    duplicated positions join back on the same key (AQE shares the
+    exchange footprint). The per-document phase (interval coverage +
+    token filter) is pure HOF projection — zero further shuffle. The
+    coverage test is O(n_tokens * n_dup_positions) per doc in
+    whole-stage codegen; documents are bounded (pipeline docs are page
+    fragments), so the quadratic corner is a per-row constant, not a
+    corpus term. Docs shorter than ``k`` tokens pass through untouched.
+    """
+    norm = NORMALIZE_SQL.format(x=text_col)
+    base = docs.select(F.col(id_col).alias("id"),
+                       F.expr(f"split({norm}, ' ')").alias("toks"))
+    gram = f"concat_ws(' ', slice(toks, p, {k}))"
+    pos = (base
+           .select("id", "toks", F.explode(F.expr(
+               f"CASE WHEN size(toks) >= {k} "
+               f"THEN sequence(1, size(toks) - {k} + 1) "
+               f"ELSE array() END")).alias("p"))
+           .select("id", "p", F.expr(md5_long_sql_spark(gram)).alias("gh")))
+    dup_gh = (pos.groupBy("gh")
+              .agg(F.count(F.lit(1)).alias("n_occ"))
+              .where(F.col("n_occ") >= min_count)
+              .select("gh"))
+    dup_pos = (pos.join(dup_gh, "gh")
+               .groupBy("id")
+               .agg(F.sort_array(F.collect_list("p")).alias("dps")))
+    return (base.join(dup_pos, "id", "left")
+            .withColumn("kept", F.expr(
+                f"filter(sequence(1, size(toks)), t -> dps IS NULL OR "
+                f"NOT exists(dps, p -> p <= t AND t < p + {k}))"))
+            .select(
+                F.col("id").alias("doc_id"),
+                F.size("toks").cast("long").alias("n_tokens"),
+                (F.size("toks") - F.size("kept")).cast("long")
+                .alias("n_removed"),
+                F.expr("concat_ws(' ', transform(kept, t -> toks[t - 1]))")
+                .alias("clean_text")))

@@ -3886,6 +3886,46 @@ GROUP BY g.id
 """
 
 
+def q_dedup_substrings(spark, sf_dir):
+    """Exact duplicated-substring removal (Lee et al. 2022 ExactSubstr,
+    the REWRITE stage): cut every token covered by a word 8-gram that
+    occurs >= 2 times in the corpus — see dedup.remove_dup_substrings
+    for the one-shuffle scale shape."""
+    return dedup.remove_dup_substrings(
+        _t(spark, sf_dir, "documents"), k=8, min_count=2)
+
+
+_SUBSTR_K = 8
+
+SQL_DEDUP_SUBSTRINGS = f"""
+WITH norm AS (SELECT doc_id AS id,
+                     string_split({NORMALIZE_SQL_DUCK.format(x="text")}, ' ') AS toks
+              FROM documents),
+pos AS (SELECT id, toks,
+               unnest(generate_series(1, len(toks) - {_SUBSTR_K} + 1)) AS p
+        FROM norm WHERE len(toks) >= {_SUBSTR_K}),
+g AS (SELECT id, p,
+             {md5_long_sql(f"array_to_string(toks[p:p+{_SUBSTR_K}-1], ' ')")} AS gh
+      FROM pos),
+dupg AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+dp AS (SELECT id, p FROM g JOIN dupg USING (gh)),
+covered AS (SELECT DISTINCT id,
+                   unnest(generate_series(p, p + {_SUBSTR_K} - 1)) AS ti
+            FROM dp),
+tok AS (SELECT id, unnest(generate_series(1, len(toks))) AS ti, toks
+        FROM norm),
+kept AS (SELECT t.id, t.ti, t.toks[t.ti] AS tk
+         FROM tok t LEFT JOIN covered c ON t.id = c.id AND t.ti = c.ti
+         WHERE c.ti IS NULL)
+SELECT n.id AS doc_id,
+       len(n.toks) AS n_tokens,
+       len(n.toks) - count(k.ti) AS n_removed,
+       coalesce(string_agg(k.tk, ' ' ORDER BY k.ti), '') AS clean_text
+FROM norm n LEFT JOIN kept k ON n.id = k.id
+GROUP BY n.id, len(n.toks)
+"""
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: overlap of each training doc's
     distinct 4-grams with a held-out benchmark slice (docs with
@@ -4387,6 +4427,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_wide": q_dedup_simhash_wide,
     "dedup_crossdoc": q_dedup_crossdoc,
+    "dedup_substrings": q_dedup_substrings,
     "decontaminate": q_decontaminate,
     # text analysis family
     "text_quality": q_text_quality,
@@ -4544,6 +4585,7 @@ ORACLES: dict[str, str] = {
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "dedup_simhash_wide": SQL_DEDUP_SIMHASH_WIDE,
     "dedup_crossdoc": SQL_DEDUP_CROSSDOC,
+    "dedup_substrings": SQL_DEDUP_SUBSTRINGS,
     "decontaminate": SQL_DECONTAMINATE,
     "text_quality": SQL_TEXT_QUALITY,
     "text_repetition": SQL_TEXT_REPETITION,

@@ -275,3 +275,44 @@ def test_zorder_layout_locality(spark):
     # the x-range files (every x stripe contains all y values)
     assert zorder_files < linear_files
     assert zorder_files <= files // 4
+
+
+def test_remove_dup_substrings(spark):
+    """Crafted corpus vs a hand-rolled python twin: a 4-gram shared by
+    two docs is cut from BOTH, a 4-gram repeated twice inside one doc
+    is cut (total-occurrence semantics), short docs pass through, and
+    unique text survives verbatim."""
+    k = 4
+    dup = "alpha beta gamma delta"
+    docs = [
+        (1, f"one two {dup} three four"),
+        (2, f"{dup} five six seven eight"),
+        (3, f"{dup} nine ten {dup}"),          # twice in one doc
+        (4, "unique words only here today"),
+        (5, "tiny doc"),                        # shorter than k
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+           for r in dedup.remove_dup_substrings(df, k=k, min_count=2)
+           .collect()}
+
+    # python twin: corpus k-gram counts -> covered positions -> rewrite
+    toks = {i: t.split(" ") for i, t in docs}
+    from collections import Counter
+    cnt = Counter()
+    for ts in toks.values():
+        for p in range(len(ts) - k + 1):
+            cnt[" ".join(ts[p:p + k])] += 1
+    want = {}
+    for i, ts in toks.items():
+        covered = set()
+        for p in range(len(ts) - k + 1):
+            if cnt[" ".join(ts[p:p + k])] >= 2:
+                covered.update(range(p, p + k))
+        kept = [t for j, t in enumerate(ts) if j not in covered]
+        want[i] = (len(ts), len(ts) - len(kept), " ".join(kept))
+    assert got == want
+    # the shared 4-gram is gone everywhere, unique text untouched
+    assert "alpha" not in got[1][2] and "alpha" not in got[3][2]
+    assert got[4] == (5, 0, "unique words only here today")
+    assert got[5] == (2, 0, "tiny doc")
