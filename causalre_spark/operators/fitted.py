@@ -439,7 +439,8 @@ def candidate_pairs(spans: DataFrame) -> DataFrame:
 _PAIR_KEY = ["url", "h_start", "h_end", "t_start", "t_end"]
 
 
-def pair_features(pairs: DataFrame, docs: DataFrame) -> DataFrame:
+def pair_features(pairs: DataFrame, docs: DataFrame,
+                  extra_kinds: tuple = ()) -> DataFrame:
     """(pair key..., kind, val): the distinct feature multiset of each
     ordered candidate pair. Kinds: gap bucket, between-text unigrams
     (btw) and bigrams (btw2), first/last between-token (first/last),
@@ -447,7 +448,16 @@ def pair_features(pairs: DataFrame, docs: DataFrame) -> DataFrame:
     (hl/tl), its shape class (hlsh/tlsh) and width bucket (hw/tw,
     capped at 8) — the span content/size signal the pure context kinds
     miss. Pure DataFrame algebra — one join to the docs tokens,
-    per-kind projections, explode, distinct."""
+    per-kind projections, explode, distinct.
+
+    ``extra_kinds`` appends val-split-selected extra kinds INSIDE the
+    same single docs join (tools/sweep_rel_feats.py; used by the rel
+    perceptron via perceptron.REL_EXTRAS — the NB chain keeps the base
+    set): ``fl`` first|last between-token conjunction, ``hltl`` head|
+    tail last-token conjunction, ``hfsh``/``tfsh`` perceptron-shape of
+    each span's FIRST token (perceptron.ptron_shape_col — deliberately
+    the perceptron's shape classes, not SHAPE_RULES), ``hbow``/``tbow``
+    head/tail span token bags."""
     if "url" not in docs.columns:
         docs = docs.withColumn("url", F.col("doc_id").cast("string"))
     j = (pairs.join(docs.select("url", "tokens"), "url")
@@ -459,7 +469,7 @@ def pair_features(pairs: DataFrame, docs: DataFrame) -> DataFrame:
         return F.struct(F.lit(kind).alias("kind"),
                         val.cast("string").alias("val"))
 
-    fixed = F.array(
+    entries = [
         kv("gap", _gap_bucket(F.col("t_start") - F.col("h_end"))),
         kv("first", F.when(F.col("t_start") > F.col("h_end"),
                            F.expr("tokens[h_end]")).otherwise("<adj>")),
@@ -476,7 +486,23 @@ def pair_features(pairs: DataFrame, docs: DataFrame) -> DataFrame:
         kv("hlsh", shape_col("_hl")),
         kv("tlsh", shape_col("_tl")),
         kv("hw", F.least(F.col("h_end") - F.col("h_start"), F.lit(8))),
-        kv("tw", F.least(F.col("t_end") - F.col("t_start"), F.lit(8))))
+        kv("tw", F.least(F.col("t_end") - F.col("t_start"), F.lit(8)))]
+    if "fl" in extra_kinds:
+        entries.append(kv("fl", F.when(
+            F.col("t_start") > F.col("h_end"),
+            F.concat(F.expr("tokens[h_end]"), F.lit("|"),
+                     F.expr("tokens[t_start - 1]")))
+            .otherwise("<adj>|<adj>")))
+    if "hltl" in extra_kinds:
+        entries.append(kv("hltl", F.concat(F.col("_hl"), F.lit("|"),
+                                           F.col("_tl"))))
+    if "hfsh" in extra_kinds:
+        from causalre_spark.operators.perceptron import ptron_shape_col
+        entries.append(kv("hfsh", ptron_shape_col(
+            F.expr("tokens[h_start]"))))
+        entries.append(kv("tfsh", ptron_shape_col(
+            F.expr("tokens[t_start]"))))
+    fixed = F.array(*entries)
     # between-text unigrams; bigrams tokens[i] + ' ' + tokens[i+1] for
     # i in [h_end, t_start-2] (0-based). Spark sequence() descends when
     # start > stop, so the empty case needs an explicit guard. ONE
@@ -484,15 +510,23 @@ def pair_features(pairs: DataFrame, docs: DataFrame) -> DataFrame:
     # subtree is scanned once, not once per feature kind (13 union
     # branches would re-execute the join per branch — Spark does not
     # share subplans across a union).
-    var = F.expr(
-        "concat("
+    var_parts = [
         "transform(slice(tokens, h_end + 1, t_start - h_end), "
-        "x -> named_struct('kind', 'btw', 'val', x)), "
+        "x -> named_struct('kind', 'btw', 'val', x))",
         "CASE WHEN t_start - h_end >= 2 THEN "
         "transform(sequence(h_end, t_start - 2), "
         "i -> named_struct('kind', 'btw2', "
         "'val', concat(tokens[i], ' ', tokens[i + 1]))) "
-        "ELSE array() END)")
+        "ELSE array() END"]
+    if "hbow" in extra_kinds:
+        var_parts.append(
+            "transform(slice(tokens, h_start + 1, h_end - h_start), "
+            "x -> named_struct('kind', 'hbow', 'val', x))")
+    if "tbow" in extra_kinds:
+        var_parts.append(
+            "transform(slice(tokens, t_start + 1, t_end - t_start), "
+            "x -> named_struct('kind', 'tbow', 'val', x))")
+    var = F.expr("concat(" + ", ".join(var_parts) + ")")
     return (j.select(*key, F.explode(F.concat(fixed, var)).alias("f"))
             .select(*_PAIR_KEY, F.col("f.kind").alias("kind"),
                     F.col("f.val").alias("val"))

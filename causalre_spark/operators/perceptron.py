@@ -99,6 +99,41 @@ def _shape(w: str) -> str:
     return "other"
 
 
+# Engine twins of _shape for the rel-feature extras (REL_EXTRAS hfsh):
+# Unicode category classes valid IDENTICALLY in Java regex (Spark rlike)
+# and RE2 (DuckDB regexp_matches) — the pii_scrub portability
+# discipline. \p{Nd}+ = str.isdigit, [^\p{L}\p{N}]+ = all-non-alnum,
+# leading \p{Lu}/\p{Lt} = w[0].isupper(), no-upper-with-a-lower =
+# str.islower; rule ORDER matches _shape. Exactness vs the Python
+# predicates is gated over every distinct corpus token in
+# tests/test_perceptron.py.
+_SHAPE_PATTERNS = [("digits", r"^\p{Nd}+$"),
+                   ("punct", r"^[^\p{L}\p{N}]+$"),
+                   ("cap", r"^[\p{Lu}\p{Lt}]"),
+                   ("lower", r"^[^\p{Lu}\p{Lt}]*\p{Ll}[^\p{Lu}\p{Lt}]*$")]
+
+
+def ptron_shape_col(c) -> "F.Column":
+    """Spark Column twin of :func:`_shape` (digits/punct/cap/lower/
+    other) over a token Column."""
+    out = F.when(c == "", "other")
+    for name, pat in _SHAPE_PATTERNS:
+        out = out.when(c.rlike(pat), name)
+    return out.otherwise("other")
+
+
+# ({ } in the regex bodies are doubled so they survive str.format —
+# only {col} is a live placeholder)
+PTRON_SHAPE_SQL_DUCK_FMT = (
+    "CASE WHEN {col} = '' THEN 'other' "
+    + " ".join(
+        "WHEN regexp_matches({col}, '"
+        + pat.replace("{", "{{").replace("}", "}}")
+        + f"') THEN '{name}'"
+        for name, pat in _SHAPE_PATTERNS)
+    + " ELSE 'other' END")
+
+
 def _feats(toks: list, shapes: list, i: int) -> list:
     """Position-local feature keys (kind, value); the scorer appends the
     state. Ten families: token, shape, prev/next token, prev/next shape,
@@ -352,7 +387,8 @@ def load_frozen_weights(path: str) -> tuple[dict, dict]:
     return rows_to_weights(pq.read_table(path).to_pylist())
 
 
-def fit_rel_ipm(split_df: DataFrame, epochs: int) -> dict:
+def fit_rel_ipm(split_df: DataFrame, epochs: int,
+                extras: tuple = ()) -> dict:
     """Multiclass (neg/fwd/bwd) averaged-perceptron relation classifier
     fitted with the same exact scaled-integer IPM as the span tagger ->
     W[((kind, val), cls)] integer weights.
@@ -371,7 +407,8 @@ def fit_rel_ipm(split_df: DataFrame, epochs: int) -> dict:
     from causalre_spark.operators import fitted as FT
 
     lab = FT._labeled_train_pairs(split_df)
-    feats = rel_pair_features(lab.select(*FT._PAIR_KEY), split_df)
+    feats = rel_pair_features(lab.select(*FT._PAIR_KEY), split_df,
+                              extras)
     items = (feats.groupBy(*FT._PAIR_KEY)
              .agg(F.collect_list(F.struct("kind", "val")).alias("fs"))
              .join(lab, FT._PAIR_KEY)
@@ -440,12 +477,15 @@ def _local_rel_epoch(rows: list, W: dict, step: int) -> dict:
     return dW
 
 
-def rel_pair_features(pairs: DataFrame, docs: DataFrame) -> DataFrame:
-    """fitted.pair_features plus one bias feature per pair (the
-    perceptron's class-prior surface; NB carries priors separately)."""
+def rel_pair_features(pairs: DataFrame, docs: DataFrame,
+                      extras: tuple = ()) -> DataFrame:
+    """fitted.pair_features (+ the dataset's val-selected REL_EXTRAS
+    kinds, built inside the same single docs join) plus one bias
+    feature per pair (the perceptron's class-prior surface; NB carries
+    priors separately)."""
     from causalre_spark.operators import fitted as FT
 
-    f = FT.pair_features(pairs, docs)
+    f = FT.pair_features(pairs, docs, extra_kinds=extras)
     bias = (pairs.select(*FT._PAIR_KEY).distinct()
             .withColumn("kind", F.lit("bias"))
             .withColumn("val", F.lit("")))
@@ -478,8 +518,8 @@ def load_frozen_rel_weights(path: str) -> dict:
 
 
 def predict_rels_ptron(pred_spans: DataFrame, docs: DataFrame,
-                       weights: DataFrame,
-                       rel_type: DataFrame) -> DataFrame:
+                       weights: DataFrame, rel_type: DataFrame,
+                       extras: tuple = ()) -> DataFrame:
     """(url, h_start, h_end, t_start, t_end, rel_type): perceptron-
     decided relations over predicted spans — pure DataFrame algebra
     (the fit is frozen; inference is feature join + BIGINT sums +
@@ -492,7 +532,7 @@ def predict_rels_ptron(pred_spans: DataFrame, docs: DataFrame,
     from causalre_spark.operators import fitted as FT
 
     pairs = FT.candidate_pairs(pred_spans.select("url", "start", "end"))
-    feats = rel_pair_features(pairs, docs)
+    feats = rel_pair_features(pairs, docs, extras)
     key = FT._PAIR_KEY
     sums = (feats.join(F.broadcast(weights), ["kind", "val"])
             .groupBy(*key)
@@ -519,10 +559,17 @@ def predict_rels_ptron(pred_spans: DataFrame, docs: DataFrame,
     return out.crossJoin(F.broadcast(rel_type))
 
 
-# relation-perceptron epochs, selected on the VAL splits by rel F1 over
-# PREDICTED val spans from a train-only span fit (the deployment-matched
-# criterion): argmax over {8,12,20,30,40}.
-REL_EPOCHS = {"conll04": 20, "custom": 30}
+# relation-perceptron epochs and extra feature kinds, selected on the
+# VAL splits by rel F1 over PREDICTED val spans from a train-only span
+# fit (the deployment-matched criterion): epochs argmax over
+# {8,12,20,30,40}; extras greedy-forward over the
+# tools/sweep_rel_feats.py candidate set, confirmed by a production-
+# chain A/B on val before adoption (the sweep's scalar twin uses the
+# perceptron shape for hlsh/tlsh where production uses SHAPE_RULES, so
+# its scores are selection-grade, not production-identical).
+REL_EPOCHS = {"conll04": 40, "custom": 30}
+REL_EXTRAS = {"conll04": ("tbow", "hltl", "hbow", "fl"),
+              "custom": ("hfsh", "fl")}
 
 
 def decode_spans(docs: DataFrame, W: dict, Wt: dict) -> DataFrame:

@@ -3282,7 +3282,8 @@ def _q_ptron_full_eval(dataset: str):
         rel_w = spark.read.parquet(
             f"{_PT_FIX}/{dataset}_rel_weights.parquet")
         pred_r = PT.predict_rels_ptron(pred_u, test, rel_w,
-                                       GZ.majority_rel_type(train))
+                                       GZ.majority_rel_type(train),
+                                       extras=PT.REL_EXTRAS[dataset])
         gold_s, gold_r = G.gold_span_table(test), G.gold_rel_table(test)
         return _strict_eval_rows(pred_s, pred_r, gold_s, gold_r)
 
@@ -3644,13 +3645,59 @@ SQL_FITTED_PTRON_EVAL_CUSTOM = _sql_fitted_eval("custom", fix_dir=_PT_FIX)
 SQL_FITTED_PTRON_EVAL_CONLL04 = _sql_fitted_eval("conll04", fix_dir=_PT_FIX)
 
 
+def _duck_extra_feats(extras: tuple, j: str) -> str:
+    """SQL UNION blocks for the rel-perceptron's val-selected extra
+    feature kinds (perceptron.REL_EXTRAS) over a pairs-join-docs CTE
+    ``j`` — the DuckDB twin of fitted.pair_features(extra_kinds=...).
+    Returns '' when the dataset selected no extras. hbow/tbow can
+    repeat a token inside a span, so the block re-applies DISTINCT."""
+    from causalre_spark.operators.perceptron import (
+        PTRON_SHAPE_SQL_DUCK_FMT as _PSH)
+
+    key = "url, h_start, h_end, t_start, t_end"
+    parts = []
+    if "fl" in extras:
+        parts.append(
+            f"SELECT {key}, 'fl' AS kind, "
+            "CASE WHEN t_start > h_end THEN tokens[h_end + 1] || '|' "
+            "|| tokens[t_start] ELSE '<adj>|<adj>' END AS val "
+            f"FROM {j}")
+    if "hltl" in extras:
+        parts.append(
+            f"SELECT {key}, 'hltl', tokens[h_end] || '|' || "
+            f"tokens[t_end] FROM {j}")
+    if "hfsh" in extras:
+        parts.append(
+            f"SELECT {key}, 'hfsh', "
+            + _PSH.format(col="tokens[h_start + 1]") + f" FROM {j}")
+        parts.append(
+            f"SELECT {key}, 'tfsh', "
+            + _PSH.format(col="tokens[t_start + 1]") + f" FROM {j}")
+    if "hbow" in extras:
+        parts.append(
+            f"SELECT {key}, 'hbow', "
+            f"unnest(tokens[h_start + 1 : h_end]) FROM {j}")
+    if "tbow" in extras:
+        parts.append(
+            f"SELECT {key}, 'tbow', "
+            f"unnest(tokens[t_start + 1 : t_end]) FROM {j}")
+    if not parts:
+        return ""
+    inner = "\n          UNION ALL\n          ".join(parts)
+    return (f"\n          UNION ALL\n          SELECT DISTINCT "
+            f"{key}, kind, val FROM (\n          {inner})")
+
+
 def _sql_ptron_full_eval(dataset: str) -> str:
     """All-perceptron eval oracle: spans from the frozen decode fixture,
     relations recomputed END-TO-END in SQL from the frozen rel-weights
-    parquet (pair gen -> _duck_pair_feats + bias -> weight sums ->
-    first-max argmax with the lower-class tie rule), then the strict
-    span/rel eval — the same tail as _sql_fitted_eval. Only the two
-    iterative FITS are frozen; every inference step is recomputed."""
+    parquet (pair gen -> _duck_pair_feats + the dataset's REL_EXTRAS
+    kinds + bias -> weight sums -> first-max argmax with the
+    lower-class tie rule), then the strict span/rel eval — the same
+    tail as _sql_fitted_eval. Only the two iterative FITS are frozen;
+    every inference step is recomputed."""
+    from causalre_spark.operators.perceptron import REL_EXTRAS
+
     te = f"{_GAZ_FIX}/{dataset}_test.parquet"
     tr = _duck_fit_src(dataset)
     fx = f"{_PT_FIX}/{dataset}_pred_spans.parquet"
@@ -3668,7 +3715,8 @@ ffeat AS (SELECT * FROM ffeat_te
           UNION ALL
           SELECT url, h_start, h_end, t_start, t_end,
                  'bias' AS kind, '' AS val
-          FROM fcpairs),
+          FROM fcpairs{_duck_extra_feats(REL_EXTRAS[dataset],
+                                         'ffeat_te_j')}),
 fw AS (SELECT kind, val, w_neg, w_fwd, w_bwd FROM '{wx}'),
 fsums AS (SELECT url, h_start, h_end, t_start, t_end,
                  sum(w_neg) AS s_neg, sum(w_fwd) AS s_fwd,

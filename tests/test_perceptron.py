@@ -244,13 +244,38 @@ def test_tags_spans_roundtrip():
 # the established independent NB twins (no production code paths).
 # --------------------------------------------------------------------------
 
-def _twin_rel_items(df):
-    """(url_int, a, b, y, feats+bias) labeled gold-span candidate pairs,
-    fwd-wins on a both-direction pair (the production min-y rule)."""
+def _twin_extra_feats(toks, a, b, extras):
+    """Independent twin of the REL_EXTRAS feature kinds
+    (fitted.pair_features extra_kinds): fl, hltl, hfsh/tfsh (perceptron
+    shape of each span's FIRST token), hbow/tbow."""
+    (hs, he), (ts, te) = a, b
+    fs = set()
+    if "fl" in extras:
+        first = toks[he] if ts > he else "<adj>"
+        last = toks[ts - 1] if ts > he else "<adj>"
+        fs.add(("fl", first + "|" + last))
+    if "hltl" in extras:
+        fs.add(("hltl", toks[he - 1] + "|" + toks[te - 1]))
+    if "hfsh" in extras:
+        fs.add(("hfsh", _twin_shape(toks[hs])))
+        fs.add(("tfsh", _twin_shape(toks[ts])))
+    if "hbow" in extras:
+        fs |= {("hbow", toks[i]) for i in range(hs, he)}
+    if "tbow" in extras:
+        fs |= {("tbow", toks[i]) for i in range(ts, te)}
+    return fs
+
+
+def _twin_rel_items(df, extras=()):
+    """(url_int, a, b, y, feats+extras+bias) labeled gold-span candidate
+    pairs, fwd-wins on a both-direction pair (the production min-y
+    rule)."""
     import test_fitted as TF
 
     sbd = collections.defaultdict(set)
+    toks_by = {}
     for _, r in df.iterrows():
+        toks_by[str(r.doc_id)] = [str(t) for t in r.tokens]
         for s in r.spans:
             sbd[str(r.doc_id)].add((s["start"], s["end"]))
     gr = TF._twin_gold_rels(df)
@@ -260,6 +285,7 @@ def _twin_rel_items(df):
     for (u, a, b, fs) in TF._twin_pairs(df, sbd):
         key = (u, a[0], a[1], b[0], b[1])
         y = 1 if key in fwd else (2 if key in bwd else 0)
+        fs = fs | _twin_extra_feats(toks_by[u], a, b, extras)
         items.append((int(u), a, b, y, fs | {("bias", "")}))
     return items
 
@@ -295,16 +321,20 @@ def _twin_rel_fit(items, P, epochs):
 
 def test_rel_ipm_fit_matches_scalar_twin_exactly(spark):
     """Spark fit_rel_ipm == scalar twin: exact integer weight dicts
-    (custom train subset, 2 epochs). Covers labeled-pair generation
-    (min-y rule), the bias feature, shard ordering, delta aggregation
-    and exact //P mixing."""
+    (custom train subset, 2 epochs, the custom REL_EXTRAS so the
+    hfsh/tfsh shape twin and fl conjunction are covered). Covers
+    labeled-pair generation (min-y rule), the bias feature, extras,
+    shard ordering, delta aggregation and exact //P mixing."""
+    extras = PT.REL_EXTRAS["custom"]
     df = (spark.read.parquet(f"{FIX}/custom_train.parquet")
           .where(F.col("doc_id") < 150))
-    W = {k: v for k, v in PT.fit_rel_ipm(df, epochs=2).items() if v}
+    W = {k: v for k, v in
+         PT.fit_rel_ipm(df, epochs=2, extras=extras).items() if v}
     pdf = duckdb.sql(
         f"SELECT * FROM '{FIX}/custom_train.parquet' "
         f"WHERE doc_id < 150 ORDER BY doc_id").df()
-    W2 = _twin_rel_fit(_twin_rel_items(pdf), P=PT.P_SHARDS, epochs=2)
+    W2 = _twin_rel_fit(_twin_rel_items(pdf, extras), P=PT.P_SHARDS,
+                       epochs=2)
     assert W == W2
 
 
@@ -317,13 +347,15 @@ def test_predict_rels_ptron_matches_twin(spark):
     import test_fitted as TF
 
     ds = "conll04"
+    extras = PT.REL_EXTRAS[ds]
     rel_w = spark.read.parquet(f"{PT_FIX}/{ds}_rel_weights.parquet")
     spans = spark.read.parquet(f"{PT_FIX}/{ds}_pred_spans.parquet")
     docs = spark.read.parquet(f"{FIX}/{ds}_test.parquet") \
         .withColumn("url", F.col("doc_id").cast("string"))
     rt = spark.createDataFrame([("x",)], "rel_type string")
     got = {(r["url"], r["h_start"], r["h_end"], r["t_start"], r["t_end"])
-           for r in PT.predict_rels_ptron(spans, docs, rel_w, rt).collect()}
+           for r in PT.predict_rels_ptron(spans, docs, rel_w, rt,
+                                          extras=extras).collect()}
 
     W = PT.load_frozen_rel_weights(f"{PT_FIX}/{ds}_rel_weights.parquet")
     sbd = collections.defaultdict(set)
@@ -333,9 +365,12 @@ def test_predict_rels_ptron_matches_twin(spark):
         sbd[str(u)].add((int(s), int(e)))
     pdf = duckdb.sql(
         f"SELECT * FROM '{FIX}/{ds}_test.parquet' ORDER BY doc_id").df()
+    toks_by = {str(r.doc_id): [str(t) for t in r.tokens]
+               for _, r in pdf.iterrows()}
     want = set()
     for (u, a, b, fs) in TF._twin_pairs(pdf, sbd):
-        fs = fs | {("bias", "")}
+        fs = (fs | _twin_extra_feats(toks_by[u], a, b, extras)
+              | {("bias", "")})
         sc = [sum(W.get((f, c), 0) for f in fs) for c in range(3)]
         pred = max(range(3), key=lambda c: (sc[c], -c))
         if pred == 1:
@@ -345,10 +380,43 @@ def test_predict_rels_ptron_matches_twin(spark):
     assert got == want
 
 
+def test_ptron_shape_engine_twins_exact(spark):
+    """perceptron.ptron_shape_col (Java regex) and
+    PTRON_SHAPE_SQL_DUCK_FMT (RE2) match the Python _shape predicates
+    on EVERY distinct token of both reference corpora (incl. the
+    custom set's non-ASCII tokens: Æthelred, Île, ’ …) plus crafted
+    edge cases — the exactness gate for the hfsh/tfsh REL_EXTRAS."""
+    toks = {"", "3M", "Æthelred", "Île", "’", "café", "can't", "USA",
+            "x1", "--", "a-b"}
+    for ds in ("custom", "conll04"):
+        for split in ("train", "val", "test"):
+            for (arr,) in duckdb.sql(
+                    f"SELECT tokens FROM '{FIX}/{ds}_{split}.parquet'"
+            ).fetchall():
+                toks.update(str(t) for t in arr)
+    rows = sorted(toks)
+    want = {w: PT._shape(w) for w in rows}
+    got_spark = {
+        r["w"]: r["sh"]
+        for r in spark.createDataFrame([(w,) for w in rows], "w string")
+        .select("w", PT.ptron_shape_col(F.col("w")).alias("sh"))
+        .collect()}
+    assert got_spark == want
+    duck = duckdb.execute(
+        "SELECT w, "
+        + PT.PTRON_SHAPE_SQL_DUCK_FMT.format(col="w")
+        + " AS sh FROM (SELECT unnest(?) AS w)", [rows]
+    ).fetchall()
+    assert {w: sh for w, sh in duck} == want
+
+
 @pytest.mark.parametrize("ds,floor", [("conll04", 0.45), ("custom", 0.15)])
 def test_rel_perceptron_quality_gate(spark, ds, floor):
     """The oracle-gated all-perceptron eval clears the GOLD_EVAL.md rel
-    F1 floor (conll04 0.487 / custom 0.196 recorded)."""
+    F1 floor (conll04 0.523 / custom 0.182 recorded — REL_EXTRAS
+    selected on val by tools/sweep_rel_feats.py + val_rel_ab.py; the
+    custom test row moved 0.196 -> 0.182 while val rose 0.224 -> 0.252,
+    the selection stays val-protocol-pure)."""
     from causalre_spark.plans.entry_queries import QUERIES
 
     rows = {r.task: r for r in

@@ -32,15 +32,19 @@ HEADER = [
     "relations) — the best fitted decision surfaces in this repo",
     "",
     "operators/perceptron.py fit_rel_ipm/predict_rels_ptron — a",
-    "multiclass (none/fwd/bwd) averaged perceptron over the SAME pair",
-    "feature kinds as the NB (between-text unigrams/bigrams, gap",
-    "bucket, pair-adjacent and span-edge tokens/shapes/widths) plus a",
-    "bias feature, fitted with the same exact scaled-integer IPM as",
-    "the span tagger. Selection on VAL by rel F1 over PREDICTED val",
-    "spans from a train-only span fit — the deployment-matched",
-    "criterion — picks the perceptron over the NB on BOTH datasets",
-    "(0.361 vs 0.334 conll04, 0.222 vs 0.180 custom); epochs from the",
-    "same sweep (conll04 20, custom 30); refit on train ∪ val.",
+    "multiclass (none/fwd/bwd) averaged perceptron over the NB pair",
+    "feature kinds (between-text unigrams/bigrams, gap bucket,",
+    "pair-adjacent and span-edge tokens/shapes/widths) plus a bias",
+    "feature and the dataset's val-selected extra kinds",
+    "(perceptron.REL_EXTRAS: conll04 tbow/hltl/hbow/fl, custom",
+    "hfsh+tfsh/fl — greedy-forward over tools/sweep_rel_feats.py's",
+    "candidate set, adopted after the production-exact",
+    "tools/val_rel_ab.py A/B), fitted with the same exact",
+    "scaled-integer IPM as the span tagger. Selection on VAL by rel",
+    "F1 over PREDICTED val spans from a train-only span fit — the",
+    "deployment-matched criterion — picks the perceptron over the NB",
+    "on BOTH datasets; epochs from the same sweep",
+    "(perceptron.REL_EPOCHS); refit on train ∪ val.",
     "Inference is pure BIGINT DataFrame algebra, so the",
     "ptron_full_eval_* oracles recompute pair gen + features + weight",
     "sums + argmax + eval END-TO-END in SQL from the frozen weights;",
@@ -70,7 +74,8 @@ def main() -> None:
     for ds in G.REFERENCE_DATASETS:
         train = G.load_gold_fit_split(spark, ds)  # train ∪ val
         test = G.load_gold_split(spark, ds, "test")
-        W = PT.fit_rel_ipm(train, epochs=PT.REL_EPOCHS[ds])
+        W = PT.fit_rel_ipm(train, epochs=PT.REL_EPOCHS[ds],
+                           extras=PT.REL_EXTRAS[ds])
         rows = PT.rel_weights_to_rows(W)
         wt = pa.table({
             "kind": [r[0] for r in rows],
@@ -100,7 +105,8 @@ def main() -> None:
             F.broadcast(FT.majority_span_type(train))).persist()
         rel_w = spark.read.parquet(wout)
         pred_r = PT.predict_rels_ptron(pred_u, test, rel_w,
-                                       GZ.majority_rel_type(train))
+                                       GZ.majority_rel_type(train),
+                                       extras=PT.REL_EXTRAS[ds])
         gold_s, gold_r = G.gold_span_table(test), G.gold_rel_table(test)
         for task, gold, pred, op in (
                 ("span", gold_s, pred_s, M.loose_match_spans),
