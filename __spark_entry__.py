@@ -20,7 +20,7 @@ queries()      — one entry per implemented operator from SURVEY.md §2
                  reference gold splits, averaged-perceptron span tagger
                  and relation classifier fitted by exact scaled-integer
                  Iterative Parameter Mixing, seeded-flagship surface):
-                 110 queries, 108 with exact DuckDB oracles.
+                 111 queries, 109 with exact DuckDB oracles.
 oracle_sql()   — exact DuckDB twins for every relational operator; the
                  two remaining UDF-backed pipeline queries
                  (pipeline_spans, causal_triples) are rows-only by
