@@ -79,6 +79,18 @@ P_SHARDS = 8
 # at 35) — the select-then-refit protocol of operators/fitted.py.
 EPOCHS = {"conll04": 50, "custom": 35}
 
+# Stacked cross-fit gazetteer features (("gz", B|I|E|S) membership
+# flags; fit_ipm gaz_folds / decode_spans gaz): selected per dataset by
+# the repo's DUAL val+CV gate (the model-choice discipline of
+# tools/freeze_perceptron.py) — conll04 val span F1 0.800 -> 0.8105
+# @50 epochs (tools/exp_gaz_stack.py) CONFIRMED by 5-fold CV over
+# train∪val 0.8040 -> 0.8136 micro-F1 (tools/cv_gaz_check.py); custom
+# val 0.4299 best baseline vs 0.4276 with gaz (reject). GAZ_FOLDS is
+# part of the frozen-weight identity (changing it re-partitions the
+# cross-fit and invalidates fixtures).
+SPAN_GAZ = {"conll04": True, "custom": False}
+GAZ_FOLDS = 5
+
 
 def _shape(w: str) -> str:
     """Perceptron feature shape classes (digits/punct/cap/lower/other).
@@ -134,32 +146,73 @@ PTRON_SHAPE_SQL_DUCK_FMT = (
     + " ELSE 'other' END")
 
 
-def _feats(toks: list, shapes: list, i: int) -> list:
+def _feats(toks: list, shapes: list, i: int, gfl: list = None) -> list:
     """Position-local feature keys (kind, value); the scorer appends the
     state. Ten families: token, shape, prev/next token, prev/next shape,
     3-suffix, 2-prefix, token|next-shape and prev-token|token
-    conjunctions."""
+    conjunctions. ``gfl`` (optional, per-token sorted flag lists from
+    :func:`gaz_flags`) appends one ("gz", B|I|E|S) feature per
+    positional gazetteer-membership flag — the stacked-lexicon signal
+    (SPAN_GAZ datasets only). An empty flag list adds nothing, so a
+    no-gaz fit is byte-identical with or without the argument."""
     n = len(toks)
     pt = toks[i - 1] if i > 0 else "<bos>"
     nt = toks[i + 1] if i < n - 1 else "<eos>"
     psh = shapes[i - 1] if i > 0 else "<bos>"
     nsh = shapes[i + 1] if i < n - 1 else "<eos>"
     w = toks[i]
-    return [("w", w), ("sh", shapes[i]), ("pw", pt), ("nw", nt),
-            ("psh", psh), ("nsh", nsh), ("suf", w[-3:]), ("pre", w[:2]),
-            ("wsh", w + "|" + nsh), ("pww", pt + "|" + w)]
+    fs = [("w", w), ("sh", shapes[i]), ("pw", pt), ("nw", nt),
+          ("psh", psh), ("nsh", nsh), ("suf", w[-3:]), ("pre", w[:2]),
+          ("wsh", w + "|" + nsh), ("pww", pt + "|" + w)]
+    if gfl is not None:
+        for t in gfl[i]:
+            fs.append(("gz", t))
+    return fs
 
 
-def viterbi_tags(toks: list, W: dict, Wt: dict) -> list:
+def gaz_index(phrases) -> dict:
+    """Index an iterable of token-tuple phrases by first token for the
+    scan in :func:`gaz_flags`."""
+    byfirst: dict = {}
+    for ph in phrases:
+        if ph:
+            byfirst.setdefault(ph[0], []).append(ph)
+    return byfirst
+
+
+def gaz_flags(toks: list, byfirst: dict) -> list:
+    """Per-token SORTED list of positional membership flags (B/I/E/S)
+    from every exact occurrence of an indexed lexicon phrase — the
+    deterministic feature surface for the ("gz", flag) kinds. Flags are
+    set-deduped (overlapping phrases can assert the same flag) then
+    sorted, so feature lists are order-stable across engines."""
+    n = len(toks)
+    flags = [set() for _ in range(n)]
+    for i, w in enumerate(toks):
+        for ph in byfirst.get(w, ()):
+            L = len(ph)
+            if i + L <= n and tuple(toks[i:i + L]) == ph:
+                if L == 1:
+                    flags[i].add("S")
+                else:
+                    flags[i].add("B")
+                    flags[i + L - 1].add("E")
+                    for j in range(i + 1, i + L - 1):
+                        flags[j].add("I")
+    return [sorted(fl) for fl in flags]
+
+
+def viterbi_tags(toks: list, W: dict, Wt: dict, gfl: list = None) -> list:
     """Integer max-sum Viterbi over BIES+O under emission weights
     W[((kind, val), state)] and transition weights Wt[(prev, cur)].
     Deterministic: strict-greater argmax in fixed state order; final
-    state max breaks ties toward the earlier state index."""
+    state max breaks ties toward the earlier state index. ``gfl``:
+    optional per-token gazetteer flags (see :func:`_feats`)."""
     n = len(toks)
     if n == 0:
         return []
     shs = [_shape(w) for w in toks]
-    fs = [_feats(toks, shs, i) for i in range(n)]
+    fs = [_feats(toks, shs, i, gfl) for i in range(n)]
     emis = [[sum(W.get((f, s), 0) for f in fs[i]) for s in STATES]
             for i in range(n)]
     NEG = float("-inf")
@@ -231,20 +284,24 @@ def local_epoch(docs: list, W: dict, Wt: dict, step: int):
     deterministic order) starting from shared weights (W, Wt); returns
     the shard's (dW, dWt) deltas in integer units of ``step``. The
     shard's own running weights include its local updates (standard
-    perceptron); the deltas are what IPM mixes."""
+    perceptron); the deltas are what IPM mixes. Doc tuples are
+    (doc_id, toks, gold) or (doc_id, toks, gold, gfl) with per-token
+    gazetteer flags."""
     dW: dict = defaultdict(int)
     dWt: dict = defaultdict(int)
     lw = dict(W)
     lwt = dict(Wt)
-    for _, toks, gold in docs:
-        pred = viterbi_tags(toks, lw, lwt)
+    for row in docs:
+        _, toks, gold = row[0], row[1], row[2]
+        gfl = row[3] if len(row) > 3 else None
+        pred = viterbi_tags(toks, lw, lwt, gfl)
         if pred == gold:
             continue
         shs = [_shape(w) for w in toks]
         for i in range(len(toks)):
             if pred[i] == gold[i]:
                 continue
-            for f in _feats(toks, shs, i):
+            for f in _feats(toks, shs, i, gfl):
                 for s, d in ((gold[i], step), (pred[i], -step)):
                     dW[(f, s)] += d
                     lw[(f, s)] = lw.get((f, s), 0) + d
@@ -258,9 +315,16 @@ def local_epoch(docs: list, W: dict, Wt: dict, step: int):
     return dW, dWt
 
 
-def _tagged_docs(split_df: DataFrame) -> DataFrame:
-    """(doc_id, shard, tokens, tags): gold docs as tag sequences with
-    their fixed IPM shard key."""
+def _tagged_docs(split_df: DataFrame,
+                 fold_lexica: list = None) -> DataFrame:
+    """(doc_id, shard, tokens, tags, gfl): gold docs as tag sequences
+    with their fixed IPM shard key. ``fold_lexica`` (len-K list of
+    :func:`gaz_index` indices, fold = doc_id % K) attaches CROSS-FIT
+    gazetteer flags: a doc's flags come from the lexicon that EXCLUDES
+    its own fold, so the stacked feature never sees the doc's own gold
+    spans during the fit (a full-split lexicon would mark every gold
+    span and the perceptron would just copy it). ``gfl`` is null when
+    no lexica are given — feature-identical to the pre-gaz fit."""
     spans = F.expr(
         "transform(spans, x -> struct(x.start AS start, x.end AS end))")
     src = split_df.select(
@@ -268,9 +332,11 @@ def _tagged_docs(split_df: DataFrame) -> DataFrame:
         (F.col("doc_id") % P_SHARDS).cast("int").alias("shard"),
         F.expr("transform(tokens, x -> CAST(x AS STRING))").alias("tokens"),
         spans.alias("sp"))
+    n_folds = len(fold_lexica) if fold_lexica else 0
 
     def udf(pdf: pd.DataFrame) -> pd.DataFrame:
-        out = {"doc_id": [], "shard": [], "tokens": [], "tags": []}
+        out = {"doc_id": [], "shard": [], "tokens": [], "tags": [],
+               "gfl": []}
         for doc_id, shard, toks, sp in zip(pdf["doc_id"], pdf["shard"],
                                            pdf["tokens"], pdf["sp"]):
             toks = [str(t) for t in toks]
@@ -280,16 +346,35 @@ def _tagged_docs(split_df: DataFrame) -> DataFrame:
             out["shard"].append(int(shard))
             out["tokens"].append(toks)
             out["tags"].append(tags)
+            out["gfl"].append(
+                gaz_flags(toks, fold_lexica[int(doc_id) % n_folds])
+                if n_folds else None)
         return pd.DataFrame(out)
 
     # grouped only to batch the conversion; the group key is the shard
     # the fit reuses
     return (src.groupBy("shard").applyInPandas(
         udf, schema="doc_id long, shard int, tokens array<string>, "
-                    "tags array<string>"))
+                    "tags array<string>, gfl array<array<string>>"))
 
 
-def fit_ipm(split_df: DataFrame, epochs: int) -> tuple[dict, dict]:
+def gaz_lexicon(split_df: DataFrame) -> list:
+    """[(doc_id, phrase-token-tuple)] of every gold span in the split —
+    the raw material for the stacked-gazetteer lexicon. Small (the gold
+    annotation surface, thousands of rows), collected to the driver and
+    broadcast through UDF closures like the weight dicts."""
+    rows = (split_df.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.expr("transform(spans, x -> slice(tokens, x.start + 1, "
+               "x.end - x.start))").alias("phr"))
+        .select("doc_id", F.explode("phr").alias("p"))
+        .collect())
+    return [(int(r["doc_id"]), tuple(str(t) for t in r["p"]))
+            for r in rows]
+
+
+def fit_ipm(split_df: DataFrame, epochs: int,
+            gaz_folds: int = 0) -> tuple[dict, dict]:
     """Distributed averaged-perceptron fit (IPM) -> (W, Wt) integer
     weight dicts (units: 1/P_SHARDS per epoch of averaging).
 
@@ -297,8 +382,22 @@ def fit_ipm(split_df: DataFrame, epochs: int) -> tuple[dict, dict]:
     ``local_epoch`` with the current weights in the closure and emitting
     delta rows; the driver sums deltas (exact //P_SHARDS mixing) and
     accumulates the running average. The collected delta table is
-    train-bounded (the model dimension), never corpus-sized."""
-    docs = _tagged_docs(split_df)
+    train-bounded (the model dimension), never corpus-sized.
+
+    ``gaz_folds`` = K > 0 stacks CROSS-FIT gazetteer-membership features
+    (("gz", B|I|E|S)): K lexica are built from the split's own gold
+    spans, fold k's docs (doc_id % K == k) are tagged with the lexicon
+    from the OTHER folds, so the feature generalizes instead of copying
+    the doc's own annotation. Inference uses the FULL split lexicon
+    (decode_spans gaz arg) — exactly what deployment sees. Val-selected
+    per dataset (SPAN_GAZ; tools/exp_gaz_stack.py)."""
+    fold_lexica = None
+    if gaz_folds:
+        pairs = gaz_lexicon(split_df)
+        fold_lexica = [
+            gaz_index({ph for d, ph in pairs if d % gaz_folds != k})
+            for k in range(gaz_folds)]
+    docs = _tagged_docs(split_df, fold_lexica)
     # the corpus is re-decoded every epoch: cache the tagged docs once
     docs = docs.persist()
     try:
@@ -311,10 +410,13 @@ def fit_ipm(split_df: DataFrame, epochs: int) -> tuple[dict, dict]:
 
             def udf(pdf: pd.DataFrame) -> pd.DataFrame:
                 rows = sorted(
-                    zip(pdf["doc_id"], pdf["tokens"], pdf["tags"]),
+                    zip(pdf["doc_id"], pdf["tokens"], pdf["tags"],
+                        pdf["gfl"]),
                     key=lambda r: r[0])
-                shard_docs = [(int(d), [str(t) for t in ts], list(tg))
-                              for d, ts, tg in rows]
+                shard_docs = [
+                    (int(d), [str(t) for t in ts], list(tg),
+                     None if g is None else [list(x) for x in g])
+                    for d, ts, tg, g in rows]
                 dW, dWt = local_epoch(shard_docs, bW, bWt, step=P_SHARDS)
                 out = {"kind": [], "val": [], "prev": [], "state": [],
                        "delta": []}
@@ -572,11 +674,15 @@ REL_EXTRAS = {"conll04": ("tbow", "hltl", "hbow", "fl"),
               "custom": ("hfsh", "fl")}
 
 
-def decode_spans(docs: DataFrame, W: dict, Wt: dict) -> DataFrame:
+def decode_spans(docs: DataFrame, W: dict, Wt: dict,
+                 gaz: dict = None) -> DataFrame:
     """(url, start, end): perceptron-decoded spans for every document —
     mapInPandas with the weights in the closure (one Arrow crossing,
     zero shuffle, weights ship once per executor; the 100 TB shape,
-    same as fitted.decode_spans)."""
+    same as fitted.decode_spans). ``gaz``: optional full-fit-split
+    :func:`gaz_index` lexicon for the stacked ("gz", flag) features —
+    required iff the weights were fitted with gaz_folds (SPAN_GAZ);
+    ships in the same closure as the weights."""
     if "url" not in docs.columns:
         docs = docs.withColumn("url", F.col("doc_id").cast("string"))
     src = docs.select("url", "tokens")
@@ -585,7 +691,9 @@ def decode_spans(docs: DataFrame, W: dict, Wt: dict) -> DataFrame:
         for pdf in batches:
             out = {"url": [], "start": [], "end": []}
             for url, toks in zip(pdf["url"], pdf["tokens"]):
-                tags = viterbi_tags([str(t) for t in toks], W, Wt)
+                toks = [str(t) for t in toks]
+                gfl = gaz_flags(toks, gaz) if gaz is not None else None
+                tags = viterbi_tags(toks, W, Wt, gfl)
                 for a, b in tags_to_spans(tags):
                     out["url"].append(str(url))
                     out["start"].append(a)
@@ -593,3 +701,31 @@ def decode_spans(docs: DataFrame, W: dict, Wt: dict) -> DataFrame:
             yield pd.DataFrame(out)
 
     return src.mapInPandas(udf, schema="url string, start int, end int")
+
+
+def save_gaz_lexicon(phrases, path: str) -> None:
+    """Freeze the full-fit-split gazetteer lexicon (sorted token-tuple
+    phrases) as a one-column parquet — the deployment lexicon the
+    frozen SPAN_GAZ weights require at decode time."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.table({"phrase": pa.array(
+        [list(p) for p in sorted(set(phrases))],
+        type=pa.list_(pa.string()))}), path)
+
+
+def load_frozen_gaz(path: str) -> dict:
+    """Frozen lexicon parquet -> :func:`gaz_index` index."""
+    import pyarrow.parquet as pq
+
+    return gaz_index([tuple(p) for p in
+                      pq.read_table(path).column("phrase").to_pylist()])
+
+
+def frozen_gaz_for(dataset: str, fix_dir: str) -> dict:
+    """The decode-time lexicon for ``dataset`` under the SPAN_GAZ
+    policy: the frozen index for gaz datasets, None otherwise."""
+    if not SPAN_GAZ.get(dataset):
+        return None
+    return load_frozen_gaz(f"{fix_dir}/{dataset}_gaz_lexicon.parquet")

@@ -3156,7 +3156,8 @@ def _q_fitted_eval(dataset: str, tagger: str = "hmm"):
 
             W, Wt = PT.load_frozen_weights(
                 f"{_PT_FIX}/{dataset}_weights.parquet")
-            decoded = PT.decode_spans(test, W, Wt)
+            decoded = PT.decode_spans(
+                test, W, Wt, gaz=PT.frozen_gaz_for(dataset, _PT_FIX))
         else:
             model = FT.collect_hmm_model(FT.fit_hmm(train))
             decoded = FT.decode_spans(test, model)
@@ -3242,7 +3243,8 @@ def _q_fitted_ptron_spans(dataset: str):
         W, Wt = PT.load_frozen_weights(
             f"{_PT_FIX}/{dataset}_weights.parquet")
         return PT.decode_spans(
-            G.load_gold_split(spark, dataset, "test"), W, Wt)
+            G.load_gold_split(spark, dataset, "test"), W, Wt,
+            gaz=PT.frozen_gaz_for(dataset, _PT_FIX))
 
     return q
 
@@ -3275,7 +3277,8 @@ def _q_ptron_full_eval(dataset: str):
         span_type = FT.majority_span_type(train)
         W, Wt = PT.load_frozen_weights(
             f"{_PT_FIX}/{dataset}_weights.parquet")
-        decoded = PT.decode_spans(test, W, Wt)
+        decoded = PT.decode_spans(
+            test, W, Wt, gaz=PT.frozen_gaz_for(dataset, _PT_FIX))
         pred_u = spark.createDataFrame(
             decoded.collect(), schema=decoded.schema)
         pred_s = pred_u.crossJoin(F.broadcast(span_type))

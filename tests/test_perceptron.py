@@ -49,24 +49,47 @@ def _twin_shape(w):
     return "other"
 
 
-def _twin_feats(toks, i):
+def _twin_feats(toks, i, gfl=None):
     n = len(toks)
     pt = toks[i - 1] if i > 0 else "<bos>"
     nt = toks[i + 1] if i < n - 1 else "<eos>"
     w = toks[i]
-    return [("w", w), ("sh", _twin_shape(w)), ("pw", pt), ("nw", nt),
-            ("psh", _twin_shape(pt) if i > 0 else "<bos>"),
-            ("nsh", _twin_shape(nt) if i < n - 1 else "<eos>"),
-            ("suf", w[-3:]), ("pre", w[:2]),
-            ("wsh", w + "|" + (_twin_shape(nt) if i < n - 1 else "<eos>")),
-            ("pww", pt + "|" + w)]
+    fs = [("w", w), ("sh", _twin_shape(w)), ("pw", pt), ("nw", nt),
+          ("psh", _twin_shape(pt) if i > 0 else "<bos>"),
+          ("nsh", _twin_shape(nt) if i < n - 1 else "<eos>"),
+          ("suf", w[-3:]), ("pre", w[:2]),
+          ("wsh", w + "|" + (_twin_shape(nt) if i < n - 1 else "<eos>")),
+          ("pww", pt + "|" + w)]
+    if gfl is not None:
+        fs += [("gz", t) for t in gfl[i]]
+    return fs
 
 
-def _twin_viterbi(toks, W, Wt):
+def _twin_gazflags(toks, lex):
+    """Independent gazetteer flags: brute scan of every phrase at every
+    position (no first-token indexing — a different algorithm than the
+    operator's)."""
+    n = len(toks)
+    fl = [set() for _ in range(n)]
+    for ph in lex:
+        L = len(ph)
+        for i in range(n - L + 1):
+            if tuple(toks[i:i + L]) == ph:
+                if L == 1:
+                    fl[i].add("S")
+                else:
+                    fl[i].add("B")
+                    fl[i + L - 1].add("E")
+                    for j in range(i + 1, i + L - 1):
+                        fl[j].add("I")
+    return [sorted(s) for s in fl]
+
+
+def _twin_viterbi(toks, W, Wt, gfl=None):
     n = len(toks)
     if n == 0:
         return []
-    emis = [[sum(W.get((f, s), 0) for f in _twin_feats(toks, i))
+    emis = [[sum(W.get((f, s), 0) for f in _twin_feats(toks, i, gfl))
              for s in _STATES] for i in range(n)]
     NEG = float("-inf")
     dp = [[NEG] * 5 for _ in range(n)]
@@ -119,14 +142,16 @@ def _twin_fit(docs, P, epochs):
         agg, aggt = defaultdict(int), defaultdict(int)
         for p in range(P):
             lw, lwt = dict(W), dict(Wt)
-            for _, toks, gold in sorted(parts[p]):
-                pred = _twin_viterbi(toks, lw, lwt)
+            for row in sorted(parts[p]):
+                toks, gold = row[1], row[2]
+                gfl = row[3] if len(row) > 3 else None
+                pred = _twin_viterbi(toks, lw, lwt, gfl)
                 if pred == gold:
                     continue
                 for i in range(len(toks)):
                     if pred[i] == gold[i]:
                         continue
-                    for f in _twin_feats(toks, i):
+                    for f in _twin_feats(toks, i, gfl):
                         for s, d in ((gold[i], P), (pred[i], -P)):
                             agg[(f, s)] += d
                             lw[(f, s)] = lw.get((f, s), 0) + d
@@ -211,6 +236,62 @@ def test_decode_matches_scalar_twin_exactly(spark):
                 a = None
             elif t == "O":
                 a = None
+    assert got == want
+
+
+def _load_span_docs(ds, split, max_doc=None):
+    """[(doc_id, tokens, gold_span_list)] straight from the fixture."""
+    where = f"WHERE doc_id < {max_doc}" if max_doc is not None else ""
+    rows = duckdb.sql(
+        f"SELECT doc_id, tokens, spans FROM '{FIX}/{ds}_{split}.parquet' "
+        f"{where} ORDER BY doc_id").fetchall()
+    return [(int(d), [str(x) for x in t],
+             [(int(s["start"]), int(s["end"])) for s in sp])
+            for d, t, sp in rows]
+
+
+def test_ipm_fit_gaz_matches_scalar_twin_exactly(spark):
+    """Spark fit_ipm(gaz_folds=5) == scalar twin with independently
+    computed CROSS-FIT gazetteer flags (conll04 train subset, 2 epochs):
+    covers the fold-lexicon construction (doc_id % 5 exclusion), the
+    brute-scan vs first-token-indexed flag matchers, and the ('gz', t)
+    feature wiring through updates and mixing."""
+    df = (spark.read.parquet(f"{FIX}/conll04_train.parquet")
+          .where(F.col("doc_id") < 120))
+    W, Wt = PT.fit_ipm(df, epochs=2, gaz_folds=5)
+    W = {k: v for k, v in W.items() if v}
+    Wt = {k: v for k, v in Wt.items() if v}
+
+    raw = _load_span_docs("conll04", "train", max_doc=120)
+    lexs = [{tuple(toks[a:b]) for d, toks, sps in raw if d % 5 != k
+             for a, b in sps} for k in range(5)]
+    docs = [(d, toks, _twin_tags(len(toks), sps),
+             _twin_gazflags(toks, lexs[d % 5]))
+            for d, toks, sps in raw]
+    W2, Wt2 = _twin_fit(docs, P=PT.P_SHARDS, epochs=2)
+    assert Wt == Wt2
+    assert W == W2
+    assert any(k[0][0] == "gz" for k in W), "gaz features never fired"
+
+
+def test_decode_gaz_matches_scalar_twin_exactly(spark):
+    """Spark decode_spans(gaz=...) == scalar twin Viterbi with the
+    full-fit-split lexicon (exact span-set equality, conll04 val)."""
+    fit_df = (spark.read.parquet(f"{FIX}/conll04_train.parquet")
+              .where(F.col("doc_id") < 150))
+    W, Wt = PT.fit_ipm(fit_df, epochs=2, gaz_folds=5)
+    raw = _load_span_docs("conll04", "train", max_doc=150)
+    full_lex = {tuple(toks[a:b]) for _, toks, sps in raw for a, b in sps}
+    docs = spark.read.parquet(f"{FIX}/conll04_val.parquet")
+    got = {(r["url"], r["start"], r["end"])
+           for r in PT.decode_spans(
+               docs, W, Wt, gaz=PT.gaz_index(full_lex)).collect()}
+    want = set()
+    for d, toks, _ in _load_span_docs("conll04", "val"):
+        gfl = _twin_gazflags(toks, full_lex)
+        tags = _twin_viterbi(toks, W, Wt, gfl)
+        for a, b in PT.tags_to_spans(tags):
+            want.add((str(d), a, b))
     assert got == want
 
 
@@ -413,10 +494,10 @@ def test_ptron_shape_engine_twins_exact(spark):
 @pytest.mark.parametrize("ds,floor", [("conll04", 0.45), ("custom", 0.15)])
 def test_rel_perceptron_quality_gate(spark, ds, floor):
     """The oracle-gated all-perceptron eval clears the GOLD_EVAL.md rel
-    F1 floor (conll04 0.523 / custom 0.182 recorded — REL_EXTRAS
-    selected on val by tools/sweep_rel_feats.py + val_rel_ab.py; the
-    custom test row moved 0.196 -> 0.182 while val rose 0.224 -> 0.252,
-    the selection stays val-protocol-pure)."""
+    F1 floor (conll04 0.498 / custom 0.182 recorded — REL_EXTRAS
+    selected on val by tools/sweep_rel_feats.py + val_rel_ab.py and
+    re-confirmed under the gaz span chain, epochs/extras unchanged;
+    every selection signal is val/CV only, never test)."""
     from causalre_spark.plans.entry_queries import QUERIES
 
     rows = {r.task: r for r in
@@ -432,7 +513,9 @@ def test_frozen_weights_quality_gate(spark, ds, floor):
     W, Wt = PT.load_frozen_weights(f"{PT_FIX}/{ds}_weights.parquet")
     docs = spark.read.parquet(f"{FIX}/{ds}_test.parquet")
     got = {(r["url"], r["start"], r["end"])
-           for r in PT.decode_spans(docs, W, Wt).collect()}
+           for r in PT.decode_spans(
+               docs, W, Wt,
+               gaz=PT.frozen_gaz_for(ds, PT_FIX)).collect()}
     frozen = {(r[0], r[1], r[2]) for r in duckdb.sql(
         f"SELECT url, start, \"end\" "
         f"FROM '{PT_FIX}/{ds}_pred_spans.parquet'").fetchall()}

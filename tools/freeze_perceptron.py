@@ -45,7 +45,17 @@ HEADER = [
     "integer division (weights live in 1/8 units, so Spark, the scalar",
     "twin and any executor count produce byte-identical weights).",
     "Features: token, shape, prev/next token+shape, 3-suffix, 2-prefix,",
-    "two conjunctions. Relations: the SAME fitted NB chain as the HMM",
+    "two conjunctions; conll04 adds stacked CROSS-FIT gazetteer",
+    "membership flags (('gz', B|I|E|S) from 5-fold doc_id%5 lexica in",
+    "the fit, the full train∪val lexicon at decode — adopted under the",
+    "dual val+CV gate: val 0.800 -> 0.8105 (tools/exp_gaz_stack.py)",
+    "AND 5-fold CV over train∪val 0.8040 -> 0.8136",
+    "(tools/cv_gaz_check.py); custom rejected, val 0.4299 vs 0.4276.",
+    "The conll04 TEST rows moved 0.790 -> 0.785 span / 0.523 -> 0.498",
+    "rel under the new spans — within the 390-span split's binomial",
+    "noise; both selection signals improve on ~5x more eval data and",
+    "neither ever reads test).",
+    "Relations: the SAME fitted NB chain as the HMM",
     "section (margin + frequency floor), refit on train ∪ val, scored",
     "over the perceptron's spans. Protocol: epochs selected on VAL",
     "(conll04 50, custom 35); model-vs-HMM checked on val AND 5-fold CV",
@@ -80,7 +90,16 @@ def main() -> None:
     for ds in G.REFERENCE_DATASETS:
         train = G.load_gold_fit_split(spark, ds)  # train ∪ val
         test = G.load_gold_split(spark, ds, "test")
-        W, Wt = PT.fit_ipm(train, epochs=PT.EPOCHS[ds])
+        gaz = None
+        if PT.SPAN_GAZ.get(ds):
+            phrases = [p for _, p in PT.gaz_lexicon(train)]
+            gout = os.path.join(FIX, f"{ds}_gaz_lexicon.parquet")
+            PT.save_gaz_lexicon(phrases, gout)
+            gaz = PT.load_frozen_gaz(gout)
+            print(f"froze {gout}: {len(set(phrases))} phrases")
+        W, Wt = PT.fit_ipm(train, epochs=PT.EPOCHS[ds],
+                           gaz_folds=PT.GAZ_FOLDS
+                           if PT.SPAN_GAZ.get(ds) else 0)
         rows = PT.weights_to_rows(W, Wt)
         wt = pa.table({
             "kind": [r[0] for r in rows],
@@ -93,7 +112,7 @@ def main() -> None:
         pq.write_table(wt, wout)
         print(f"froze {wout}: {len(rows)} weights")
 
-        spans = PT.decode_spans(test, W, Wt)
+        spans = PT.decode_spans(test, W, Wt, gaz=gaz)
         pdf = spans.toPandas().sort_values(
             ["url", "start", "end"]).reset_index(drop=True)
         sout = os.path.join(FIX, f"{ds}_pred_spans.parquet")

@@ -99,7 +99,8 @@ def main() -> None:
         # loose rows via the shared A2 operators over the same artifacts
         sw, swt = PT.load_frozen_weights(
             os.path.join(FIX, f"{ds}_weights.parquet"))
-        spans = PT.decode_spans(test, sw, swt)
+        spans = PT.decode_spans(test, sw, swt,
+                                gaz=PT.frozen_gaz_for(ds, FIX))
         pred_u = spark.createDataFrame(spans.collect(), schema=spans.schema)
         pred_s = pred_u.crossJoin(
             F.broadcast(FT.majority_span_type(train))).persist()

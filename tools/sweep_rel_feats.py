@@ -36,6 +36,9 @@ MARGIN = 1500
 # scores over.
 SPAN_EXTRAS: dict = {"conll04": frozenset(), "custom": frozenset()}
 SPAN_EPOCHS = {"conll04": 50, "custom": 35}
+# stacked cross-fit gazetteer flags in the span fit (must track
+# perceptron.SPAN_GAZ so predicted val spans match deployment)
+SPAN_GAZ = {"conll04": True, "custom": False}
 
 
 def _gap_bucket(gap: int) -> str:
@@ -267,15 +270,34 @@ def rel_prf(val_docs, pred_spans_by_doc, predict_fn):
 
 
 def predicted_val_spans(ds):
-    """Train-only span-perceptron fit -> predicted spans per val doc."""
+    """Train-only span-perceptron fit -> predicted spans per val doc.
+    SPAN_GAZ datasets stack cross-fit gazetteer flags exactly like
+    perceptron.fit_ipm(gaz_folds=5) / decode_spans(gaz=full-lexicon)
+    (tools/exp_gaz_stack.py semantics)."""
+    from tools.exp_gaz_stack import build_lex, gaz_flags, index_lex
+
     train = load_split(ds, "train")
     val = load_split(ds, "val")
     feats = make_feats(SPAN_EXTRAS[ds])
     epochs = SPAN_EPOCHS[ds]
-    shards = defaultdict(list)
-    for doc_id, toks, spans in sorted(train):
+    use_gaz = SPAN_GAZ.get(ds, False)
+    fold_idx = {k: index_lex(build_lex(
+        [d for d in train if d[0] % 5 != k])) for k in range(5)} \
+        if use_gaz else None
+    full_idx = index_lex(build_lex(train)) if use_gaz else None
+
+    def fs_for(doc_id, toks, idx):
         shapes = [_shape(w) for w in toks]
         fs_doc = [feats(toks, shapes, i) for i in range(len(toks))]
+        if idx is not None:
+            for i, fl in enumerate(gaz_flags(toks, idx)):
+                fs_doc[i] += [("gz", t) for t in sorted(fl)]
+        return fs_doc
+
+    shards = defaultdict(list)
+    for doc_id, toks, spans in sorted(train):
+        fs_doc = fs_for(doc_id, toks,
+                        fold_idx[doc_id % 5] if use_gaz else None)
         shards[doc_id % P].append((fs_doc, spans_to_tags(len(toks),
                                                          spans)))
     W, Wt = {}, {}
@@ -316,8 +338,7 @@ def predicted_val_spans(ds):
             avgWt[k] += v
     out = {}
     for doc_id, toks, _ in val:
-        shapes = [_shape(w) for w in toks]
-        fs_doc = [feats(toks, shapes, i) for i in range(len(toks))]
+        fs_doc = fs_for(doc_id, toks, full_idx)
         out[doc_id] = tags_to_spans(viterbi(fs_doc, avgW, avgWt))
     return out
 
