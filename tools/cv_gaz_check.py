@@ -21,7 +21,7 @@ from tools.exp_gaz_stack import (  # noqa: E402
     build_lex, featurize, fit_eval_items, index_lex)
 from tools.sweep_ptron_feats import load_split, make_feats  # noqa: E402
 
-CHECKPOINTS = (35, 50)
+CHECKPOINTS = (35, 50, 70)
 K = 5
 
 

@@ -58,7 +58,9 @@ HEADER = [
     "Relations: the SAME fitted NB chain as the HMM",
     "section (margin + frequency floor), refit on train ∪ val, scored",
     "over the perceptron's spans. Protocol: epochs selected on VAL",
-    "(conll04 50, custom 35); model-vs-HMM checked on val AND 5-fold CV",
+    "(conll04 50; custom 35 -> 70 in round 4 under the dual val+CV",
+    "gate: val 0.4227 -> 0.4299, CV 0.3640 -> 0.3717);",
+    "model-vs-HMM checked on val AND 5-fold CV",
     "over train∪val (conll04 decisively perceptron, CV 0.800 vs 0.715;",
     "custom a statistical tie, 0.321 vs 0.313 — both extractors stay",
     "registered); final weights refit on train ∪ val. The fit is",

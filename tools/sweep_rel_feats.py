@@ -35,7 +35,7 @@ MARGIN = 1500
 # lands); used to produce the predicted val spans the rel selection
 # scores over.
 SPAN_EXTRAS: dict = {"conll04": frozenset(), "custom": frozenset()}
-SPAN_EPOCHS = {"conll04": 50, "custom": 35}
+SPAN_EPOCHS = {"conll04": 50, "custom": 70}
 # stacked cross-fit gazetteer flags in the span fit (must track
 # perceptron.SPAN_GAZ so predicted val spans match deployment)
 SPAN_GAZ = {"conll04": True, "custom": False}
