@@ -76,10 +76,23 @@ P_SHARDS = 8
 
 # epochs are selected per dataset under the dual val+CV gate (the
 # select-then-refit protocol of operators/fitted.py; test never read):
-# conll04 val plateaus at 50; custom moved 35 -> 70 in round 4 when
+# conll04 moved 50 -> 70 jointly with the suf4+wl extras adoption
+# (the adopted arm's best checkpoint on BOTH signals —
+# tools/cv_span_extras.py); custom moved 35 -> 70 in round 4 when
 # BOTH signals agreed (val 0.4227 -> 0.4299, 5-fold CV micro-F1
 # 0.3640 -> 0.3717 — tools/exp_gaz_stack.py / tools/cv_gaz_check.py).
-EPOCHS = {"conll04": 50, "custom": 70}
+EPOCHS = {"conll04": 70, "custom": 70}
+
+# Extra span-feature kinds stacked on the 10 baseline families
+# (_feats), selected per dataset under the DUAL val+CV gate
+# deployment-matched to the shipped config — gaz arms cross-fit, same
+# fold protocol as cv_gaz_check (tools/cv_span_extras.py, round 4):
+# conll04 suf4+wl ADOPTED (val span F1 0.8105 -> 0.8146 @70, 5-fold
+# CV over train∪val 0.8158 -> 0.8236 @70; each kind alone fails the
+# val half — only the pair clears both bars); the singleton arms from
+# the earlier val-only sweep were re-tested and rejected. Part of the
+# frozen-weight identity (fixtures/perceptron regenerate on change).
+SPAN_EXTRAS = {"conll04": ("suf4", "wl"), "custom": ()}
 
 # Stacked cross-fit gazetteer features (("gz", B|I|E|S) membership
 # flags; fit_ipm gaz_folds / decode_spans gaz): selected per dataset by
@@ -148,15 +161,19 @@ PTRON_SHAPE_SQL_DUCK_FMT = (
     + " ELSE 'other' END")
 
 
-def _feats(toks: list, shapes: list, i: int, gfl: list = None) -> list:
+def _feats(toks: list, shapes: list, i: int, gfl: list = None,
+           extras: tuple = ()) -> list:
     """Position-local feature keys (kind, value); the scorer appends the
     state. Ten families: token, shape, prev/next token, prev/next shape,
     3-suffix, 2-prefix, token|next-shape and prev-token|token
-    conjunctions. ``gfl`` (optional, per-token sorted flag lists from
-    :func:`gaz_flags`) appends one ("gz", B|I|E|S) feature per
-    positional gazetteer-membership flag — the stacked-lexicon signal
-    (SPAN_GAZ datasets only). An empty flag list adds nothing, so a
-    no-gaz fit is byte-identical with or without the argument."""
+    conjunctions. ``extras`` (SPAN_EXTRAS[dataset]) stacks the
+    val+CV-selected extra kinds — 4-suffix (suf4), 3-prefix (pre3),
+    capped word length (wl), shape at i-2 (psh2). ``gfl`` (optional,
+    per-token sorted flag lists from :func:`gaz_flags`) appends one
+    ("gz", B|I|E|S) feature per positional gazetteer-membership flag —
+    the stacked-lexicon signal (SPAN_GAZ datasets only). An empty flag
+    list / extras tuple adds nothing, so a baseline fit is
+    byte-identical with or without the arguments."""
     n = len(toks)
     pt = toks[i - 1] if i > 0 else "<bos>"
     nt = toks[i + 1] if i < n - 1 else "<eos>"
@@ -166,6 +183,14 @@ def _feats(toks: list, shapes: list, i: int, gfl: list = None) -> list:
     fs = [("w", w), ("sh", shapes[i]), ("pw", pt), ("nw", nt),
           ("psh", psh), ("nsh", nsh), ("suf", w[-3:]), ("pre", w[:2]),
           ("wsh", w + "|" + nsh), ("pww", pt + "|" + w)]
+    if "suf4" in extras:
+        fs.append(("suf4", w[-4:]))
+    if "pre3" in extras:
+        fs.append(("pre3", w[:3]))
+    if "wl" in extras:
+        fs.append(("wl", str(min(len(w), 8))))
+    if "psh2" in extras:
+        fs.append(("psh2", shapes[i - 2] if i > 1 else "<bos>"))
     if gfl is not None:
         for t in gfl[i]:
             fs.append(("gz", t))
@@ -204,17 +229,19 @@ def gaz_flags(toks: list, byfirst: dict) -> list:
     return [sorted(fl) for fl in flags]
 
 
-def viterbi_tags(toks: list, W: dict, Wt: dict, gfl: list = None) -> list:
+def viterbi_tags(toks: list, W: dict, Wt: dict, gfl: list = None,
+                 extras: tuple = ()) -> list:
     """Integer max-sum Viterbi over BIES+O under emission weights
     W[((kind, val), state)] and transition weights Wt[(prev, cur)].
     Deterministic: strict-greater argmax in fixed state order; final
     state max breaks ties toward the earlier state index. ``gfl``:
-    optional per-token gazetteer flags (see :func:`_feats`)."""
+    optional per-token gazetteer flags; ``extras``: the dataset's
+    SPAN_EXTRAS kinds (see :func:`_feats`)."""
     n = len(toks)
     if n == 0:
         return []
     shs = [_shape(w) for w in toks]
-    fs = [_feats(toks, shs, i, gfl) for i in range(n)]
+    fs = [_feats(toks, shs, i, gfl, extras) for i in range(n)]
     emis = [[sum(W.get((f, s), 0) for f in fs[i]) for s in STATES]
             for i in range(n)]
     NEG = float("-inf")
@@ -281,7 +308,8 @@ def spans_to_tags(n: int, spans: list) -> list:
     return tags
 
 
-def local_epoch(docs: list, W: dict, Wt: dict, step: int):
+def local_epoch(docs: list, W: dict, Wt: dict, step: int,
+                extras: tuple = ()):
     """One sequential perceptron epoch over ``docs`` (already in
     deterministic order) starting from shared weights (W, Wt); returns
     the shard's (dW, dWt) deltas in integer units of ``step``. The
@@ -296,14 +324,14 @@ def local_epoch(docs: list, W: dict, Wt: dict, step: int):
     for row in docs:
         _, toks, gold = row[0], row[1], row[2]
         gfl = row[3] if len(row) > 3 else None
-        pred = viterbi_tags(toks, lw, lwt, gfl)
+        pred = viterbi_tags(toks, lw, lwt, gfl, extras)
         if pred == gold:
             continue
         shs = [_shape(w) for w in toks]
         for i in range(len(toks)):
             if pred[i] == gold[i]:
                 continue
-            for f in _feats(toks, shs, i, gfl):
+            for f in _feats(toks, shs, i, gfl, extras):
                 for s, d in ((gold[i], step), (pred[i], -step)):
                     dW[(f, s)] += d
                     lw[(f, s)] = lw.get((f, s), 0) + d
@@ -376,7 +404,7 @@ def gaz_lexicon(split_df: DataFrame) -> list:
 
 
 def fit_ipm(split_df: DataFrame, epochs: int,
-            gaz_folds: int = 0) -> tuple[dict, dict]:
+            gaz_folds: int = 0, extras: tuple = ()) -> tuple[dict, dict]:
     """Distributed averaged-perceptron fit (IPM) -> (W, Wt) integer
     weight dicts (units: 1/P_SHARDS per epoch of averaging).
 
@@ -392,7 +420,8 @@ def fit_ipm(split_df: DataFrame, epochs: int,
     from the OTHER folds, so the feature generalizes instead of copying
     the doc's own annotation. Inference uses the FULL split lexicon
     (decode_spans gaz arg) — exactly what deployment sees. Val-selected
-    per dataset (SPAN_GAZ; tools/exp_gaz_stack.py)."""
+    per dataset (SPAN_GAZ; tools/exp_gaz_stack.py). ``extras``: extra
+    feature kinds stacked into every _feats call (SPAN_EXTRAS)."""
     fold_lexica = None
     if gaz_folds:
         pairs = gaz_lexicon(split_df)
@@ -419,7 +448,8 @@ def fit_ipm(split_df: DataFrame, epochs: int,
                     (int(d), [str(t) for t in ts], list(tg),
                      None if g is None else [list(x) for x in g])
                     for d, ts, tg, g in rows]
-                dW, dWt = local_epoch(shard_docs, bW, bWt, step=P_SHARDS)
+                dW, dWt = local_epoch(shard_docs, bW, bWt,
+                                      step=P_SHARDS, extras=extras)
                 out = {"kind": [], "val": [], "prev": [], "state": [],
                        "delta": []}
                 for ((kind, val), s), d in dW.items():
@@ -677,14 +707,15 @@ REL_EXTRAS = {"conll04": ("tbow", "hltl", "hbow", "fl"),
 
 
 def decode_spans(docs: DataFrame, W: dict, Wt: dict,
-                 gaz: dict = None) -> DataFrame:
+                 gaz: dict = None, extras: tuple = ()) -> DataFrame:
     """(url, start, end): perceptron-decoded spans for every document —
     mapInPandas with the weights in the closure (one Arrow crossing,
     zero shuffle, weights ship once per executor; the 100 TB shape,
     same as fitted.decode_spans). ``gaz``: optional full-fit-split
     :func:`gaz_index` lexicon for the stacked ("gz", flag) features —
     required iff the weights were fitted with gaz_folds (SPAN_GAZ);
-    ships in the same closure as the weights."""
+    ships in the same closure as the weights. ``extras``: the
+    SPAN_EXTRAS kinds the weights were fitted with."""
     if "url" not in docs.columns:
         docs = docs.withColumn("url", F.col("doc_id").cast("string"))
     src = docs.select("url", "tokens")
@@ -695,7 +726,7 @@ def decode_spans(docs: DataFrame, W: dict, Wt: dict,
             for url, toks in zip(pdf["url"], pdf["tokens"]):
                 toks = [str(t) for t in toks]
                 gfl = gaz_flags(toks, gaz) if gaz is not None else None
-                tags = viterbi_tags(toks, W, Wt, gfl)
+                tags = viterbi_tags(toks, W, Wt, gfl, extras)
                 for a, b in tags_to_spans(tags):
                     out["url"].append(str(url))
                     out["start"].append(a)

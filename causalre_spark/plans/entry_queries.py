@@ -3157,7 +3157,8 @@ def _q_fitted_eval(dataset: str, tagger: str = "hmm"):
             W, Wt = PT.load_frozen_weights(
                 f"{_PT_FIX}/{dataset}_weights.parquet")
             decoded = PT.decode_spans(
-                test, W, Wt, gaz=PT.frozen_gaz_for(dataset, _PT_FIX))
+                test, W, Wt, gaz=PT.frozen_gaz_for(dataset, _PT_FIX),
+                extras=PT.SPAN_EXTRAS[dataset])
         else:
             model = FT.collect_hmm_model(FT.fit_hmm(train))
             decoded = FT.decode_spans(test, model)
@@ -3244,7 +3245,8 @@ def _q_fitted_ptron_spans(dataset: str):
             f"{_PT_FIX}/{dataset}_weights.parquet")
         return PT.decode_spans(
             G.load_gold_split(spark, dataset, "test"), W, Wt,
-            gaz=PT.frozen_gaz_for(dataset, _PT_FIX))
+            gaz=PT.frozen_gaz_for(dataset, _PT_FIX),
+            extras=PT.SPAN_EXTRAS[dataset])
 
     return q
 
@@ -3278,7 +3280,8 @@ def _q_ptron_full_eval(dataset: str):
         W, Wt = PT.load_frozen_weights(
             f"{_PT_FIX}/{dataset}_weights.parquet")
         decoded = PT.decode_spans(
-            test, W, Wt, gaz=PT.frozen_gaz_for(dataset, _PT_FIX))
+            test, W, Wt, gaz=PT.frozen_gaz_for(dataset, _PT_FIX),
+            extras=PT.SPAN_EXTRAS[dataset])
         pred_u = spark.createDataFrame(
             decoded.collect(), schema=decoded.schema)
         pred_s = pred_u.crossJoin(F.broadcast(span_type))

@@ -49,7 +49,7 @@ def _twin_shape(w):
     return "other"
 
 
-def _twin_feats(toks, i, gfl=None):
+def _twin_feats(toks, i, gfl=None, extras=()):
     n = len(toks)
     pt = toks[i - 1] if i > 0 else "<bos>"
     nt = toks[i + 1] if i < n - 1 else "<eos>"
@@ -60,6 +60,14 @@ def _twin_feats(toks, i, gfl=None):
           ("suf", w[-3:]), ("pre", w[:2]),
           ("wsh", w + "|" + (_twin_shape(nt) if i < n - 1 else "<eos>")),
           ("pww", pt + "|" + w)]
+    if "suf4" in extras:
+        fs.append(("suf4", w[-4:]))
+    if "pre3" in extras:
+        fs.append(("pre3", w[:3]))
+    if "wl" in extras:
+        fs.append(("wl", str(min(len(w), 8))))
+    if "psh2" in extras:
+        fs.append(("psh2", _twin_shape(toks[i - 2]) if i > 1 else "<bos>"))
     if gfl is not None:
         fs += [("gz", t) for t in gfl[i]]
     return fs
@@ -85,11 +93,12 @@ def _twin_gazflags(toks, lex):
     return [sorted(s) for s in fl]
 
 
-def _twin_viterbi(toks, W, Wt, gfl=None):
+def _twin_viterbi(toks, W, Wt, gfl=None, extras=()):
     n = len(toks)
     if n == 0:
         return []
-    emis = [[sum(W.get((f, s), 0) for f in _twin_feats(toks, i, gfl))
+    emis = [[sum(W.get((f, s), 0)
+                 for f in _twin_feats(toks, i, gfl, extras))
              for s in _STATES] for i in range(n)]
     NEG = float("-inf")
     dp = [[NEG] * 5 for _ in range(n)]
@@ -132,7 +141,7 @@ def _twin_tags(n, spans):
     return tags
 
 
-def _twin_fit(docs, P, epochs):
+def _twin_fit(docs, P, epochs, extras=()):
     parts = [[] for _ in range(P)]
     for d in docs:
         parts[d[0] % P].append(d)
@@ -145,13 +154,13 @@ def _twin_fit(docs, P, epochs):
             for row in sorted(parts[p]):
                 toks, gold = row[1], row[2]
                 gfl = row[3] if len(row) > 3 else None
-                pred = _twin_viterbi(toks, lw, lwt, gfl)
+                pred = _twin_viterbi(toks, lw, lwt, gfl, extras)
                 if pred == gold:
                     continue
                 for i in range(len(toks)):
                     if pred[i] == gold[i]:
                         continue
-                    for f in _twin_feats(toks, i, gfl):
+                    for f in _twin_feats(toks, i, gfl, extras):
                         for s, d in ((gold[i], P), (pred[i], -P)):
                             agg[(f, s)] += d
                             lw[(f, s)] = lw.get((f, s), 0) + d
@@ -290,6 +299,55 @@ def test_decode_gaz_matches_scalar_twin_exactly(spark):
     for d, toks, _ in _load_span_docs("conll04", "val"):
         gfl = _twin_gazflags(toks, full_lex)
         tags = _twin_viterbi(toks, W, Wt, gfl)
+        for a, b in PT.tags_to_spans(tags):
+            want.add((str(d), a, b))
+    assert got == want
+
+
+def test_ipm_fit_extras_matches_scalar_twin_exactly(spark):
+    """Spark fit_ipm(extras=...) == scalar twin with ALL FOUR candidate
+    extra kinds (suf4/pre3/wl/psh2) stacked on gaz — covers every
+    SPAN_EXTRAS wiring path through _feats, local updates and mixing
+    (conll04 train subset, 2 epochs)."""
+    extras = ("suf4", "pre3", "wl", "psh2")
+    df = (spark.read.parquet(f"{FIX}/conll04_train.parquet")
+          .where(F.col("doc_id") < 120))
+    W, Wt = PT.fit_ipm(df, epochs=2, gaz_folds=5, extras=extras)
+    W = {k: v for k, v in W.items() if v}
+    Wt = {k: v for k, v in Wt.items() if v}
+
+    raw = _load_span_docs("conll04", "train", max_doc=120)
+    lexs = [{tuple(toks[a:b]) for d, toks, sps in raw if d % 5 != k
+             for a, b in sps} for k in range(5)]
+    docs = [(d, toks, _twin_tags(len(toks), sps),
+             _twin_gazflags(toks, lexs[d % 5]))
+            for d, toks, sps in raw]
+    W2, Wt2 = _twin_fit(docs, P=PT.P_SHARDS, epochs=2, extras=extras)
+    assert Wt == Wt2
+    assert W == W2
+    fired = {k[0][0] for k in W}
+    assert set(extras) <= fired, f"extras never fired: {set(extras) - fired}"
+
+
+def test_decode_extras_matches_scalar_twin_exactly(spark):
+    """Spark decode_spans(extras=SPAN_EXTRAS['conll04']) == scalar twin
+    Viterbi under the same extras + full-lexicon gaz — the shipped
+    conll04 deployment shape (exact span-set equality, conll04 val)."""
+    extras = PT.SPAN_EXTRAS["conll04"]
+    fit_df = (spark.read.parquet(f"{FIX}/conll04_train.parquet")
+              .where(F.col("doc_id") < 150))
+    W, Wt = PT.fit_ipm(fit_df, epochs=2, gaz_folds=5, extras=extras)
+    raw = _load_span_docs("conll04", "train", max_doc=150)
+    full_lex = {tuple(toks[a:b]) for _, toks, sps in raw for a, b in sps}
+    docs = spark.read.parquet(f"{FIX}/conll04_val.parquet")
+    got = {(r["url"], r["start"], r["end"])
+           for r in PT.decode_spans(
+               docs, W, Wt, gaz=PT.gaz_index(full_lex),
+               extras=extras).collect()}
+    want = set()
+    for d, toks, _ in _load_span_docs("conll04", "val"):
+        gfl = _twin_gazflags(toks, full_lex)
+        tags = _twin_viterbi(toks, W, Wt, gfl, extras)
         for a, b in PT.tags_to_spans(tags):
             want.add((str(d), a, b))
     assert got == want

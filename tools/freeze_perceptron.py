@@ -45,7 +45,12 @@ HEADER = [
     "integer division (weights live in 1/8 units, so Spark, the scalar",
     "twin and any executor count produce byte-identical weights).",
     "Features: token, shape, prev/next token+shape, 3-suffix, 2-prefix,",
-    "two conjunctions; conll04 adds stacked CROSS-FIT gazetteer",
+    "two conjunctions; conll04 adds the suf4+wl extra kinds at 70",
+    "epochs (dual val+CV gate, tools/cv_span_extras.py: val span F1",
+    "0.8105 -> 0.8146, 5-fold CV 0.8158 -> 0.8236 — each kind alone",
+    "fails the val half; custom arms pre3 / pre3+psh2 rejected, CV",
+    "0.3717 -> 0.3673 / val 0.4299 -> 0.4289) and stacked CROSS-FIT",
+    "gazetteer",
     "membership flags (('gz', B|I|E|S) from 5-fold doc_id%5 lexica in",
     "the fit, the full train∪val lexicon at decode — adopted under the",
     "dual val+CV gate: val 0.800 -> 0.8105 (tools/exp_gaz_stack.py)",
@@ -101,7 +106,8 @@ def main() -> None:
             print(f"froze {gout}: {len(set(phrases))} phrases")
         W, Wt = PT.fit_ipm(train, epochs=PT.EPOCHS[ds],
                            gaz_folds=PT.GAZ_FOLDS
-                           if PT.SPAN_GAZ.get(ds) else 0)
+                           if PT.SPAN_GAZ.get(ds) else 0,
+                           extras=PT.SPAN_EXTRAS[ds])
         rows = PT.weights_to_rows(W, Wt)
         wt = pa.table({
             "kind": [r[0] for r in rows],
@@ -114,7 +120,8 @@ def main() -> None:
         pq.write_table(wt, wout)
         print(f"froze {wout}: {len(rows)} weights")
 
-        spans = PT.decode_spans(test, W, Wt, gaz=gaz)
+        spans = PT.decode_spans(test, W, Wt, gaz=gaz,
+                                extras=PT.SPAN_EXTRAS[ds])
         pdf = spans.toPandas().sort_values(
             ["url", "start", "end"]).reset_index(drop=True)
         sout = os.path.join(FIX, f"{ds}_pred_spans.parquet")

@@ -12,7 +12,11 @@ Selection protocol (never test): rel classifier chosen over the NB on
 the VAL splits by rel F1 over PREDICTED val spans from a train-only
 span fit (rel-ptron 0.361 vs NB 0.334 conll04; 0.222 vs 0.180 custom);
 epochs = perceptron.REL_EPOCHS from the same sweep; final weights refit
-on train ∪ val.
+on train ∪ val. The REL_EXTRAS kinds (val-selected greedy-forward,
+tools/sweep_rel_feats.py) are CONFIRMED by the CV half of the dual
+gate (tools/cv_rel_extras.py, 5-fold over train∪val, deployment-
+matched chain): conll04 base 0.4301 -> shipped 0.4480, custom 0.1759
+-> 0.1782 — both arms improve, adoption stands.
 
 Run AFTER tools/freeze_perceptron.py (needs the frozen span fixtures):
 python tools/freeze_rel_perceptron.py
@@ -100,7 +104,8 @@ def main() -> None:
         sw, swt = PT.load_frozen_weights(
             os.path.join(FIX, f"{ds}_weights.parquet"))
         spans = PT.decode_spans(test, sw, swt,
-                                gaz=PT.frozen_gaz_for(ds, FIX))
+                                gaz=PT.frozen_gaz_for(ds, FIX),
+                                extras=PT.SPAN_EXTRAS[ds])
         pred_u = spark.createDataFrame(spans.collect(), schema=spans.schema)
         pred_s = pred_u.crossJoin(
             F.broadcast(FT.majority_span_type(train))).persist()

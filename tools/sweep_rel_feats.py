@@ -31,11 +31,13 @@ GRID_OFFSET = 0.3141592653589793
 MIN_DF = 3
 MARGIN = 1500
 
-# shipped span-feature extras / epochs (updated when the span sweep
-# lands); used to produce the predicted val spans the rel selection
-# scores over.
-SPAN_EXTRAS: dict = {"conll04": frozenset(), "custom": frozenset()}
-SPAN_EPOCHS = {"conll04": 50, "custom": 70}
+# shipped span-feature extras / epochs (must track
+# perceptron.SPAN_EXTRAS / EPOCHS); used to produce the predicted val
+# spans the rel selection scores over. conll04 suf4+wl @70 adopted
+# under the dual val+CV gate (tools/cv_span_extras.py, round 4).
+SPAN_EXTRAS: dict = {"conll04": frozenset({"suf4", "wl"}),
+                     "custom": frozenset()}
+SPAN_EPOCHS = {"conll04": 70, "custom": 70}
 # stacked cross-fit gazetteer flags in the span fit (must track
 # perceptron.SPAN_GAZ so predicted val spans match deployment)
 SPAN_GAZ = {"conll04": True, "custom": False}
