@@ -84,15 +84,19 @@ P_SHARDS = 8
 EPOCHS = {"conll04": 70, "custom": 70}
 
 # Extra span-feature kinds stacked on the 10 baseline families
-# (_feats), selected per dataset under the DUAL val+CV gate
-# deployment-matched to the shipped config — gaz arms cross-fit, same
-# fold protocol as cv_gaz_check (tools/cv_span_extras.py, round 4):
-# conll04 suf4+wl ADOPTED (val span F1 0.8105 -> 0.8146 @70, 5-fold
-# CV over train∪val 0.8158 -> 0.8236 @70; each kind alone fails the
-# val half — only the pair clears both bars); the singleton arms from
-# the earlier val-only sweep were re-tested and rejected. Part of the
+# (_feats), selected per dataset by greedy-forward rounds under the
+# DUAL val+CV gate deployment-matched to the shipped config — gaz
+# arms cross-fit, same fold protocol as cv_gaz_check
+# (tools/cv_span_extras.py, round 4). conll04: round 1 adopted
+# suf4+wl (val span F1 0.8105 -> 0.8146 @70, 5-fold CV over train∪val
+# 0.8158 -> 0.8236 @70; each kind alone fails the val half), round 2
+# added psh2 (val 0.8146 -> 0.8185, CV 0.8236 -> 0.8244 — the only
+# one of four third-kind arms clearing both bars; CV margin is thin
+# but the gate is directional, matching the documented precedent).
+# custom: nine candidate arms across both rounds all fail at least
+# one half — stays at the 10 baseline families. Part of the
 # frozen-weight identity (fixtures/perceptron regenerate on change).
-SPAN_EXTRAS = {"conll04": ("suf4", "wl"), "custom": ()}
+SPAN_EXTRAS = {"conll04": ("suf4", "wl", "psh2"), "custom": ()}
 
 # Stacked cross-fit gazetteer features (("gz", B|I|E|S) membership
 # flags; fit_ipm gaz_folds / decode_spans gaz): selected per dataset by

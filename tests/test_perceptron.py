@@ -573,7 +573,8 @@ def test_frozen_weights_quality_gate(spark, ds, floor):
     got = {(r["url"], r["start"], r["end"])
            for r in PT.decode_spans(
                docs, W, Wt,
-               gaz=PT.frozen_gaz_for(ds, PT_FIX)).collect()}
+               gaz=PT.frozen_gaz_for(ds, PT_FIX),
+               extras=PT.SPAN_EXTRAS[ds]).collect()}
     frozen = {(r[0], r[1], r[2]) for r in duckdb.sql(
         f"SELECT url, start, \"end\" "
         f"FROM '{PT_FIX}/{ds}_pred_spans.parquet'").fetchall()}

@@ -36,12 +36,22 @@ CHECKPOINTS = (35, 50, 70)
 K = 5
 # deployment config (must track operators/perceptron.py SPAN_GAZ)
 SPAN_GAZ = {"conll04": True, "custom": False}
-# candidate arms per dataset: the val-sweep winners and their parts
+# BASE = the shipped extras config (perceptron.SPAN_EXTRAS); every
+# candidate arm is judged against it on BOTH signals. Round-4
+# history: round 1 (base=()) — conll04 suf4+wl ADOPTED (val 0.8105
+# -> 0.8146, CV 0.8158 -> 0.8236; suf4 / wl alone fail val), custom
+# pre3 (CV 0.3717 -> 0.3673) and pre3+psh2 (val 0.4299 -> 0.4289)
+# rejected. Round 2 (base=suf4+wl) — conll04 +psh2 ADOPTED (val
+# 0.8146 -> 0.8185, CV 0.8236 -> 0.8244); +pre3/+lw/+shtri and all
+# six custom singletons (lw/shtri/wnw/skip/nsh2/pshw) rejected.
+BASE = {"conll04": frozenset({"suf4", "wl", "psh2"}),
+        "custom": frozenset()}
+# next greedy round's candidate arms (edit per round; kinds must
+# exist in sweep_ptron_feats.make_feats)
 ARMS = {
-    "conll04": [frozenset(), frozenset({"suf4"}), frozenset({"wl"}),
-                frozenset({"suf4", "wl"})],
-    "custom": [frozenset(), frozenset({"pre3"}),
-               frozenset({"pre3", "psh2"})],
+    "conll04": [BASE["conll04"] | {x}
+                for x in ("pre3", "lw", "shtri")],
+    "custom": [frozenset({x}) for x in ("pw2", "nw2", "suf4", "wl")],
 }
 
 
@@ -103,8 +113,9 @@ def main():
             [d for d in train if d[0] % K != k])) for k in range(K)}
 
         best = {}
-        for extras in ARMS[ds]:
-            lab = "+".join(sorted(extras)) or "base"
+        for extras in [BASE[ds]] + ARMS[ds]:
+            lab = "base" if extras == BASE[ds] else \
+                "+".join(sorted(extras)) or "base"
             t0 = time.time()
             rv = _val_arm(ds, extras, train, val, fold_idx, full_idx)
             vbest = max(f1 for _, _, f1 in rv.values())

@@ -45,12 +45,13 @@ HEADER = [
     "integer division (weights live in 1/8 units, so Spark, the scalar",
     "twin and any executor count produce byte-identical weights).",
     "Features: token, shape, prev/next token+shape, 3-suffix, 2-prefix,",
-    "two conjunctions; conll04 adds the suf4+wl extra kinds at 70",
-    "epochs (dual val+CV gate, tools/cv_span_extras.py: val span F1",
-    "0.8105 -> 0.8146, 5-fold CV 0.8158 -> 0.8236 — each kind alone",
-    "fails the val half; custom arms pre3 / pre3+psh2 rejected, CV",
-    "0.3717 -> 0.3673 / val 0.4299 -> 0.4289) and stacked CROSS-FIT",
-    "gazetteer",
+    "two conjunctions; conll04 adds the suf4+wl+psh2 extra kinds at",
+    "70 epochs (two greedy rounds of the dual val+CV gate,",
+    "tools/cv_span_extras.py: round 1 suf4+wl val span F1 0.8105 ->",
+    "0.8146 / 5-fold CV 0.8158 -> 0.8236; round 2 +psh2 val -> 0.8185",
+    "/ CV -> 0.8244; nine custom arms across both rounds all fail a",
+    "half and custom stays at the baseline families) and stacked",
+    "CROSS-FIT gazetteer",
     "membership flags (('gz', B|I|E|S) from 5-fold doc_id%5 lexica in",
     "the fit, the full train∪val lexicon at decode — adopted under the",
     "dual val+CV gate: val 0.800 -> 0.8105 (tools/exp_gaz_stack.py)",

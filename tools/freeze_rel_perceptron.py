@@ -15,8 +15,11 @@ epochs = perceptron.REL_EPOCHS from the same sweep; final weights refit
 on train ∪ val. The REL_EXTRAS kinds (val-selected greedy-forward,
 tools/sweep_rel_feats.py) are CONFIRMED by the CV half of the dual
 gate (tools/cv_rel_extras.py, 5-fold over train∪val, deployment-
-matched chain): conll04 base 0.4301 -> shipped 0.4480, custom 0.1759
--> 0.1782 — both arms improve, adoption stands.
+matched chain INCLUDING the adopted suf4+wl+psh2 conll04 span
+config): conll04 base 0.4431 -> shipped 0.4627, custom 0.1759 ->
+0.1782 — both arms improve, adoption stands (the confirmation also
+held under the two earlier span configs: 0.4301 -> 0.4480 and
+0.4314 -> 0.4514).
 
 Run AFTER tools/freeze_perceptron.py (needs the frozen span fixtures):
 python tools/freeze_rel_perceptron.py

@@ -33,9 +33,10 @@ MARGIN = 1500
 
 # shipped span-feature extras / epochs (must track
 # perceptron.SPAN_EXTRAS / EPOCHS); used to produce the predicted val
-# spans the rel selection scores over. conll04 suf4+wl @70 adopted
-# under the dual val+CV gate (tools/cv_span_extras.py, round 4).
-SPAN_EXTRAS: dict = {"conll04": frozenset({"suf4", "wl"}),
+# spans the rel selection scores over. conll04 suf4+wl+psh2 @70
+# adopted over two greedy rounds of the dual val+CV gate
+# (tools/cv_span_extras.py, round 4).
+SPAN_EXTRAS: dict = {"conll04": frozenset({"suf4", "wl", "psh2"}),
                      "custom": frozenset()}
 SPAN_EPOCHS = {"conll04": 70, "custom": 70}
 # stacked cross-fit gazetteer flags in the span fit (must track
