@@ -456,8 +456,9 @@ def pair_features(pairs: DataFrame, docs: DataFrame,
     set): ``fl`` first|last between-token conjunction, ``hltl`` head|
     tail last-token conjunction, ``hfsh``/``tfsh`` perceptron-shape of
     each span's FIRST token (perceptron.ptron_shape_col — deliberately
-    the perceptron's shape classes, not SHAPE_RULES), ``hbow``/``tbow``
-    head/tail span token bags."""
+    the perceptron's shape classes, not SHAPE_RULES), ``hf``/``tf``
+    each span's first token itself, ``hbow``/``tbow`` head/tail span
+    token bags."""
     if "url" not in docs.columns:
         docs = docs.withColumn("url", F.col("doc_id").cast("string"))
     j = (pairs.join(docs.select("url", "tokens"), "url")
@@ -502,6 +503,10 @@ def pair_features(pairs: DataFrame, docs: DataFrame,
             F.expr("tokens[h_start]"))))
         entries.append(kv("tfsh", ptron_shape_col(
             F.expr("tokens[t_start]"))))
+    if "hf" in extra_kinds:
+        entries.append(kv("hf", F.expr("tokens[h_start]")))
+    if "tf" in extra_kinds:
+        entries.append(kv("tf", F.expr("tokens[t_start]")))
     fixed = F.array(*entries)
     # between-text unigrams; bigrams tokens[i] + ' ' + tokens[i+1] for
     # i in [h_end, t_start-2] (0-based). Spark sequence() descends when

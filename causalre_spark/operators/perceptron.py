@@ -701,13 +701,19 @@ def predict_rels_ptron(pred_spans: DataFrame, docs: DataFrame,
 # VAL splits by rel F1 over PREDICTED val spans from a train-only span
 # fit (the deployment-matched criterion): epochs argmax over
 # {8,12,20,30,40}; extras greedy-forward over the
-# tools/sweep_rel_feats.py candidate set, confirmed by a production-
-# chain A/B on val before adoption (the sweep's scalar twin uses the
-# perceptron shape for hlsh/tlsh where production uses SHAPE_RULES, so
-# its scores are selection-grade, not production-identical).
-REL_EPOCHS = {"conll04": 40, "custom": 30}
-REL_EXTRAS = {"conll04": ("tbow", "hltl", "hbow", "fl"),
-              "custom": ("hfsh", "fl")}
+# tools/sweep_rel_feats.py candidate set (the sweep's scalar twin uses
+# the perceptron shape for hlsh/tlsh where production uses
+# SHAPE_RULES, so its scores are selection-grade, not
+# production-identical). Re-selected in round 4 after the suf4+wl+psh2
+# span adoption changed the predicted-span surface, and adopted via
+# the dual val+CV gate deployment-vs-deployment
+# (tools/rel_dual_check.py): conll04 swaps fl -> tf (val rel F1
+# 0.4180 -> 0.4198 @40, 5-fold CV 0.4627 -> 0.4674 @40); custom adds
+# hf and moves 30 -> 40 epochs (val 0.2345 -> 0.2429, CV 0.1759 ->
+# 0.1781 at the deployed checkpoints).
+REL_EPOCHS = {"conll04": 40, "custom": 40}
+REL_EXTRAS = {"conll04": ("tbow", "hltl", "hbow", "tf"),
+              "custom": ("hfsh", "hf", "fl")}
 
 
 def decode_spans(docs: DataFrame, W: dict, Wt: dict,

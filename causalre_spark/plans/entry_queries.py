@@ -3668,25 +3668,38 @@ def _duck_extra_feats(extras: tuple, j: str) -> str:
             "CASE WHEN t_start > h_end THEN tokens[h_end + 1] || '|' "
             "|| tokens[t_start] ELSE '<adj>|<adj>' END AS val "
             f"FROM {j}")
+    # every branch aliases kind/val: the first branch of the UNION
+    # names the columns, and ANY kind can be first (fl is no longer
+    # guaranteed present — conll04 dropped it in the round-4 re-sweep)
     if "hltl" in extras:
         parts.append(
-            f"SELECT {key}, 'hltl', tokens[h_end] || '|' || "
-            f"tokens[t_end] FROM {j}")
+            f"SELECT {key}, 'hltl' AS kind, tokens[h_end] || '|' || "
+            f"tokens[t_end] AS val FROM {j}")
     if "hfsh" in extras:
         parts.append(
-            f"SELECT {key}, 'hfsh', "
-            + _PSH.format(col="tokens[h_start + 1]") + f" FROM {j}")
+            f"SELECT {key}, 'hfsh' AS kind, "
+            + _PSH.format(col="tokens[h_start + 1]")
+            + f" AS val FROM {j}")
         parts.append(
-            f"SELECT {key}, 'tfsh', "
-            + _PSH.format(col="tokens[t_start + 1]") + f" FROM {j}")
+            f"SELECT {key}, 'tfsh' AS kind, "
+            + _PSH.format(col="tokens[t_start + 1]")
+            + f" AS val FROM {j}")
+    if "hf" in extras:
+        parts.append(
+            f"SELECT {key}, 'hf' AS kind, "
+            f"tokens[h_start + 1] AS val FROM {j}")
+    if "tf" in extras:
+        parts.append(
+            f"SELECT {key}, 'tf' AS kind, "
+            f"tokens[t_start + 1] AS val FROM {j}")
     if "hbow" in extras:
         parts.append(
-            f"SELECT {key}, 'hbow', "
-            f"unnest(tokens[h_start + 1 : h_end]) FROM {j}")
+            f"SELECT {key}, 'hbow' AS kind, "
+            f"unnest(tokens[h_start + 1 : h_end]) AS val FROM {j}")
     if "tbow" in extras:
         parts.append(
-            f"SELECT {key}, 'tbow', "
-            f"unnest(tokens[t_start + 1 : t_end]) FROM {j}")
+            f"SELECT {key}, 'tbow' AS kind, "
+            f"unnest(tokens[t_start + 1 : t_end]) AS val FROM {j}")
     if not parts:
         return ""
     inner = "\n          UNION ALL\n          ".join(parts)

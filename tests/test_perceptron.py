@@ -386,7 +386,8 @@ def test_tags_spans_roundtrip():
 def _twin_extra_feats(toks, a, b, extras):
     """Independent twin of the REL_EXTRAS feature kinds
     (fitted.pair_features extra_kinds): fl, hltl, hfsh/tfsh (perceptron
-    shape of each span's FIRST token), hbow/tbow."""
+    shape of each span's FIRST token), hf/tf (the first token itself),
+    hbow/tbow."""
     (hs, he), (ts, te) = a, b
     fs = set()
     if "fl" in extras:
@@ -398,6 +399,10 @@ def _twin_extra_feats(toks, a, b, extras):
     if "hfsh" in extras:
         fs.add(("hfsh", _twin_shape(toks[hs])))
         fs.add(("tfsh", _twin_shape(toks[ts])))
+    if "hf" in extras:
+        fs.add(("hf", toks[hs]))
+    if "tf" in extras:
+        fs.add(("tf", toks[ts]))
     if "hbow" in extras:
         fs |= {("hbow", toks[i]) for i in range(hs, he)}
     if "tbow" in extras:

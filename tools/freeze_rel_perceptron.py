@@ -43,10 +43,15 @@ HEADER = [
     "feature kinds (between-text unigrams/bigrams, gap bucket,",
     "pair-adjacent and span-edge tokens/shapes/widths) plus a bias",
     "feature and the dataset's val-selected extra kinds",
-    "(perceptron.REL_EXTRAS: conll04 tbow/hltl/hbow/fl, custom",
-    "hfsh+tfsh/fl — greedy-forward over tools/sweep_rel_feats.py's",
-    "candidate set, adopted after the production-exact",
-    "tools/val_rel_ab.py A/B), fitted with the same exact",
+    "(perceptron.REL_EXTRAS: conll04 tbow/hltl/hbow/tf, custom",
+    "hfsh+tfsh/hf/fl — greedy-forward over tools/sweep_rel_feats.py's",
+    "candidate set re-swept under the adopted suf4+wl+psh2 span",
+    "config, dual-gated val+CV by tools/rel_dual_check.py (conll04",
+    "val 0.4180 -> 0.4198 / CV 0.4627 -> 0.4674 @40; custom val",
+    "0.2345 -> 0.2429 / CV 0.1759 -> 0.1781, epochs 30 -> 40) and",
+    "confirmed by the production-exact tools/val_rel_ab.py A/B",
+    "(prior -> selected: conll04 0.4000 -> 0.4141, custom 0.2378 ->",
+    "0.2411)), fitted with the same exact",
     "scaled-integer IPM as the span tagger. Selection on VAL by rel",
     "F1 over PREDICTED val spans from a train-only span fit — the",
     "deployment-matched criterion — picks the perceptron over the NB",

@@ -29,9 +29,13 @@ from tools.sweep_rel_feats import _gap_bucket  # noqa: E402
 
 REL_EPOCH_GRID = (8, 12, 20, 30, 40)
 
-# the sweep's selections (tools/sweep_rel_feats.py output, r4)
-SELECTED = {"conll04": ("tbow", "hltl", "hbow", "fl"),
-            "custom": ("hfsh", "fl")}
+# arms: the previously shipped sets vs the round-4 re-sweep's
+# selections under the suf4+wl+psh2 span config (the change
+# tools/rel_dual_check.py dual-gated)
+PRIOR = {"conll04": ("tbow", "hltl", "hbow", "fl"),
+         "custom": ("hfsh", "fl")}
+SELECTED = {"conll04": ("tbow", "hltl", "hbow", "tf"),
+            "custom": ("hfsh", "hf", "fl")}
 
 
 def pair_feats_prod(toks, h_start, h_end, t_start, t_end, extra,
@@ -62,6 +66,10 @@ def pair_feats_prod(toks, h_start, h_end, t_start, t_end, extra,
     if "hfsh" in extra:
         fs.add(("hfsh", _shape(toks[h_start])))
         fs.add(("tfsh", _shape(toks[t_start])))
+    if "hf" in extra:
+        fs.add(("hf", toks[h_start]))
+    if "tf" in extra:
+        fs.add(("tf", toks[t_start]))
     if "hbow" in extra:
         for i in range(h_start, h_end):
             fs.add(("hbow", toks[i]))
@@ -79,6 +87,7 @@ def main() -> None:
         train_pairs = SR.labeled_train_pairs(train_docs)
         pv = SR.predicted_val_spans(ds)
         for label, extra in (("baseline", frozenset()),
+                             ("prior", frozenset(PRIOR[ds])),
                              ("selected", frozenset(SELECTED[ds]))):
             snaps = SR.fit_rel_ipm_twin(train_pairs, extra,
                                         REL_EPOCH_GRID)
