@@ -94,8 +94,13 @@ EPOCHS = {"conll04": 70, "custom": 70}
 # one of four third-kind arms clearing both bars; CV margin is thin
 # but the gate is directional, matching the documented precedent).
 # custom: nine candidate arms across both rounds all fail at least
-# one half — stays at the 10 baseline families. Part of the
-# frozen-weight identity (fixtures/perceptron regenerate on change).
+# one half — stays at the 10 baseline families. The space is
+# EXHAUSTED, not truncated: a third greedy round rejected every
+# remaining arm on both datasets, epochs beyond 70 decline on BOTH
+# signals (val/CV at checkpoints 100 and 140), and a rel-head
+# decision-margin sweep found m=0 (plain argmax) val-optimal on both
+# datasets. Part of the frozen-weight identity (fixtures/perceptron
+# regenerate on change).
 SPAN_EXTRAS = {"conll04": ("suf4", "wl", "psh2"), "custom": ()}
 
 # Stacked cross-fit gazetteer features (("gz", B|I|E|S) membership
