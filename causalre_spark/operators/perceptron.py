@@ -138,11 +138,14 @@ def _shape(w: str) -> str:
 # Engine twins of _shape for the rel-feature extras (REL_EXTRAS hfsh):
 # Unicode category classes valid IDENTICALLY in Java regex (Spark rlike)
 # and RE2 (DuckDB regexp_matches) — the pii_scrub portability
-# discipline. \p{Nd}+ = str.isdigit, [^\p{L}\p{N}]+ = all-non-alnum,
-# leading \p{Lu}/\p{Lt} = w[0].isupper(), no-upper-with-a-lower =
-# str.islower; rule ORDER matches _shape. Exactness vs the Python
-# predicates is gated over every distinct corpus token in
-# tests/test_perceptron.py.
+# discipline. The classes APPROXIMATE the Python predicates (they are
+# not universally equal: '²' is str.isdigit but \p{Nd} rejects it;
+# modifier letter 'ʰ' is str.islower but the lower-pattern rejects it),
+# so equivalence is CORPUS-exact, not universal — gated over every
+# distinct token of every G.REFERENCE_DATASETS corpus plus crafted edge
+# cases in tests/test_perceptron.py test_ptron_shape_engine_twins_exact;
+# a new dataset must pass that gate before these twins may score it.
+# Rule ORDER matches _shape.
 _SHAPE_PATTERNS = [("digits", r"^\p{Nd}+$"),
                    ("punct", r"^[^\p{L}\p{N}]+$"),
                    ("cap", r"^[\p{Lu}\p{Lt}]"),

@@ -4596,10 +4596,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # The round driver samples a PREFIX of this dict (50 of 92 oracles in
 # r03), so queries that have never had a driver-oracle row must iterate
 # first or they never get one (VERDICT r03 next-round #5). The set below
-# is every query with a green row in CORRECTNESS_r01/r02/r03; everything
-# NOT in it (including new round-4 registrations) is moved to the front.
-# Values are untouched — this is a pure iteration-order permutation.
+# is every query with a green row in CORRECTNESS_r01/r02/r03/r04 (the
+# r04 block appended per VERDICT r04 next-round #1 — all 50 r4 rows were
+# rows+schema+hash green); everything NOT in it (i.e. the only two
+# registered oracles still without a driver row, ptron_full_eval_conll04
+# and causal_triples_seeded) is moved to the front. Values are untouched
+# — this is a pure iteration-order permutation.
 _DRIVER_CHECKED = frozenset({
+    # r1–r3 green rows:
     "a1_micro_prf", "a2_loose_match", "a2_loose_rels", "a3_lost_rels",
     "a6_corpus_stats", "a7_iou_binning", "a8_triple_dedup",
     "ann_ivf_assign", "ann_lsh_buckets", "ann_pq_assign", "ann_recall",
@@ -4619,6 +4623,25 @@ _DRIVER_CHECKED = frozenset({
     "text_fingerprint", "text_langid", "text_quality",
     "text_repetition", "text_token_stats", "tpch_q1", "tpch_rollup",
     "tpch_segment_revenue", "u1_set_ops",
+    # r4 green rows (CORRECTNESS_r04.json, 50/50 rows+schema+hash):
+    "asof_join_orders", "bm25_topk", "cc_size_stats", "chunk_documents",
+    "curation_verdict", "dedup_compaction", "dedup_near_clusters",
+    "dedup_substrings", "domain_skew_stats", "dsir_weights",
+    "events_moving_avg", "events_pivot", "fitted_eval_conll04",
+    "fitted_eval_custom", "fitted_hmm_model_conll04",
+    "fitted_hmm_model_custom", "fitted_ptron_eval_conll04",
+    "fitted_ptron_eval_custom", "fitted_ptron_spans_conll04",
+    "fitted_ptron_spans_custom", "fitted_rel_weights_conll04",
+    "fitted_rel_weights_custom", "fitted_spans_conll04",
+    "fitted_spans_custom", "gazetteer_eval_conll04",
+    "gazetteer_eval_custom", "gazetteer_lexicon", "gazetteer_spans",
+    "gold_eval_conll04", "gold_eval_custom", "group_quantiles",
+    "kg_communities", "kg_degree_stats", "kg_negative_samples",
+    "kg_triangles", "lang_mixing_weights", "langid_confusion",
+    "lm_perplexity", "pack_sequences", "pii_scrub",
+    "ptron_full_eval_custom", "range_join_errors", "sample_hash",
+    "sample_stratified", "skew_salted_agg", "tfidf_topk", "tpch_q3_topk",
+    "tpch_q5_local_supplier", "url_canon_dedup", "zorder_key",
 })
 QUERIES = {
     **{k: v for k, v in QUERIES.items() if k not in _DRIVER_CHECKED},

@@ -529,10 +529,14 @@ def test_ptron_shape_engine_twins_exact(spark):
     PTRON_SHAPE_SQL_DUCK_FMT (RE2) match the Python _shape predicates
     on EVERY distinct token of both reference corpora (incl. the
     custom set's non-ASCII tokens: Æthelred, Île, ’ …) plus crafted
-    edge cases — the exactness gate for the hfsh/tfsh REL_EXTRAS."""
+    edge cases — the exactness gate for the hfsh/tfsh REL_EXTRAS.
+    Iterates every G.REFERENCE_DATASETS corpus (not a hardcoded pair)
+    so adding a dataset automatically extends the gate."""
+    from causalre_spark import gold_eval as G
+
     toks = {"", "3M", "Æthelred", "Île", "’", "café", "can't", "USA",
             "x1", "--", "a-b"}
-    for ds in ("custom", "conll04"):
+    for ds in sorted(G.REFERENCE_DATASETS):
         for split in ("train", "val", "test"):
             for (arr,) in duckdb.sql(
                     f"SELECT tokens FROM '{FIX}/{ds}_{split}.parquet'"
@@ -557,10 +561,10 @@ def test_ptron_shape_engine_twins_exact(spark):
 @pytest.mark.parametrize("ds,floor", [("conll04", 0.45), ("custom", 0.15)])
 def test_rel_perceptron_quality_gate(spark, ds, floor):
     """The oracle-gated all-perceptron eval clears the GOLD_EVAL.md rel
-    F1 floor (conll04 0.498 / custom 0.182 recorded — REL_EXTRAS
-    selected on val by tools/sweep_rel_feats.py + val_rel_ab.py and
-    re-confirmed under the gaz span chain, epochs/extras unchanged;
-    every selection signal is val/CV only, never test)."""
+    F1 floor (the recorded test F1s live in the BENCH/GOLD_EVAL.md
+    tables — REL_EXTRAS selected on val by tools/sweep_rel_feats.py +
+    val_rel_ab.py and re-confirmed under the gaz span chain; every
+    selection signal is val/CV only, never test)."""
     from causalre_spark.plans.entry_queries import QUERIES
 
     rows = {r.task: r for r in

@@ -57,10 +57,10 @@ HEADER = [
     "dual val+CV gate: val 0.800 -> 0.8105 (tools/exp_gaz_stack.py)",
     "AND 5-fold CV over train∪val 0.8040 -> 0.8136",
     "(tools/cv_gaz_check.py); custom rejected, val 0.4299 vs 0.4276.",
-    "The conll04 TEST rows moved 0.790 -> 0.785 span / 0.523 -> 0.498",
-    "rel under the new spans — within the 390-span split's binomial",
-    "noise; both selection signals improve on ~5x more eval data and",
-    "neither ever reads test).",
+    "The conll04 TEST rows under each refreeze are recorded only in",
+    "the frozen tables below — test is never a selection signal; both",
+    "selection signals improve on ~5x more eval data and neither ever",
+    "reads test).",
     "Relations: the SAME fitted NB chain as the HMM",
     "section (margin + frequency floor), refit on train ∪ val, scored",
     "over the perceptron's spans. Protocol: epochs selected on VAL",

@@ -31,17 +31,15 @@ GRID_OFFSET = 0.3141592653589793
 MIN_DF = 3
 MARGIN = 1500
 
-# shipped span-feature extras / epochs (must track
-# perceptron.SPAN_EXTRAS / EPOCHS); used to produce the predicted val
-# spans the rel selection scores over. conll04 suf4+wl+psh2 @70
-# adopted over two greedy rounds of the dual val+CV gate
-# (tools/cv_span_extras.py, round 4).
-SPAN_EXTRAS: dict = {"conll04": frozenset({"suf4", "wl", "psh2"}),
-                     "custom": frozenset()}
-SPAN_EPOCHS = {"conll04": 70, "custom": 70}
-# stacked cross-fit gazetteer flags in the span fit (must track
-# perceptron.SPAN_GAZ so predicted val spans match deployment)
-SPAN_GAZ = {"conll04": True, "custom": False}
+# shipped span-feature extras / epochs / gaz flags, imported FROM the
+# deployment module so a span-config change can never silently de-match
+# the rel selection surface (ADVICE r4: these were duplicated literals);
+# used to produce the predicted val spans the rel selection scores over.
+from causalre_spark.operators import perceptron as _PT  # noqa: E402
+
+SPAN_EXTRAS: dict = {ds: frozenset(v) for ds, v in _PT.SPAN_EXTRAS.items()}
+SPAN_EPOCHS = dict(_PT.EPOCHS)
+SPAN_GAZ = dict(_PT.SPAN_GAZ)
 
 
 def _gap_bucket(gap: int) -> str:
