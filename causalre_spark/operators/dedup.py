@@ -53,6 +53,7 @@ def word_shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
 def minhash_lsh_pairs(
     shingles: DataFrame, n_hashes: int, band_size: int,
     max_bucket: int | None = 200, cleanup: list | None = None,
+    base_col: str | None = None,
 ) -> DataFrame:
     """Candidate near-dup id pairs (id_a < id_b) via MinHash-LSH banding.
 
@@ -62,6 +63,19 @@ def minhash_lsh_pairs(
     docs) that would explode to O(n²) pairs; true near-dups also collide
     in the other, small buckets, so recall is preserved.
 
+    ``base_col`` names a precomputed md5-long base-hash column so the
+    caller can evaluate one md5 per shingle row on a persisted frame and
+    share it with the jaccard-verify join keys (the linking.py
+    int-keyed-chain discipline, link_mentions rationale).
+
+    Shuffle width: the band key is a single BIGINT, not the h-value
+    concat string — for band_size 2 the exact positional packing
+    h_i * 2^31 + h_j (CW values are < 2^31 - 1, so this is injective
+    and < 2^62), else the md5-long of the concat (identical expression
+    in the DuckDB oracle, so hash collisions — which could only MERGE
+    buckets — are engine-identical). The bucket-size guard, the
+    semi-join and the band self-join all shuffle (int, long) rows.
+
     Frames persisted here are appended to `cleanup` (if given) so the
     caller can unpersist after its terminal action — otherwise cached
     blocks accumulate across a long session (LRU-evicted under memory
@@ -69,8 +83,13 @@ def minhash_lsh_pairs(
     # one md5 per shingle row + cheap CW derivations (hashing.py rationale)
     from causalre_spark.functions.hashing import cw_hash_sql
 
-    based = shingles.withColumn("_bh", F.expr(md5_long_sql_spark("shingle")))
-    aggs = [F.min(F.expr(cw_hash_sql("_bh", s))).alias(f"h{s}")
+    if base_col is None:
+        based = shingles.withColumn(
+            "_bh", F.expr(md5_long_sql_spark("shingle")))
+        base_col = "_bh"
+    else:
+        based = shingles
+    aggs = [F.min(F.expr(cw_hash_sql(base_col, s))).alias(f"h{s}")
             for s in range(n_hashes)]
     sigs = based.groupBy("id").agg(*aggs)
     if max_bucket:
@@ -80,13 +99,15 @@ def minhash_lsh_pairs(
         if cleanup is not None:
             cleanup.append(sigs)
     n_bands = n_hashes // band_size
-    banded = None
-    for b in range(n_bands):
-        cols = [F.col(f"h{b * band_size + j}").cast("string")
-                for j in range(band_size)]
-        part = sigs.select("id", F.lit(b).alias("band"),
-                           F.concat_ws("|", *cols).alias("bkey"))
-        banded = part if banded is None else banded.unionByName(part)
+    # one explode projection (single pass over sigs), BIGINT band keys
+    band_structs = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 _band_key([f"h{b * band_size + j}"
+                            for j in range(band_size)]).alias("bkey"))
+        for b in range(n_bands)
+    ])
+    banded = sigs.select("id", F.explode(band_structs).alias("bk")).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
     if max_bucket:
         sizes = banded.groupBy("band", "bkey").agg(F.count(F.lit(1)).alias("_n"))
         banded = banded.join(
@@ -98,9 +119,33 @@ def minhash_lsh_pairs(
             .select("id_a", "id_b").distinct())
 
 
+def _band_key(hcols: list) -> "F.Column":
+    """One BIGINT key for a band's h-columns: exact positional packing
+    for band_size <= 2 (CW values < 2^31 - 1), md5-long of the concat
+    otherwise. Twin: entry_queries._duck_band_key."""
+    if len(hcols) == 1:
+        return F.col(hcols[0])
+    if len(hcols) == 2:
+        return (F.col(hcols[0]) * F.lit(1 << 31) + F.col(hcols[1]))
+    concat = "concat_ws('|', " + ", ".join(
+        f"cast({h} as string)" for h in hcols) + ")"
+    return F.expr(md5_long_sql_spark(concat))
+
+
 def jaccard_verify(pairs: DataFrame, shingles: DataFrame, thd: float) -> DataFrame:
     """Exact n-gram Jaccard on candidate pairs (explode-join formulation —
     no array collection, scales to large shingle sets).
+
+    The ``shingle`` column may be the md5-long BIGINT of the shingle
+    instead of the surface string — the joins and counts are
+    type-agnostic, and passing the precomputed base hash (the same
+    column minhash_lsh_pairs consumes via ``base_col``) shrinks the
+    pair×shingle shuffle rows to fixed-width (BIGINT, BIGINT) — the
+    linking.py int-keyed-chain rewrite, measured ~4× shuffle-row shrink
+    at 250k pages (linking.py link_mentions rationale). Jaccard over
+    the hashes equals Jaccard over the strings modulo 48-bit md5
+    collisions, which the DuckDB oracle reproduces identically (it
+    hashes with the same expression).
 
     Same physical shape as linking.verify_jaccard (see rationale there):
     size prefilter before the explode-join — J >= t implies

@@ -735,10 +735,18 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     # persisted: consumed by the signature aggregation AND both sides of
     # the jaccard verification — without the cache the normalize+shingle
-    # projection over the full corpus runs three times
-    sh = dedup.word_shingles(docs, n=3).persist()
-    pairs = dedup.minhash_lsh_pairs(sh, n_hashes=6, band_size=2)
-    return dedup.jaccard_verify(pairs, sh, thd=0.3)
+    # projection over the full corpus runs three times. The md5-long
+    # base hash is computed ONCE here and shared by the minhash base and
+    # the verify join keys, so every downstream shuffle moves fixed-width
+    # BIGINTs instead of shingle strings (linking int-keyed-chain
+    # discipline; VERDICT r4 next-round #3).
+    sh = (dedup.word_shingles(docs, n=3)
+          .withColumn("_bh", F.expr(md5_long_sql_spark("shingle")))
+          .persist())
+    pairs = dedup.minhash_lsh_pairs(sh, n_hashes=6, band_size=2,
+                                    base_col="_bh")
+    return dedup.jaccard_verify(
+        pairs, sh.select("id", F.col("_bh").alias("shingle")), thd=0.3)
 
 
 def q_dedup_near_clusters(spark, sf_dir):
@@ -760,9 +768,13 @@ def q_dedup_near_clusters(spark, sf_dir):
     from causalre_spark.operators import linking
 
     docs = _t(spark, sf_dir, "documents")
-    sh = dedup.word_shingles(docs, n=3).persist()
+    sh = (dedup.word_shingles(docs, n=3)
+          .withColumn("_bh", F.expr(md5_long_sql_spark("shingle")))
+          .persist())
     pairs = dedup.jaccard_verify(
-        dedup.minhash_lsh_pairs(sh, n_hashes=6, band_size=2), sh, thd=0.3)
+        dedup.minhash_lsh_pairs(sh, n_hashes=6, band_size=2,
+                                base_col="_bh"),
+        sh.select("id", F.col("_bh").alias("shingle")), thd=0.3)
     edges = pairs.select(F.col("id_a").alias("form_a"),
                          F.col("id_b").alias("form_b"))
     nodes = (edges.select(F.col("form_a").alias("form"))
@@ -778,12 +790,33 @@ def q_dedup_near_clusters(spark, sf_dir):
                     (F.col("form") == F.col("component")).alias("keep")))
 
 
+def _duck_band_key(hcols: list, band_size: int) -> str:
+    """DuckDB twin of dedup._band_key: exact positional BIGINT packing
+    for band_size <= 2 (CW values < 2^31 - 1), md5-long of the concat
+    otherwise — identical expression family to the Spark side, so any
+    hash collision merges the same buckets in both engines."""
+    if band_size == 1:
+        return hcols[0]
+    if band_size == 2:
+        return f"({hcols[0]} * {1 << 31} + {hcols[1]})"
+    concat = "concat_ws('|', " + ", ".join(hcols) + ")"
+    return md5_long_sql(concat)
+
+
 def _duck_minhash_cte(n: int, n_hashes: int, band_size: int) -> str:
+    # int-keyed twin of the Spark chain (q_dedup_minhash_lsh): the
+    # md5-long base hash is projected ONCE (shk), feeds the CW minhash
+    # aggregates AND the shared-shingle join keys; band keys are packed
+    # BIGINTs (_duck_band_key).
+    from causalre_spark.functions.hashing import cw_hash_sql
+
     norm = NORMALIZE_SQL_DUCK.format(x="text")
     mins = ", ".join(
-        f"min({minhash_sql('shingle', s)}) AS h{s}" for s in range(n_hashes))
+        f"min({cw_hash_sql('bh', s)}) AS h{s}" for s in range(n_hashes))
     bands = "\nUNION ALL\n".join(
-        f"SELECT id, {b} AS band, concat_ws('|', h{b * band_size}, h{b * band_size + 1}) AS bkey FROM sigs"
+        f"SELECT id, {b} AS band, "
+        f"{_duck_band_key([f'h{b * band_size + j}' for j in range(band_size)], band_size)}"
+        f" AS bkey FROM sigs"
         for b in range(n_hashes // band_size))
     return f"""
 norm AS (SELECT doc_id AS id, string_split({norm}, ' ') AS toks FROM documents),
@@ -792,7 +825,8 @@ sh AS (SELECT DISTINCT id,
        FROM (SELECT id, toks,
                     unnest(generate_series(1, greatest(1, len(toks) - {n - 1}))) AS i
              FROM norm) q),
-sigs AS (SELECT id, {mins} FROM sh GROUP BY id),
+shk AS (SELECT id, {md5_long_sql('shingle')} AS bh FROM sh),
+sigs AS (SELECT id, {mins} FROM shk GROUP BY id),
 banded AS ({bands}),
 bsizes AS (SELECT band, bkey, count(*) AS n FROM banded GROUP BY band, bkey),
 bando AS (SELECT b.* FROM banded b JOIN bsizes s
@@ -800,10 +834,10 @@ bando AS (SELECT b.* FROM banded b JOIN bsizes s
 cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
          FROM bando a JOIN bando b ON a.band = b.band AND a.bkey = b.bkey
          WHERE a.id < b.id),
-counts AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+counts AS (SELECT id, count(*) AS n_sh FROM shk GROUP BY id),
 shared AS (SELECT c.id_a, c.id_b, count(*) AS n_shared
-           FROM cand c JOIN sh x ON x.id = c.id_a
-                        JOIN sh y ON y.id = c.id_b AND y.shingle = x.shingle
+           FROM cand c JOIN shk x ON x.id = c.id_a
+                        JOIN shk y ON y.id = c.id_b AND y.bh = x.bh
            GROUP BY c.id_a, c.id_b)
 """
 
@@ -894,11 +928,18 @@ def q_dedup_blocking_recall(spark, sf_dir):
     the same relational plan. One shared shingle projection feeds the
     truth side, the signature aggregation, and both verify sides."""
     docs = _t(spark, sf_dir, "documents")
-    sh = dedup.word_shingles(docs, n=3).persist()
-    truth = dedup.ngram_jaccard_pairs(sh, thd_num=3, thd_den=10) \
+    # string shingles feed the exact truth side (its oracle joins on
+    # strings); the md5-long base keys the LSH/verify detection side
+    sh = (dedup.word_shingles(docs, n=3)
+          .withColumn("_bh", F.expr(md5_long_sql_spark("shingle")))
+          .persist())
+    truth = dedup.ngram_jaccard_pairs(sh.drop("_bh"), thd_num=3, thd_den=10) \
         .select("id_a", "id_b")
-    cand = dedup.minhash_lsh_pairs(sh, n_hashes=6, band_size=2)
-    det = dedup.jaccard_verify(cand, sh, thd=0.3).select("id_a", "id_b")
+    cand = dedup.minhash_lsh_pairs(sh, n_hashes=6, band_size=2,
+                                   base_col="_bh")
+    det = dedup.jaccard_verify(
+        cand, sh.select("id", F.col("_bh").alias("shingle")),
+        thd=0.3).select("id_a", "id_b")
     n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
     n_det = det.agg(F.count(F.lit(1)).alias("n_detected"))
     n_hit = truth.join(det, ["id_a", "id_b"], "left_semi").agg(
@@ -941,9 +982,13 @@ def q_dedup_compaction(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     # persisted: the shingle projection feeds the signature agg AND both
     # Jaccard-verify sides (same 3-way fan-out as q_dedup_minhash_lsh)
-    sh = dedup.word_shingles(docs, n=3).persist()
+    sh = (dedup.word_shingles(docs, n=3)
+          .withColumn("_bh", F.expr(md5_long_sql_spark("shingle")))
+          .persist())
     pairs = dedup.jaccard_verify(
-        dedup.minhash_lsh_pairs(sh, n_hashes=6, band_size=2), sh, thd=0.3)
+        dedup.minhash_lsh_pairs(sh, n_hashes=6, band_size=2,
+                                base_col="_bh"),
+        sh.select("id", F.col("_bh").alias("shingle")), thd=0.3)
     comp = _star_components(
         pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b")),
         max_iters=15, parts=8)
