@@ -209,6 +209,42 @@ def _feats(toks: list, shapes: list, i: int, gfl: list = None,
     return fs
 
 
+# Token-conditioned transition feature kinds (the round-5 family —
+# the one VERDICT r04 documented as untried): a SPAN_EXTRAS entry in
+# this tuple conditions the transition score/update on a position-local
+# value instead of adding an emission feature. Weights live in the SAME
+# Wt dict under 3-tuple keys ((kind, val), prev, state) — global
+# transitions keep their (prev, state) 2-tuple keys — so every fit /
+# decode / freeze signature and the frozen-weights parquet schema
+# (kind, val, prev, state, w) are unchanged; rows_to_weights dispatches
+# on prev being non-null. With no tr kind in extras the code paths are
+# byte-identical to round 4 (fixture identity preserved).
+TR_KINDS = ("trw", "trpw", "trsh", "trpsh")
+
+
+def _tr_feats(toks: list, shapes: list, i: int, extras: tuple) -> list:
+    """Conditioned-transition feature keys for the transition INTO
+    position i (i >= 1): current/previous token or shape. The scorer
+    and the update attach (prev, state) exactly like the global
+    ``__tr__`` weight — update fires iff the gold and predicted
+    transitions differ, the exact sequence-level perceptron update
+    (the position-local features cancel when the transitions agree)."""
+    fs = []
+    if "trsh" in extras:
+        fs.append(("trsh", shapes[i]))
+    if "trpsh" in extras:
+        fs.append(("trpsh", shapes[i - 1]))
+    if "trw" in extras:
+        fs.append(("trw", toks[i]))
+    if "trpw" in extras:
+        fs.append(("trpw", toks[i - 1]))
+    return fs
+
+
+def _has_tr(extras: tuple) -> bool:
+    return any(k in extras for k in TR_KINDS)
+
+
 def gaz_index(phrases) -> dict:
     """Index an iterable of token-tuple phrases by first token for the
     scan in :func:`gaz_flags`."""
@@ -254,6 +290,8 @@ def viterbi_tags(toks: list, W: dict, Wt: dict, gfl: list = None,
         return []
     shs = [_shape(w) for w in toks]
     fs = [_feats(toks, shs, i, gfl, extras) for i in range(n)]
+    trf = ([None] + [_tr_feats(toks, shs, i, extras) for i in range(1, n)]
+           if _has_tr(extras) else None)
     emis = [[sum(W.get((f, s), 0) for f in fs[i]) for s in STATES]
             for i in range(n)]
     NEG = float("-inf")
@@ -262,6 +300,7 @@ def viterbi_tags(toks: list, W: dict, Wt: dict, gfl: list = None,
     for s in START_OK:
         dp[0][_SI[s]] = emis[0][_SI[s]]
     for i in range(1, n):
+        tf = trf[i] if trf is not None else ()
         for s in STATES:
             si = _SI[s]
             best, barg = NEG, -1
@@ -272,6 +311,8 @@ def viterbi_tags(toks: list, W: dict, Wt: dict, gfl: list = None,
                 if v == NEG:
                     continue
                 v = v + Wt.get((p, s), 0)
+                for f in tf:
+                    v += Wt.get((f, p, s), 0)
                 if v > best:
                     best, barg = v, _SI[p]
             if barg >= 0:
@@ -333,6 +374,7 @@ def local_epoch(docs: list, W: dict, Wt: dict, step: int,
     dWt: dict = defaultdict(int)
     lw = dict(W)
     lwt = dict(Wt)
+    has_tr = _has_tr(extras)
     for row in docs:
         _, toks, gold = row[0], row[1], row[2]
         gfl = row[3] if len(row) > 3 else None
@@ -350,10 +392,14 @@ def local_epoch(docs: list, W: dict, Wt: dict, step: int,
         for i in range(1, len(toks)):
             gt, pt = (gold[i - 1], gold[i]), (pred[i - 1], pred[i])
             if gt != pt:
-                dWt[gt] += step
-                dWt[pt] -= step
-                lwt[gt] = lwt.get(gt, 0) + step
-                lwt[pt] = lwt.get(pt, 0) - step
+                keys = [(gt, step), (pt, -step)]
+                if has_tr:
+                    for f in _tr_feats(toks, shs, i, extras):
+                        keys.append(((f,) + gt, step))
+                        keys.append(((f,) + pt, -step))
+                for k, d in keys:
+                    dWt[k] += d
+                    lwt[k] = lwt.get(k, 0) + d
     return dW, dWt
 
 
@@ -470,11 +516,17 @@ def fit_ipm(split_df: DataFrame, epochs: int,
                     out["prev"].append(None)
                     out["state"].append(s)
                     out["delta"].append(d)
-                for (p, s), d in dWt.items():
-                    out["kind"].append("__tr__")
-                    out["val"].append(None)
-                    out["prev"].append(p)
-                    out["state"].append(s)
+                for k, d in dWt.items():
+                    if len(k) == 2:  # global (prev, state)
+                        out["kind"].append("__tr__")
+                        out["val"].append(None)
+                        out["prev"].append(k[0])
+                        out["state"].append(k[1])
+                    else:  # conditioned ((kind, val), prev, state)
+                        out["kind"].append(k[0][0])
+                        out["val"].append(k[0][1])
+                        out["prev"].append(k[1])
+                        out["state"].append(k[2])
                     out["delta"].append(d)
                 return pd.DataFrame(out)
 
@@ -491,6 +543,9 @@ def fit_ipm(split_df: DataFrame, epochs: int,
                 if r["kind"] == "__tr__":
                     k = (r["prev"], r["state"])
                     Wt[k] = Wt.get(k, 0) + mixed
+                elif r["prev"] is not None:  # conditioned transition
+                    k = ((r["kind"], r["val"]), r["prev"], r["state"])
+                    Wt[k] = Wt.get(k, 0) + mixed
                 else:
                     k = ((r["kind"], r["val"]), r["state"])
                     W[k] = W.get(k, 0) + mixed
@@ -505,11 +560,18 @@ def fit_ipm(split_df: DataFrame, epochs: int,
 
 def weights_to_rows(W: dict, Wt: dict) -> list:
     """(kind, val, prev, state, w) rows for the frozen-weights parquet
-    (transitions carried as kind='__tr__'), sorted for determinism."""
+    (global transitions carried as kind='__tr__'; token-conditioned
+    transitions as (kind, val, prev, state) — the only rows with BOTH
+    val and prev set), sorted for determinism."""
     rows = [(kind, val, None, s, int(w))
             for ((kind, val), s), w in W.items() if w]
-    rows += [("__tr__", None, p, s, int(w))
-             for (p, s), w in Wt.items() if w]
+    for k, w in Wt.items():
+        if not w:
+            continue
+        if len(k) == 2:
+            rows.append(("__tr__", None, k[0], k[1], int(w)))
+        else:
+            rows.append((k[0][0], k[0][1], k[1], k[2], int(w)))
     return sorted(rows, key=lambda r: (r[0], r[1] or "", r[2] or "", r[3]))
 
 
@@ -520,6 +582,8 @@ def rows_to_weights(rows) -> tuple[dict, dict]:
     for r in rows:
         if r["kind"] == "__tr__":
             Wt[(r["prev"], r["state"])] = int(r["w"])
+        elif r["prev"] is not None:  # conditioned transition
+            Wt[((r["kind"], r["val"]), r["prev"], r["state"])] = int(r["w"])
         else:
             W[((r["kind"], r["val"]), r["state"])] = int(r["w"])
     return W, Wt

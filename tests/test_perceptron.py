@@ -73,6 +73,21 @@ def _twin_feats(toks, i, gfl=None, extras=()):
     return fs
 
 
+def _twin_trfeats(toks, i, extras):
+    """Twin of perceptron._tr_feats: conditioned-transition keys for
+    the transition into position i (i >= 1)."""
+    fs = []
+    if "trsh" in extras:
+        fs.append(("trsh", _twin_shape(toks[i])))
+    if "trpsh" in extras:
+        fs.append(("trpsh", _twin_shape(toks[i - 1])))
+    if "trw" in extras:
+        fs.append(("trw", toks[i]))
+    if "trpw" in extras:
+        fs.append(("trpw", toks[i - 1]))
+    return fs
+
+
 def _twin_gazflags(toks, lex):
     """Independent gazetteer flags: brute scan of every phrase at every
     position (no first-token indexing — a different algorithm than the
@@ -105,7 +120,9 @@ def _twin_viterbi(toks, W, Wt, gfl=None, extras=()):
     bp = [[0] * 5 for _ in range(n)]
     for s in ("O", "B", "S"):
         dp[0][_SI[s]] = emis[0][_SI[s]]
+    has_tr = any(k in extras for k in ("trw", "trpw", "trsh", "trpsh"))
     for i in range(1, n):
+        tf = _twin_trfeats(toks, i, extras) if has_tr else ()
         for s in _STATES:
             si = _SI[s]
             best, barg = NEG, -1
@@ -113,6 +130,8 @@ def _twin_viterbi(toks, W, Wt, gfl=None, extras=()):
                 if (p, s) not in _LEGAL or dp[i - 1][_SI[p]] == NEG:
                     continue
                 v = dp[i - 1][_SI[p]] + Wt.get((p, s), 0)
+                for f in tf:
+                    v += Wt.get((f, p, s), 0)
                 if v > best:
                     best, barg = v, _SI[p]
             if barg >= 0:
@@ -168,10 +187,13 @@ def _twin_fit(docs, P, epochs, extras=()):
                     gt = (gold[i - 1], gold[i])
                     pr = (pred[i - 1], pred[i])
                     if gt != pr:
-                        aggt[gt] += P
-                        aggt[pr] -= P
-                        lwt[gt] = lwt.get(gt, 0) + P
-                        lwt[pr] = lwt.get(pr, 0) - P
+                        updates = [(gt, P), (pr, -P)]
+                        for f in _twin_trfeats(toks, i, extras):
+                            updates.append(((f,) + gt, P))
+                            updates.append(((f,) + pr, -P))
+                        for k, d in updates:
+                            aggt[k] += d
+                            lwt[k] = lwt.get(k, 0) + d
         for k, v in agg.items():
             if v:
                 W[k] = W.get(k, 0) + v // P
@@ -215,6 +237,45 @@ def test_ipm_fit_matches_scalar_twin_exactly(spark):
                         P=PT.P_SHARDS, epochs=3)
     assert Wt == Wt2
     assert W == W2
+
+
+def test_ipm_fit_token_conditioned_transitions_matches_twin(spark):
+    """The token-conditioned-transition family (TR_KINDS): Spark
+    fit_ipm == scalar twin exactly with trsh+trw stacked, the
+    3-tuple Wt keys round-trip through weights_to_rows /
+    rows_to_weights unchanged, and decode under the fitted weights
+    matches the twin Viterbi (covers the conditioned transition score
+    inside the Arrow decode UDF)."""
+    extras = ("trsh", "trw")
+    df = (spark.read.parquet(f"{FIX}/custom_train.parquet")
+          .where(F.col("doc_id") < 120))
+    W, Wt = PT.fit_ipm(df, epochs=3, extras=extras)
+    W = {k: v for k, v in W.items() if v}
+    Wt = {k: v for k, v in Wt.items() if v}
+    W2, Wt2 = _twin_fit(_load_docs("custom", "train", max_doc=120),
+                        P=PT.P_SHARDS, epochs=3, extras=extras)
+    assert Wt == Wt2
+    assert W == W2
+    assert any(len(k) == 3 for k in Wt)  # the family actually fired
+    # frozen-row round trip preserves both key shapes exactly
+    rows = PT.weights_to_rows(W, Wt)
+    Wr, Wtr = PT.rows_to_weights(
+        [dict(zip(("kind", "val", "prev", "state", "w"), r))
+         for r in rows])
+    assert (Wr, Wtr) == (W, Wt)
+    # decode parity under conditioned transitions
+    docs = spark.read.parquet(f"{FIX}/custom_val.parquet")
+    got = {(r["url"], r["start"], r["end"])
+           for r in PT.decode_spans(docs, W, Wt, extras=extras).collect()}
+    want = set()
+    for d, toks in duckdb.sql(
+            f"SELECT doc_id, tokens FROM '{FIX}/custom_val.parquet'"
+    ).fetchall():
+        toks = [str(x) for x in toks]
+        tags = _twin_viterbi(toks, W, Wt, extras=extras)
+        for a, b in PT.tags_to_spans(tags):
+            want.add((str(d), a, b))
+    assert got == want
 
 
 def test_decode_matches_scalar_twin_exactly(spark):
