@@ -102,7 +102,7 @@ def minhash_lsh_pairs(
     # one explode projection (single pass over sigs), BIGINT band keys
     band_structs = F.array(*[
         F.struct(F.lit(b).alias("band"),
-                 _band_key([f"h{b * band_size + j}"
+                 band_key([f"h{b * band_size + j}"
                             for j in range(band_size)]).alias("bkey"))
         for b in range(n_bands)
     ])
@@ -119,10 +119,14 @@ def minhash_lsh_pairs(
             .select("id_a", "id_b").distinct())
 
 
-def _band_key(hcols: list) -> "F.Column":
+def band_key(hcols: list) -> "F.Column":
     """One BIGINT key for a band's h-columns: exact positional packing
-    for band_size <= 2 (CW values < 2^31 - 1), md5-long of the concat
-    otherwise. Twin: entry_queries._duck_band_key."""
+    for band_size <= 2 (CW values < 2^31 - 1, so h0 * 2^31 + h1 is
+    injective and < 2^62), md5-long of the decimal concat otherwise.
+    Twins: entry_queries._duck_band_key (DuckDB), :func:`band_key_py`
+    (the pure-Python pipeline oracle) — all three spell the identical
+    value, so a (band_size > 2) hash collision merges the same buckets
+    in every engine."""
     if len(hcols) == 1:
         return F.col(hcols[0])
     if len(hcols) == 2:
@@ -130,6 +134,18 @@ def _band_key(hcols: list) -> "F.Column":
     concat = "concat_ws('|', " + ", ".join(
         f"cast({h} as string)" for h in hcols) + ")"
     return F.expr(md5_long_sql_spark(concat))
+
+
+def band_key_py(hvals) -> int:
+    """Python twin of :func:`band_key` over a band's h-values."""
+    from causalre_spark.functions.hashing import md5_long
+
+    hvals = list(hvals)
+    if len(hvals) == 1:
+        return int(hvals[0])
+    if len(hvals) == 2:
+        return int(hvals[0]) * (1 << 31) + int(hvals[1])
+    return md5_long("|".join(str(int(h)) for h in hvals))
 
 
 def jaccard_verify(pairs: DataFrame, shingles: DataFrame, thd: float) -> DataFrame:

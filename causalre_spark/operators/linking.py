@@ -125,12 +125,19 @@ def lsh_candidate_pairs(
     max_bucket drops oversized buckets before the quadratic self-join —
     the skew guard that keeps worst-case corpora (low-entropy text where
     every form minhashes together) from exploding to O(n²) pairs."""
+    from causalre_spark.operators.dedup import band_key
+
     n_bands = n_hashes // band_size
+    # one BIGINT band key (dedup.band_key: injective packing at
+    # band_size <= 2, md5-long of the concat otherwise) instead of the
+    # h-value concat string — the banded table is shuffled three times
+    # under the max_bucket guard (sizes, semi-join, self-join), so the
+    # key width is paid on every one of them
     band_structs = F.array(*[
         F.struct(
             F.lit(b).alias("band"),
-            F.concat_ws("|", *[F.col(f"h{b * band_size + j}").cast("string")
-                               for j in range(band_size)]).alias("bkey"),
+            band_key([f"h{b * band_size + j}"
+                      for j in range(band_size)]).alias("bkey"),
         )
         for b in range(n_bands)
     ])

@@ -222,12 +222,17 @@ def link_entities(mentions: list[str], cfg: PipelineConfig) -> dict[str, tuple[i
     forms = sorted({normalize(m) for m in mentions if normalize(m)})
     sh = {f: char_shingles(f, cfg.shingle_size) for f in forms}
     sig = {f: minhash_signature(sh[f], cfg.minhash_hashes) for f in forms}
+    from causalre_spark.operators.dedup import band_key_py
+
     n_bands = cfg.minhash_hashes // cfg.minhash_band_size
     buckets: dict[tuple, list[str]] = defaultdict(list)
     for f in forms:
         for band in range(n_bands):
             lo = band * cfg.minhash_band_size
-            key = (band, tuple(sig[f][lo : lo + cfg.minhash_band_size]))
+            # band_key_py = exact twin of the Spark side's BIGINT band
+            # key (linking.lsh_candidate_pairs), so a band_size>2 hash
+            # collision merges the same buckets in both implementations
+            key = (band, band_key_py(sig[f][lo : lo + cfg.minhash_band_size]))
             buckets[key].append(f)
     adj: dict[str, set[str]] = defaultdict(set)
     for members in buckets.values():

@@ -1730,9 +1730,9 @@ sh AS (SELECT DISTINCT form, substring(form, i, 3) AS shingle
              FROM forms) q),
 sigs AS (SELECT form, {", ".join(f"min({minhash_sql('shingle', s)}) AS h{s}" for s in range(4))}
          FROM sh GROUP BY form),
-banded AS (SELECT form, 0 AS band, concat_ws('|', h0, h1) AS bkey FROM sigs
+banded AS (SELECT form, 0 AS band, {_duck_band_key(['h0', 'h1'], 2)} AS bkey FROM sigs
            UNION ALL
-           SELECT form, 1 AS band, concat_ws('|', h2, h3) AS bkey FROM sigs)
+           SELECT form, 1 AS band, {_duck_band_key(['h2', 'h3'], 2)} AS bkey FROM sigs)
 SELECT DISTINCT a.form AS form_a, b.form AS form_b
 FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey
 WHERE a.form < b.form
