@@ -99,8 +99,20 @@ EPOCHS = {"conll04": 70, "custom": 70}
 # remaining arm on both datasets, epochs beyond 70 decline on BOTH
 # signals (val/CV at checkpoints 100 and 140), and a rel-head
 # decision-margin sweep found m=0 (plain argmax) val-optimal on both
-# datasets. Part of the frozen-weight identity (fixtures/perceptron
-# regenerate on change).
+# datasets. Round 5 also tried the last untried family —
+# token-conditioned transitions (TR_KINDS, tools/cv_span_trans.py,
+# dual val+CV gate at checkpoints 35/50/70): custom all four kinds
+# REJECTED (closest: trpw val 0.4299->0.4388 but CV 0.3717->0.3714;
+# trpsh CV 0.3717->0.3738 but val 0.4299->0.4230); conll04 trw beats
+# base on best-over-checkpoint val (0.8185->0.8189 @50) AND CV
+# (0.8244->0.8249 @70) but at DIFFERENT epochs — no single deployable
+# checkpoint improves both (@50 CV 0.8233 < 0.8244; @70 val 0.8159 <
+# 0.8185; margins ±0.0005, inside split noise), and every prior
+# adoption required the deployed checkpoint to win both signals, so
+# trw is REJECTED too; trpw/trsh/trpsh fail val outright. The family
+# stays implemented-but-unselected (exactness gated by
+# tests/test_perceptron.py token-conditioned parity). Part of the
+# frozen-weight identity (fixtures/perceptron regenerate on change).
 SPAN_EXTRAS = {"conll04": ("suf4", "wl", "psh2"), "custom": ()}
 
 # Stacked cross-fit gazetteer features (("gz", B|I|E|S) membership
