@@ -111,8 +111,16 @@ EPOCHS = {"conll04": 70, "custom": 70}
 # adoption required the deployed checkpoint to win both signals, so
 # trw is REJECTED too; trpw/trsh/trpsh fail val outright. The family
 # stays implemented-but-unselected (exactness gated by
-# tests/test_perceptron.py token-conditioned parity). Part of the
-# frozen-weight identity (fixtures/perceptron regenerate on change).
+# tests/test_perceptron.py token-conditioned parity). The
+# SEMI-SUPERVISED lever (distributional word-cluster features, Koo et
+# al. 2008 — clusters fit-split-text-only, k-means over left/right
+# context signatures, tools/cv_span_wcl.py) was probed last and also
+# REJECTED on both datasets: wcl/wcl3 lose val outright (custom
+# 0.4299->0.4028/0.3777, conll04 0.8185->0.8090/0.8070 — custom wcl's
+# CV gain 0.3717->0.3800 fails the dual gate's val half), i.e. at
+# ~1k-doc corpus size the cluster ids add noise over the lexical
+# families the tagger already has. Part of the frozen-weight identity
+# (fixtures/perceptron regenerate on change).
 SPAN_EXTRAS = {"conll04": ("suf4", "wl", "psh2"), "custom": ()}
 
 # Stacked cross-fit gazetteer features (("gz", B|I|E|S) membership
