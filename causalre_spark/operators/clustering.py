@@ -134,19 +134,25 @@ def semantic_dedup_pairs(emb: DataFrame, thd: float, k: int = 8,
     map-only projection against the fitted centroids — the only
     shuffle left is the in-cluster pair join itself."""
     cents = kmeans_fit(emb, k, iters, dim, id_col, vec_col)
+    # norms are per-VECTOR values: compute them once in the map-side
+    # projections (n sqrt-of-dot evaluations) instead of per candidate
+    # PAIR after the join (2·|pairs| evaluations — the quadratic term);
+    # same expression over the same column, so the double is
+    # bit-identical and the rounded cosine cannot move
     with_c = emb.select(F.col(id_col), F.col(vec_col),
-                        _assign_col(cents, vec_col).alias("cluster"))
+                        _assign_col(cents, vec_col).alias("cluster"),
+                        F.expr(_norm(vec_col)).alias("nrm"))
     a = with_c.select("cluster", F.col(id_col).alias("id_a"),
-                      F.col(vec_col).alias("va"))
+                      F.col(vec_col).alias("va"), F.col("nrm").alias("na"))
     b = with_c.select("cluster", F.col(id_col).alias("id_b"),
-                      F.col(vec_col).alias("vb"))
+                      F.col(vec_col).alias("vb"), F.col("nrm").alias("nb"))
     return (
         a.join(b, "cluster")
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
             "cosine",
             F.round(F.expr(_dot("va", "vb"))
-                    / (F.expr(_norm("va")) * F.expr(_norm("vb"))), 4),
+                    / (F.col("na") * F.col("nb")), 4),
         )
         .filter(F.col("cosine") >= thd)
         .select("id_a", "id_b", "cosine")

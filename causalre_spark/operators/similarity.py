@@ -55,14 +55,17 @@ def cosine_topk(
     The 1-row query side is broadcast — no shuffle of the big side.
     Deterministic order: rounded cosine desc, id asc.
     """
+    # the query norm is a scalar: compute it once on the 1-row
+    # broadcast side, not per corpus row (bit-identical doubles)
     q = emb.filter(F.col(id_col) == query_id).select(
-        F.col(vec_col).alias("qvec"))
+        F.col(vec_col).alias("qvec"),
+        F.expr(_norm(vec_col)).alias("qn"))
     joined = emb.filter(F.col(id_col) != query_id).join(F.broadcast(q))
     scored = joined.select(
         F.col(id_col),
         F.round(
             F.expr(_dot(vec_col, "qvec"))
-            / (F.expr(_norm(vec_col)) * F.expr(_norm("qvec"))),
+            / (F.expr(_norm(vec_col)) * F.col("qn")),
             4,
         ).alias("cosine"),
     )
@@ -115,20 +118,24 @@ def cosine_near_dup_pairs(
     scale raise n_bits (or use multiple probe tables) — same plan shape.
     The bucket itself is a map-only projection, not an id-join.
     """
+    # per-vector norm computed in the map-side projection, not per
+    # candidate pair after the join (see semantic_dedup_pairs — the
+    # same quadratic-term elision; bit-identical doubles)
     with_b = emb.select(
         F.col(id_col), F.col(vec_col),
-        _lsh_sign_bucket_col(n_bits, vec_col).alias("bucket"))
+        _lsh_sign_bucket_col(n_bits, vec_col).alias("bucket"),
+        F.expr(_norm(vec_col)).alias("nrm"))
     a = with_b.select("bucket", F.col(id_col).alias("id_a"),
-                      F.col(vec_col).alias("va"))
+                      F.col(vec_col).alias("va"), F.col("nrm").alias("na"))
     c = with_b.select("bucket", F.col(id_col).alias("id_b"),
-                      F.col(vec_col).alias("vb"))
+                      F.col(vec_col).alias("vb"), F.col("nrm").alias("nb"))
     return (
         a.join(c, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
             "cosine",
             F.round(F.expr(_dot("va", "vb"))
-                    / (F.expr(_norm("va")) * F.expr(_norm("vb"))), 4),
+                    / (F.col("na") * F.col("nb")), 4),
         )
         .filter(F.col("cosine") >= thd)
         .select("id_a", "id_b", "cosine")
@@ -200,19 +207,20 @@ def ann_topk_multiprobe(
         F.col(id_col), F.col(vec_col),
         _rh_bucket_col(n_planes, dim, vec_col).alias("bucket"))
     qb = with_b.filter(F.col(id_col) == query_id).select(
-        "bucket", F.col(vec_col).alias("qvec"))
+        "bucket", F.col(vec_col).alias("qvec"),
+        F.expr(_norm(vec_col)).alias("qn"))
     probes = qb.select(
         F.explode(F.array(
             F.col("bucket"),
             *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_probes)]
-        )).alias("bucket"), "qvec")
+        )).alias("bucket"), "qvec", "qn")
     cands = with_b.join(F.broadcast(probes), "bucket").filter(
         F.col(id_col) != query_id)
     scored = cands.select(
         F.col(id_col),
         F.round(
             F.expr(_dot(vec_col, "qvec"))
-            / (F.expr(_norm(vec_col)) * F.expr(_norm("qvec"))), 4,
+            / (F.expr(_norm(vec_col)) * F.col("qn")), 4,
         ).alias("cosine"),
     )
     return _topk_ranked(scored, k, id_col)
@@ -291,19 +299,20 @@ def ann_topk_ivf(
         for c in range(n_centroids))
     q = (emb.filter(F.col(id_col) == query_id)
          .select(F.col(vec_col).alias("qvec"),
+                 F.expr(_norm(vec_col)).alias("qn"),
                  F.explode(F.expr(f"array({pairs})")).alias("cd"))
-         .select("qvec", F.col("cd.centroid").alias("centroid"), F.col("cd.d").alias("d")))
+         .select("qvec", "qn", F.col("cd.centroid").alias("centroid"), F.col("cd.d").alias("d")))
     # TakeOrderedAndProject for the probe-list selection too (n_centroids
     # rows, but the same no-single-partition-Window discipline)
     probes = (q.orderBy(F.col("d").desc(), F.col("centroid").asc())
-              .limit(n_probe).select("centroid", "qvec"))
+              .limit(n_probe).select("centroid", "qvec", "qn"))
     cands = with_c.join(F.broadcast(probes), "centroid").filter(
         F.col(id_col) != query_id)
     scored = cands.select(
         F.col(id_col),
         F.round(
             F.expr(_dot(vec_col, "qvec"))
-            / (F.expr(_norm(vec_col)) * F.expr(_norm("qvec"))), 4,
+            / (F.expr(_norm(vec_col)) * F.col("qn")), 4,
         ).alias("cosine"),
     )
     return _topk_ranked(scored, k, id_col)
@@ -320,14 +329,15 @@ def ann_topk_bucketed(
     b = lsh_sign_buckets(emb, n_bits, id_col, vec_col)
     with_b = emb.join(b, id_col)
     qb = with_b.filter(F.col(id_col) == query_id).select(
-        F.col("bucket"), F.col(vec_col).alias("qvec"))
+        F.col("bucket"), F.col(vec_col).alias("qvec"),
+        F.expr(_norm(vec_col)).alias("qn"))
     cands = with_b.join(F.broadcast(qb), "bucket").filter(
         F.col(id_col) != query_id)
     scored = cands.select(
         F.col(id_col),
         F.round(
             F.expr(_dot(vec_col, "qvec"))
-            / (F.expr(_norm(vec_col)) * F.expr(_norm("qvec"))),
+            / (F.expr(_norm(vec_col)) * F.col("qn")),
             4,
         ).alias("cosine"),
     )
