@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from causalre_spark.functions.partitions import spread
 from causalre_spark.operators.similarity import _dot, _dot_literal, _norm
 
 
@@ -64,9 +65,10 @@ def _assign_col(cents: dict[int, list[float]], vec_col: str):
 
 def _assign_to_centroids(emb: DataFrame, cents: dict[int, list[float]],
                          id_col: str, vec_col: str) -> DataFrame:
-    """(id, cluster) frame view of :func:`_assign_col`."""
-    return emb.select(F.col(id_col),
-                      _assign_col(cents, vec_col).alias("cluster"))
+    """(id, cluster) frame view of :func:`_assign_col` (input spread —
+    functions.partitions)."""
+    return spread(emb).select(F.col(id_col),
+                              _assign_col(cents, vec_col).alias("cluster"))
 
 
 def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 2,
@@ -89,6 +91,11 @@ def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 2,
     init.sort(key=lambda r: r[id_col])
     cents = {c: [float(x) for x in r[vec_col]] for c, r in enumerate(init)}
 
+    # the assignment projection is O(k·dim) arithmetic per row — spread
+    # the one-row-group scan so it runs on every core, not one
+    # (functions.partitions rationale); sums are per-cluster aggregates,
+    # so partitioning cannot move a result
+    emb = spread(emb)
     for _ in range(max(1, iters) - 1):
         means = (
             emb.select(F.col(vec_col),
@@ -139,9 +146,14 @@ def semantic_dedup_pairs(emb: DataFrame, thd: float, k: int = 8,
     # PAIR after the join (2·|pairs| evaluations — the quadratic term);
     # same expression over the same column, so the double is
     # bit-identical and the rounded cosine cannot move
-    with_c = emb.select(F.col(id_col), F.col(vec_col),
-                        _assign_col(cents, vec_col).alias("cluster"),
-                        F.expr(_norm(vec_col)).alias("nrm"))
+    # spread BEFORE the pair join: the build side is broadcast (k=8
+    # cluster keys, small table), so the probe side's scan partitioning
+    # is the ONLY parallelism the quadratic in-cluster pair loop gets —
+    # on the driver's one-row-group parquet that was a single task
+    # doing all Σ|cluster|² cosine evaluations
+    with_c = spread(emb).select(F.col(id_col), F.col(vec_col),
+                                _assign_col(cents, vec_col).alias("cluster"),
+                                F.expr(_norm(vec_col)).alias("nrm"))
     a = with_c.select("cluster", F.col(id_col).alias("id_a"),
                       F.col(vec_col).alias("va"), F.col("nrm").alias("na"))
     b = with_c.select("cluster", F.col(id_col).alias("id_b"),

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from causalre_spark.functions.hashing import md5_long_sql_spark
+from causalre_spark.functions.partitions import spread
 from causalre_spark.functions.text import NORMALIZE_SQL
 
 
@@ -26,7 +27,7 @@ def exact_dedup_keepers(docs: DataFrame, key_col: str = "text",
     content group + group size. (A8 at corpus scale.)"""
     norm = NORMALIZE_SQL.format(x=key_col)
     return (
-        docs.withColumn("content_key", F.expr(md5_long_sql_spark(norm)))
+        spread(docs).withColumn("content_key", F.expr(md5_long_sql_spark(norm)))
         .groupBy("content_key")
         .agg(
             F.min(id_col).alias("keeper_id"),
@@ -37,9 +38,14 @@ def exact_dedup_keepers(docs: DataFrame, key_col: str = "text",
 
 def word_shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
                   text_col: str = "text") -> DataFrame:
-    """(id, shingle) distinct word n-grams of the normalized text."""
+    """(id, shingle) distinct word n-grams of the normalized text.
+
+    The input is spread to the session's parallelism first: the
+    normalize + split + n-gram fan-out multiplies each doc row ~50x,
+    and the driver tables arrive as one unsplittable parquet row group
+    (functions.partitions rationale)."""
     norm = NORMALIZE_SQL.format(x=text_col)
-    return docs.select(
+    return spread(docs).select(
         F.col(id_col).alias("id"),
         F.explode(
             F.expr(
@@ -205,9 +211,10 @@ def jaccard_verify(pairs: DataFrame, shingles: DataFrame, thd: float) -> DataFra
 def simhash16(docs: DataFrame, id_col: str = "doc_id",
               text_col: str = "text") -> DataFrame:
     """16-bit SimHash over word token md5 hashes — per-bit majority vote,
-    built entirely from relational aggregates (explode + sum + case)."""
+    built entirely from relational aggregates (explode + sum + case).
+    Input spread before the token explode (functions.partitions)."""
     norm = NORMALIZE_SQL.format(x=text_col)
-    toks = docs.select(
+    toks = spread(docs).select(
         F.col(id_col).alias("id"),
         F.explode(F.expr(f"split({norm}, ' ')")).alias("tok"),
     ).filter(F.col("tok") != "")
@@ -232,10 +239,11 @@ def simhash_wide(docs: DataFrame, bits: int = 60, id_col: str = "doc_id",
     16 bits collide constantly at corpus scale). 60 bits from the first
     15 md5 hex chars — the widest value that stays BIGINT-safe and
     float64-exact in BOTH engines (64 would overflow DuckDB's signed
-    BIGINT sum). Same per-bit majority vote, pure relational aggregates."""
+    BIGINT sum). Same per-bit majority vote, pure relational aggregates.
+    Input spread before the token explode (functions.partitions)."""
     assert bits <= 60
     norm = NORMALIZE_SQL.format(x=text_col)
-    toks = docs.select(
+    toks = spread(docs).select(
         F.col(id_col).alias("id"),
         F.explode(F.expr(f"split({norm}, ' ')")).alias("tok"),
     ).filter(F.col("tok") != "")
@@ -446,8 +454,8 @@ def remove_dup_substrings(docs: DataFrame, k: int = 8, min_count: int = 2,
     corpus term. Docs shorter than ``k`` tokens pass through untouched.
     """
     norm = NORMALIZE_SQL.format(x=text_col)
-    base = docs.select(F.col(id_col).alias("id"),
-                       F.expr(f"split({norm}, ' ')").alias("toks"))
+    base = spread(docs).select(F.col(id_col).alias("id"),
+                               F.expr(f"split({norm}, ' ')").alias("toks"))
     gram = f"concat_ws(' ', slice(toks, p, {k}))"
     pos = (base
            .select("id", "toks", F.explode(F.expr(

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from causalre_spark.functions.hashing import md5_long_sql_spark
 from causalre_spark.functions.grid import grid_col
+from causalre_spark.functions.partitions import spread
 from causalre_spark.functions.text import NORMALIZE_SQL
 
 # tiny deterministic marker lists (n-gram-heuristic language ID)
@@ -34,7 +35,10 @@ def quality_scores(docs: DataFrame, id_col: str = "doc_id",
     composing projections without a join)."""
     toks = f"split({NORMALIZE_SQL.format(x=text_col)}, ' ')"
     stop = "array('the','a','of','to','and','in','is','was')"
-    return docs.select(
+    # spread: the HOF aggregate/filter lambdas below are interpreted
+    # per element, and the driver scan is one unsplittable row group
+    # (functions.partitions; no-op on streaming frames)
+    return spread(docs).select(
         F.col(id_col),
         *[F.col(c) for c in extra_cols],
         F.expr(f"size({toks})").cast("long").alias("n_tokens"),
@@ -146,7 +150,7 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
     result is total-order deterministic under any partitioning.
     """
     norm = NORMALIZE_SQL.format(x=text_col)
-    base = docs.select(
+    base = spread(docs).select(
         F.col(id_col),
         F.expr(f"split({norm}, ' ')").alias("toks"),
         F.length(F.expr(norm)).alias("n_norm_chars"),

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from causalre_spark.config import DEFAULT_CONFIG
 from causalre_spark.functions.hashing import md5_long_sql, md5_long_sql_spark, minhash_sql
 from causalre_spark.functions.grid import grid_col
+from causalre_spark.functions.partitions import spread
 from causalre_spark.functions.text import NORMALIZE_SQL
 from causalre_spark.functions.text_duck import NORMALIZE_SQL_DUCK
 from causalre_spark.operators import dedup, sampling, similarity, textstats
@@ -47,9 +48,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def _lattice(spark: SparkSession, sf_dir: str, L: int, W: int) -> DataFrame:
     """P4: the dense span lattice, relationally (explode x explode), with
-    P1 validity as a WHERE clause (masks become filters, SURVEY §2.2)."""
+    P1 validity as a WHERE clause (masks become filters, SURVEY §2.2).
+    The scan is spread first: the lattice multiplies each doc ~L·W/2-fold
+    and the driver table is one unsplittable row group
+    (functions.partitions rationale)."""
     return (
-        _t(spark, sf_dir, "documents")
+        spread(_t(spark, sf_dir, "documents"))
         .select("doc_id", F.split("text", " ").alias("toks"))
         .withColumn("len", F.least(F.size("toks"), F.lit(L)))
         .filter(F.col("len") > 0)
@@ -2661,8 +2665,11 @@ FROM lineitem GROUP BY l_returnflag
 
 def _pages_from_documents(spark, sf_dir) -> DataFrame:
     """Adapt the driver's documents table to the input_hint page schema
-    (html synthesized around text — extraction invariant still holds)."""
-    return _t(spark, sf_dir, "documents").select(
+    (html synthesized around text — extraction invariant still holds).
+    Spread first so the downstream Arrow-UDF extraction stage gets one
+    task per core instead of the scan's single unsplittable row group
+    (functions.partitions rationale)."""
+    return spread(_t(spark, sf_dir, "documents")).select(
         F.concat(F.lit("https://"), F.col("source"),
                  F.lit(".example.org/doc/"), F.col("doc_id")).alias("url"),
         F.lit("2025-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
