@@ -27,7 +27,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from causalre_spark.functions.partitions import spread
-from causalre_spark.operators.similarity import _dot, _dot_literal, _norm
+from causalre_spark.operators.similarity import (
+    _dot_fixed, _dot_literal, _norm_fixed)
 
 
 def _assign_col(cents: dict[int, list[float]], vec_col: str):
@@ -146,14 +147,21 @@ def semantic_dedup_pairs(emb: DataFrame, thd: float, k: int = 8,
     # PAIR after the join (2·|pairs| evaluations — the quadratic term);
     # same expression over the same column, so the double is
     # bit-identical and the rounded cosine cannot move
-    # spread BEFORE the pair join: the build side is broadcast (k=8
-    # cluster keys, small table), so the probe side's scan partitioning
-    # is the ONLY parallelism the quadratic in-cluster pair loop gets —
-    # on the driver's one-row-group parquet that was a single task
-    # doing all Σ|cluster|² cosine evaluations
-    with_c = spread(emb).select(F.col(id_col), F.col(vec_col),
-                                _assign_col(cents, vec_col).alias("cluster"),
-                                F.expr(_norm(vec_col)).alias("nrm"))
+    # spread AFTER the cluster/norm projection and BEFORE the pair
+    # join, for two reasons: (1) the build side is broadcast (k=8
+    # cluster keys, small table), so the probe side's partitioning is
+    # the ONLY parallelism the quadratic in-cluster pair loop gets — on
+    # the driver's one-row-group parquet that was a single task doing
+    # all Σ|cluster|² cosine evaluations; (2) the exchange is a
+    # whole-stage-codegen boundary that keeps the O(k·dim) assign chain
+    # OUT of the pair stage — fused, the combined method exceeds
+    # Janino's 64 KB limit and the whole pair stage (the quadratic
+    # loop!) drops to interpreted eval (measured 66 s vs 9 s at 10x
+    # bench scale). Post-split, the pair stage codegens just the
+    # unrolled 64-term dot.
+    with_c = spread(emb.select(F.col(id_col), F.col(vec_col),
+                               _assign_col(cents, vec_col).alias("cluster"),
+                               F.expr(_norm_fixed(vec_col, dim)).alias("nrm")))
     a = with_c.select("cluster", F.col(id_col).alias("id_a"),
                       F.col(vec_col).alias("va"), F.col("nrm").alias("na"))
     b = with_c.select("cluster", F.col(id_col).alias("id_b"),
@@ -163,7 +171,7 @@ def semantic_dedup_pairs(emb: DataFrame, thd: float, k: int = 8,
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
             "cosine",
-            F.round(F.expr(_dot("va", "vb"))
+            F.round(F.expr(_dot_fixed("va", "vb", dim))
                     / (F.col("na") * F.col("nb")), 4),
         )
         .filter(F.col("cosine") >= thd)

@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from causalre_spark.functions.partitions import spread
+
 
 def _dot(a: str, b: str) -> str:
     return (
@@ -25,6 +27,28 @@ def _dot(a: str, b: str) -> str:
 
 def _norm(a: str) -> str:
     return f"sqrt({_dot(a, a)})"
+
+
+def _dot_fixed(a: str, b: str, dim: int) -> str:
+    """Value-identical unrolled spelling of :func:`_dot` for fixed-width
+    vectors (the embeddings table's dim=64 contract). Same left-to-right
+    fold order — ((0.0 + a0·b0) + a1·b1) + … — so the resulting double
+    is bit-identical to the aggregate/zip_with spelling and a rounded
+    cosine cannot move. Why: higher-order lambdas never participate in
+    whole-stage codegen AND zip_with allocates the zipped intermediate
+    array per evaluation — in the quadratic pair loops (semantic dedup,
+    in-bucket cosine verify) that interpreted per-element path is the
+    inner loop. A plain arithmetic chain codegens flat. Only for arrays
+    known to carry >= dim elements: element j past the end is NULL and
+    NULLs the whole sum (ragged inputs must keep using :func:`_dot`)."""
+    terms = " + ".join(
+        f"(cast({a}[{j}] as double) * cast({b}[{j}] as double))"
+        for j in range(dim))
+    return f"(cast(0.0 as double) + {terms})"
+
+
+def _norm_fixed(a: str, dim: int) -> str:
+    return f"sqrt({_dot_fixed(a, a, dim)})"
 
 
 def _topk_ranked(scored: DataFrame, k: int, id_col: str) -> DataFrame:
@@ -48,24 +72,28 @@ def _topk_ranked(scored: DataFrame, k: int, id_col: str) -> DataFrame:
 
 def cosine_topk(
     emb: DataFrame, query_id: int, k: int, id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    vec_col: str = "embedding", dim: int | None = None,
 ) -> DataFrame:
     """Top-k rows by cosine similarity to the row with id = query_id.
 
     The 1-row query side is broadcast — no shuffle of the big side.
-    Deterministic order: rounded cosine desc, id asc.
+    Deterministic order: rounded cosine desc, id asc. With `dim`, the
+    dot/norm use the unrolled fixed-width spelling (:func:`_dot_fixed`
+    — bit-identical values, codegen instead of interpreted lambdas).
     """
+    dot = (lambda a, b: _dot_fixed(a, b, dim)) if dim else _dot
+    nrm = (lambda a: _norm_fixed(a, dim)) if dim else _norm
     # the query norm is a scalar: compute it once on the 1-row
     # broadcast side, not per corpus row (bit-identical doubles)
     q = emb.filter(F.col(id_col) == query_id).select(
         F.col(vec_col).alias("qvec"),
-        F.expr(_norm(vec_col)).alias("qn"))
-    joined = emb.filter(F.col(id_col) != query_id).join(F.broadcast(q))
+        F.expr(nrm(vec_col)).alias("qn"))
+    joined = spread(emb.filter(F.col(id_col) != query_id)).join(F.broadcast(q))
     scored = joined.select(
         F.col(id_col),
         F.round(
-            F.expr(_dot(vec_col, "qvec"))
-            / (F.expr(_norm(vec_col)) * F.col("qn")),
+            F.expr(dot(vec_col, "qvec"))
+            / (F.expr(nrm(vec_col)) * F.col("qn")),
             4,
         ).alias("cosine"),
     )
@@ -110,6 +138,7 @@ def lsh_bucket_stats(emb: DataFrame, n_bits: int = 8,
 def cosine_near_dup_pairs(
     emb: DataFrame, thd: float, n_bits: int = 4,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (dedup family): sign-LSH
     bucket blocking -> in-bucket pairs -> exact rounded-cosine filter.
@@ -120,11 +149,19 @@ def cosine_near_dup_pairs(
     """
     # per-vector norm computed in the map-side projection, not per
     # candidate pair after the join (see semantic_dedup_pairs — the
-    # same quadratic-term elision; bit-identical doubles)
-    with_b = emb.select(
+    # same quadratic-term elision; bit-identical doubles); input spread
+    # so the in-bucket pair loop parallelizes past the one-row-group
+    # scan, and with `dim` the dot/norm take the unrolled fixed-width
+    # spelling (:func:`_dot_fixed`)
+    dot = (lambda a, b: _dot_fixed(a, b, dim)) if dim else _dot
+    nrm = (lambda a: _norm_fixed(a, dim)) if dim else _norm
+    # projection BEFORE the spread exchange: the exchange doubles as a
+    # codegen boundary keeping the bucket+norm chains out of the pair
+    # stage's generated method (see semantic_dedup_pairs rationale)
+    with_b = spread(emb.select(
         F.col(id_col), F.col(vec_col),
         _lsh_sign_bucket_col(n_bits, vec_col).alias("bucket"),
-        F.expr(_norm(vec_col)).alias("nrm"))
+        F.expr(nrm(vec_col)).alias("nrm")))
     a = with_b.select("bucket", F.col(id_col).alias("id_a"),
                       F.col(vec_col).alias("va"), F.col("nrm").alias("na"))
     c = with_b.select("bucket", F.col(id_col).alias("id_b"),
@@ -134,7 +171,7 @@ def cosine_near_dup_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
             "cosine",
-            F.round(F.expr(_dot("va", "vb"))
+            F.round(F.expr(dot("va", "vb"))
                     / (F.col("na") * F.col("nb")), 4),
         )
         .filter(F.col("cosine") >= thd)

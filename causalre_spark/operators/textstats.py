@@ -33,17 +33,28 @@ def quality_scores(docs: DataFrame, id_col: str = "doc_id",
     (streaming.curation_gate_stream); `extra_cols` passes additional
     input columns through unchanged (e.g. upstream signal columns when
     composing projections without a join)."""
-    toks = f"split({NORMALIZE_SQL.format(x=text_col)}, ' ')"
     stop = "array('the','a','of','to','and','in','is','was')"
     # spread: the HOF aggregate/filter lambdas below are interpreted
     # per element, and the driver scan is one unsplittable row group
-    # (functions.partitions; no-op on streaming frames)
-    return spread(docs).select(
+    # (functions.partitions; no-op on streaming frames). The token
+    # array is materialized once per row in its own projection (the
+    # repetition_row_signals discipline) — the previous inline spelling
+    # evaluated split(normalize(text)) in FOUR sibling expressions per
+    # row; the alias is multiply-referenced and non-cheap, so
+    # CollapseProject keeps it to one evaluation. Same expression over
+    # the same input, so every emitted value is bit-identical.
+    base = spread(docs).select(
         F.col(id_col),
         *[F.col(c) for c in extra_cols],
-        F.expr(f"size({toks})").cast("long").alias("n_tokens"),
+        F.col(text_col),
+        F.expr(f"split({NORMALIZE_SQL.format(x=text_col)}, ' ')").alias("_toks"),
+    )
+    return base.select(
+        F.col(id_col),
+        *[F.col(c) for c in extra_cols],
+        F.expr("size(_toks)").cast("long").alias("n_tokens"),
         F.round(F.expr(
-            f"aggregate({toks}, 0L, (a, t) -> a + length(t)) / greatest(size({toks}), 1)"
+            "aggregate(_toks, 0L, (a, t) -> a + length(t)) / greatest(size(_toks), 1)"
         ), 4).alias("avg_token_len"),
         F.round(
             (F.length(text_col)
@@ -51,7 +62,7 @@ def quality_scores(docs: DataFrame, id_col: str = "doc_id",
             / F.greatest(F.length(text_col), F.lit(1)), 4
         ).alias("punct_ratio"),
         F.round(F.expr(
-            f"size(filter({toks}, t -> array_contains({stop}, t))) / greatest(size({toks}), 1)"
+            f"size(filter(_toks, t -> array_contains({stop}, t))) / greatest(size(_toks), 1)"
         ), 4).alias("stopword_ratio"),
     ).withColumn(
         # rounded at 5dp: the composite of 4dp-rounded ratios is exact at

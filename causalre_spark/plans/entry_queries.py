@@ -1265,7 +1265,8 @@ FROM documents
 # --------------------------------------------------------------------------
 
 def q_sim_cosine_topk(spark, sf_dir):
-    return similarity.cosine_topk(_t(spark, sf_dir, "embeddings"), query_id=0, k=20)
+    return similarity.cosine_topk(_t(spark, sf_dir, "embeddings"),
+                                  query_id=0, k=20, dim=EMB_DIM)
 
 
 _DUCK_COS = """
@@ -1669,7 +1670,7 @@ FROM ({u}) legs
 def q_dedup_cosine(spark, sf_dir):
     """Embedding-cosine near-dup pairs: sign-LSH blocking + exact cosine."""
     return similarity.cosine_near_dup_pairs(
-        _t(spark, sf_dir, "embeddings"), thd=0.2, n_bits=4)
+        _t(spark, sf_dir, "embeddings"), thd=0.2, n_bits=4, dim=EMB_DIM)
 
 
 _B4 = " + ".join(

@@ -43,6 +43,23 @@ def get_spark(
     # distribution's launcher); either way, leave it alone.
     if not (os.environ.get("MASTER") or SparkConf().contains("spark.master")):
         b = b.master(f"local[{cores}]")
+    # HotSpot refuses to JIT methods over 8000 bytecode bytes
+    # (DontCompileHugeMethods, on by default): Catalyst's generated
+    # whole-stage methods for wide literal chains (unrolled dot
+    # products, k-means assignment argmax, PQ distance tables) exceed
+    # that and would run in the BYTECODE INTERPRETER forever — measured
+    # 25x on the SemDeDup pair stage (51 s -> 2 s warm at 10x bench
+    # scale). Janino's own 64 KB limit still bounds method size; letting
+    # the JIT compile what Janino accepted is strictly better than
+    # interpreting it. Merged (not overwritten) with caller-supplied
+    # java options; executors on a real cluster get the same flag.
+    _jit_flag = "-XX:-DontCompileHugeMethods"
+    extra_conf = dict(extra_conf or {})
+    for opt_key in ("spark.driver.extraJavaOptions",
+                    "spark.executor.extraJavaOptions"):
+        supplied = extra_conf.pop(opt_key, None)
+        extra_conf[opt_key] = (f"{supplied} {_jit_flag}" if supplied
+                               else _jit_flag)
     b = (
         b.appName(app)
         .config("spark.sql.shuffle.partitions", str(max(cfg.shuffle_partitions, cores)))
