@@ -314,7 +314,7 @@ def _bigram_buckets(docs: DataFrame, id_col: str, text_col: str,
     and the Spark plan agree bit-for-bit.
     """
     norm = NORMALIZE_SQL.format(x=text_col)
-    base = docs.select(
+    base = spread(docs).select(
         F.col(id_col).alias("id"),
         F.expr(f"split({norm}, ' ')").alias("toks"),
     )
@@ -411,7 +411,7 @@ def chunk_documents(docs: DataFrame, id_col: str = "doc_id",
     downstream dedup/shuffle keys are uniform by construction.
     """
     norm = NORMALIZE_SQL.format(x=text_col)
-    base = docs.select(
+    base = spread(docs).select(
         F.col(id_col),
         F.expr(f"split({norm}, ' ')").alias("toks"),
     )
