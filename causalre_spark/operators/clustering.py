@@ -166,14 +166,24 @@ def semantic_dedup_pairs(emb: DataFrame, thd: float, k: int = 8,
                       F.col(vec_col).alias("va"), F.col("nrm").alias("na"))
     b = with_c.select("cluster", F.col(id_col).alias("id_b"),
                       F.col(vec_col).alias("vb"), F.col("nrm").alias("nb"))
+    # the cosine is emitted through explode(array(..)) — a Generate
+    # node whose output the threshold filter references. Catalyst
+    # cannot push a predicate below the Generate that defines its
+    # input, so the 64-term dot chain appears exactly ONCE in the
+    # stage; the plain withColumn+filter spelling clones the whole
+    # chain into the join condition, and compiling the doubled method
+    # cost ~19 s per run (the chain is rebuilt per fitted centroids, so
+    # no codegen cache hit across runs). Bit-identical value, identical
+    # row set — explode of a 1-element array is exactly one row out per
+    # row in.
     return (
         a.join(b, "cluster")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "cosine",
-            F.round(F.expr(_dot_fixed("va", "vb", dim))
-                    / (F.col("na") * F.col("nb")), 4),
+        .select(
+            "id_a", "id_b",
+            F.explode(F.array(
+                F.round(F.expr(_dot_fixed("va", "vb", dim))
+                        / (F.col("na") * F.col("nb")), 4))).alias("cosine"),
         )
         .filter(F.col("cosine") >= thd)
-        .select("id_a", "id_b", "cosine")
     )

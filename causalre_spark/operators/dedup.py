@@ -27,7 +27,7 @@ def exact_dedup_keepers(docs: DataFrame, key_col: str = "text",
     content group + group size. (A8 at corpus scale.)"""
     norm = NORMALIZE_SQL.format(x=key_col)
     return (
-        spread(docs).withColumn("content_key", F.expr(md5_long_sql_spark(norm)))
+        docs.withColumn("content_key", F.expr(md5_long_sql_spark(norm)))
         .groupBy("content_key")
         .agg(
             F.min(id_col).alias("keeper_id"),

@@ -77,23 +77,26 @@ def cosine_topk(
     """Top-k rows by cosine similarity to the row with id = query_id.
 
     The 1-row query side is broadcast — no shuffle of the big side.
-    Deterministic order: rounded cosine desc, id asc. With `dim`, the
-    dot/norm use the unrolled fixed-width spelling (:func:`_dot_fixed`
-    — bit-identical values, codegen instead of interpreted lambdas).
+    Deterministic order: rounded cosine desc, id asc. `dim` is
+    accepted for signature parity with the pair scorers but the
+    aggregate/zip_with spelling is kept deliberately: this is ONE dot
+    per corpus row (linear, not quadratic), and the unrolled chain's
+    codegen + JIT compile cost exceeds everything the faster inner
+    loop saves at any corpus size (measured 0.35 s -> 1.0 s at bench
+    sf0.1 when unrolled — the compile is per-plan, the scan is one
+    pass).
     """
-    dot = (lambda a, b: _dot_fixed(a, b, dim)) if dim else _dot
-    nrm = (lambda a: _norm_fixed(a, dim)) if dim else _norm
     # the query norm is a scalar: compute it once on the 1-row
     # broadcast side, not per corpus row (bit-identical doubles)
     q = emb.filter(F.col(id_col) == query_id).select(
         F.col(vec_col).alias("qvec"),
-        F.expr(nrm(vec_col)).alias("qn"))
-    joined = spread(emb.filter(F.col(id_col) != query_id)).join(F.broadcast(q))
+        F.expr(_norm(vec_col)).alias("qn"))
+    joined = emb.filter(F.col(id_col) != query_id).join(F.broadcast(q))
     scored = joined.select(
         F.col(id_col),
         F.round(
-            F.expr(dot(vec_col, "qvec"))
-            / (F.expr(nrm(vec_col)) * F.col("qn")),
+            F.expr(_dot(vec_col, "qvec"))
+            / (F.expr(_norm(vec_col)) * F.col("qn")),
             4,
         ).alias("cosine"),
     )
@@ -166,16 +169,20 @@ def cosine_near_dup_pairs(
                       F.col(vec_col).alias("va"), F.col("nrm").alias("na"))
     c = with_b.select("bucket", F.col(id_col).alias("id_b"),
                       F.col(vec_col).alias("vb"), F.col("nrm").alias("nb"))
+    # explode(array(..)) Generate barrier around the cosine — keeps the
+    # unrolled chain to ONE copy in the stage (the filter cannot be
+    # pushed below the Generate that defines its input); see
+    # clustering.semantic_dedup_pairs for the measured rationale
     return (
         a.join(c, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "cosine",
-            F.round(F.expr(dot("va", "vb"))
-                    / (F.col("na") * F.col("nb")), 4),
+        .select(
+            "id_a", "id_b",
+            F.explode(F.array(
+                F.round(F.expr(dot("va", "vb"))
+                        / (F.col("na") * F.col("nb")), 4))).alias("cosine"),
         )
         .filter(F.col("cosine") >= thd)
-        .select("id_a", "id_b", "cosine")
     )
 
 

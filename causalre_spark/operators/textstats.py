@@ -34,16 +34,16 @@ def quality_scores(docs: DataFrame, id_col: str = "doc_id",
     input columns through unchanged (e.g. upstream signal columns when
     composing projections without a join)."""
     stop = "array('the','a','of','to','and','in','is','was')"
-    # spread: the HOF aggregate/filter lambdas below are interpreted
-    # per element, and the driver scan is one unsplittable row group
-    # (functions.partitions; no-op on streaming frames). The token
-    # array is materialized once per row in its own projection (the
-    # repetition_row_signals discipline) — the previous inline spelling
-    # evaluated split(normalize(text)) in FOUR sibling expressions per
-    # row; the alias is multiply-referenced and non-cheap, so
-    # CollapseProject keeps it to one evaluation. Same expression over
-    # the same input, so every emitted value is bit-identical.
-    base = spread(docs).select(
+    # The token array is materialized once per row in its own
+    # projection (the repetition_row_signals discipline) — the previous
+    # inline spelling evaluated split(normalize(text)) in FOUR sibling
+    # expressions per row; the alias is multiply-referenced and
+    # non-cheap, so CollapseProject keeps it to one evaluation. Same
+    # expression over the same input, so every emitted value is
+    # bit-identical. Deliberately NOT spread: this is a 1:1 projection
+    # (no fan-out), and an added exchange defeats count()-style column
+    # pruning for consumers that never read the features.
+    base = docs.select(
         F.col(id_col),
         *[F.col(c) for c in extra_cols],
         F.col(text_col),
@@ -411,7 +411,7 @@ def chunk_documents(docs: DataFrame, id_col: str = "doc_id",
     downstream dedup/shuffle keys are uniform by construction.
     """
     norm = NORMALIZE_SQL.format(x=text_col)
-    base = spread(docs).select(
+    base = docs.select(
         F.col(id_col),
         F.expr(f"split({norm}, ' ')").alias("toks"),
     )
