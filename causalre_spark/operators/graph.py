@@ -145,9 +145,12 @@ def label_propagation(nodes: DataFrame, edges: DataFrame,
 
     Returns (node, label) after `rounds` rounds.
     """
+    # persisted: the symmetrized edge set is re-joined once per round —
+    # without the cache every round's subtree re-derives the full edge
+    # DAG (doc-graph joins) inside one deeply nested plan
     und = (edges.select("src", "dst").unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct())
+        .distinct().persist())
     labels = nodes.select("node").withColumn("label", F.col("node"))
     for _ in range(rounds):
         nb = (und.join(labels, und["dst"] == labels["node"])
