@@ -28,7 +28,8 @@ from pyspark.sql import functions as F
 
 from causalre_spark.functions.partitions import spread
 from causalre_spark.operators.similarity import (
-    _dot_fixed, _dot_literal, _norm_fixed)
+    _dot_fixed, _dot_literal, _norm_fixed)  # noqa: F401 — _norm_fixed is
+# re-exported for the _assign_col/_assign_frame equality test
 
 
 def _assign_col(cents: dict[int, list[float]], vec_col: str):
@@ -64,12 +65,81 @@ def _assign_col(cents: dict[int, list[float]], vec_col: str):
     return F.expr(f"-({best}.nc)").cast("long")
 
 
+def _assign_frame(emb: DataFrame, cents: dict[int, list[float]],
+                  id_col: str, vec_col: str,
+                  with_vec: bool = False,
+                  with_norm: bool = False) -> DataFrame:
+    """Attach the nearest-centroid cluster id (and optionally the
+    vector norm) with ONE vectorized Arrow crossing instead of the
+    O(k·dim) literal expression chain of :func:`_assign_col`.
+
+    Why: at k·dim = 512 terms the generated chain exceeds Janino's
+    64 KB method limit, so every stage that embeds it (the means
+    aggregation, the pair-probe projection, and the join-key
+    isnotnull filter Catalyst clones it into) pays a multi-second
+    failed-compile + interpreted-eval toll PER QUERY — the chain
+    inlines the fitted centroids, so no codegen cache ever hits.
+
+    Bit-exactness: the numpy loop reproduces the literal chain's
+    arithmetic EXACTLY — x is widened float32->float64 (lossless, same
+    as cast), each centroid dot folds left-to-right over j
+    ((x0·c0 + x1·c1) + x2·c2 …) vectorized across rows, the score is
+    dot − halfsq with the identical python-float halfsq, the argmax
+    scans clusters in ascending id keeping strict improvements (first
+    max = smallest id — array_max's (s, -c) struct-ordering rule), and
+    the norm folds (0.0 + x0² ) + x1² … then sqrt (IEEE, same as JVM).
+    tests/test_clustering.py asserts column-for-column equality with
+    the expression spelling on real data."""
+    cids = sorted(cents)
+    C = [cents[c] for c in cids]
+    halfsq = [0.5 * sum(v * v for v in cs) for cs in C]
+    dim = len(C[0])
+    in_fields = {f.name: f.dataType.simpleString() for f in emb.schema.fields}
+    keep = [id_col] + ([vec_col] if with_vec else [])
+    schema = ", ".join(f"{c} {in_fields[c]}" for c in keep) + ", cluster bigint"
+    if with_norm:
+        schema += ", nrm double"
+
+    def _assign(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            best = None
+            bestc = None
+            for ci, cs in enumerate(C):
+                acc = X[:, 0] * cs[0]
+                for j in range(1, dim):
+                    acc = acc + X[:, j] * cs[j]
+                score = acc - halfsq[ci]
+                if best is None:
+                    best = score
+                    bestc = np.full(len(score), cids[ci], dtype=np.int64)
+                else:
+                    m = score > best
+                    best = np.where(m, score, best)
+                    bestc = np.where(m, np.int64(cids[ci]), bestc)
+            out = {c: pdf[c].to_numpy() for c in keep}
+            out["cluster"] = bestc
+            if with_norm:
+                nacc = np.zeros(len(X), dtype=np.float64)
+                for j in range(dim):
+                    nacc = nacc + X[:, j] * X[:, j]
+                out["nrm"] = np.sqrt(nacc)
+            yield pd.DataFrame(out)
+
+    return spread(emb.select(*([id_col, vec_col]))).mapInPandas(
+        _assign, schema=schema)
+
+
 def _assign_to_centroids(emb: DataFrame, cents: dict[int, list[float]],
                          id_col: str, vec_col: str) -> DataFrame:
-    """(id, cluster) frame view of :func:`_assign_col` (input spread —
+    """(id, cluster) frame view of :func:`_assign_frame` (input spread —
     functions.partitions)."""
-    return spread(emb).select(F.col(id_col),
-                              _assign_col(cents, vec_col).alias("cluster"))
+    return _assign_frame(emb, cents, id_col, vec_col)
 
 
 def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 2,
@@ -92,15 +162,9 @@ def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 2,
     init.sort(key=lambda r: r[id_col])
     cents = {c: [float(x) for x in r[vec_col]] for c, r in enumerate(init)}
 
-    # the assignment projection is O(k·dim) arithmetic per row — spread
-    # the one-row-group scan so it runs on every core, not one
-    # (functions.partitions rationale); sums are per-cluster aggregates,
-    # so partitioning cannot move a result
-    emb = spread(emb)
     for _ in range(max(1, iters) - 1):
         means = (
-            emb.select(F.col(vec_col),
-                       _assign_col(cents, vec_col).alias("cluster"))
+            _assign_frame(emb, cents, id_col, vec_col, with_vec=True)
             .groupBy("cluster")
             .agg(*[F.sum(F.expr(f"cast({vec_col}[{j}] as double)"))
                    .alias(f"_m{j}") for j in range(dim)],
@@ -147,21 +211,17 @@ def semantic_dedup_pairs(emb: DataFrame, thd: float, k: int = 8,
     # PAIR after the join (2·|pairs| evaluations — the quadratic term);
     # same expression over the same column, so the double is
     # bit-identical and the rounded cosine cannot move
-    # spread AFTER the cluster/norm projection and BEFORE the pair
-    # join, for two reasons: (1) the build side is broadcast (k=8
-    # cluster keys, small table), so the probe side's partitioning is
-    # the ONLY parallelism the quadratic in-cluster pair loop gets — on
-    # the driver's one-row-group parquet that was a single task doing
-    # all Σ|cluster|² cosine evaluations; (2) the exchange is a
-    # whole-stage-codegen boundary that keeps the O(k·dim) assign chain
-    # OUT of the pair stage — fused, the combined method exceeds
-    # Janino's 64 KB limit and the whole pair stage (the quadratic
-    # loop!) drops to interpreted eval (measured 66 s vs 9 s at 10x
-    # bench scale). Post-split, the pair stage codegens just the
-    # unrolled 64-term dot.
-    with_c = spread(emb.select(F.col(id_col), F.col(vec_col),
-                               _assign_col(cents, vec_col).alias("cluster"),
-                               F.expr(_norm_fixed(vec_col, dim)).alias("nrm")))
+    # cluster + norm attached via the vectorized Arrow assignment
+    # (_assign_frame — bit-identical values, no giant codegen), spread
+    # internally so the quadratic in-cluster pair loop downstream of
+    # the broadcast join gets one task per core instead of the single
+    # unsplittable scan split. The Arrow crossing is also a stage
+    # boundary, so the pair stage codegens just the unrolled 64-term
+    # dot (fused with the assign chain it exceeded Janino's 64 KB
+    # method limit and the whole quadratic loop ran interpreted —
+    # measured 66 s vs 9 s at 10x bench scale).
+    with_c = _assign_frame(emb, cents, id_col, vec_col,
+                           with_vec=True, with_norm=True)
     a = with_c.select("cluster", F.col(id_col).alias("id_a"),
                       F.col(vec_col).alias("va"), F.col("nrm").alias("na"))
     b = with_c.select("cluster", F.col(id_col).alias("id_b"),

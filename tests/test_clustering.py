@@ -66,3 +66,23 @@ def test_kmeans_sizes_total(spark):
     df = _emb(spark, [(i, [float(i % 5), float(i % 3)]) for i in range(30)])
     sizes = C.kmeans_sizes(df, k=4, iters=2, dim=2).collect()
     assert sum(r["n_vectors"] for r in sizes) == 30
+
+
+def test_assign_frame_matches_expression_spelling(spark):
+    """The vectorized Arrow assignment (_assign_frame) must reproduce
+    the literal-chain expression spelling (_assign_col / _norm_fixed)
+    BIT-FOR-BIT — cluster ids equal, norms equal as exact doubles —
+    on real driver embeddings (non-trivial 64-dim float32 data)."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    cents = C.kmeans_fit(emb, k=8, iters=2, dim=64)
+    expr_side = emb.select(
+        "vec_id",
+        C._assign_col(cents, "embedding").alias("cluster"),
+        F.expr(C._norm_fixed("embedding", 64)).alias("nrm"))
+    udf_side = C._assign_frame(emb, cents, "vec_id", "embedding",
+                               with_norm=True)
+    a = {r["vec_id"]: (r["cluster"], r["nrm"]) for r in expr_side.collect()}
+    b = {r["vec_id"]: (r["cluster"], r["nrm"]) for r in udf_side.collect()}
+    assert a == b  # exact equality, including the float64 norms
