@@ -454,22 +454,58 @@ def pq_assign(
     scans instead of the raw embeddings."""
     dsub = dim // m
     book = pq_codebook(m, ksub, dsub)
-    elem = lambda j: f"{vec_col}[{j}]"  # noqa: E731
-    dist_cols = [
-        F.expr(_sqdist_literal(elem, s * dsub, book[s][c])).alias(f"_d{s}_{c}")
-        for s in range(m) for c in range(ksub)
-    ]
-    with_d = emb.select(F.col(id_col), *dist_cols)
-    code_cols = [
-        F.expr(_pq_argmin(s, ksub)).cast("long").alias(f"code_{s}")
-        for s in range(m)
-    ]
-    coded = with_d.select(F.col(id_col), *code_cols)
-    packed = None
-    for s in range(m):
-        term = F.col(f"code_{s}") * (ksub ** (m - 1 - s))
-        packed = term if packed is None else packed + term
-    return coded.withColumn("pq_code", packed.cast("long"))
+    # Vectorized Arrow assignment instead of the m·ksub literal
+    # squared-distance chains + per-subspace argmins: the generated
+    # projection for 64 chains exceeds what Janino/C2 handle cheaply
+    # and cost multi-second per-stage compiles per query (the codebook
+    # literals are frozen, but the compile still runs once per JVM).
+    # The numpy loop reproduces the chain arithmetic EXACTLY: x widened
+    # float32->float64 (same as cast), each (x-c)² chain folds
+    # left-to-right with the identical python-float codewords, and the
+    # argmin scans codes in ascending order keeping strict improvements
+    # — first min = smallest code, the array_min (d, c) struct rule.
+    # tests/test_similarity_pq.py asserts code-for-code equality with
+    # the expression spelling (kept below for the oracle builders).
+    in_fields = {f.name: f.dataType.simpleString() for f in emb.schema.fields}
+    schema = (f"{id_col} {in_fields[id_col]}, "
+              + ", ".join(f"code_{s} bigint" for s in range(m))
+              + ", pq_code bigint")
+
+    def _codes(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            out = {id_col: pdf[id_col].to_numpy()}
+            packed = np.zeros(len(X), dtype=np.int64)
+            for s in range(m):
+                off = s * dsub
+                best = None
+                bestc = None
+                for c in range(ksub):
+                    cs = book[s][c]
+                    d0 = X[:, off] - cs[0]
+                    acc = d0 * d0
+                    for j in range(1, dsub):
+                        dj = X[:, off + j] - cs[j]
+                        acc = acc + dj * dj
+                    if best is None:
+                        best = acc
+                        bestc = np.zeros(len(acc), dtype=np.int64)
+                    else:
+                        mmask = acc < best
+                        best = np.where(mmask, acc, best)
+                        bestc = np.where(mmask, np.int64(c), bestc)
+                out[f"code_{s}"] = bestc
+                packed = packed + bestc * (ksub ** (m - 1 - s))
+            out["pq_code"] = packed
+            yield pd.DataFrame(out)
+
+    return spread(emb.select(id_col, vec_col)).mapInPandas(
+        _codes, schema=schema)
 
 
 def ann_topk_pq(
@@ -499,28 +535,37 @@ def ann_topk_pq(
     dsub = dim // m
     book = pq_codebook(m, ksub, dsub)
     assign = pq_assign(emb, m, ksub, dim, id_col, vec_col)
-    qelem = lambda j: f"qvec[{j}]"  # noqa: E731
-    dt_cols = [
-        F.expr("array(" + ", ".join(
-            _sqdist_literal(qelem, s * dsub, book[s][c])
-            for c in range(ksub)) + ")").alias(f"dt_{s}")
-        for s in range(m)
-    ]
-    dtable = (
-        emb.filter(F.col(id_col) == query_id)
-        .select(F.col(vec_col).alias("qvec"))
-        .select(*dt_cols)
-    )
+    # the distance table is a function of ONE row (the query vector):
+    # collect it (1-row driver transfer, the standard capped small-side
+    # cutover) and inline the m×ksub distances as array literals. The
+    # python fold ((q0-c0)² + (q1-c1)² + …) over the collected floats
+    # is the identical IEEE double sequence the former _sqdist_literal
+    # chains produced (collect widens float32 exactly), and dropping
+    # those 64 generated chains removes a multi-second per-query
+    # codegen+compile toll plus the broadcast cross-join build.
+    q = (emb.filter(F.col(id_col) == query_id)
+         .select(F.col(vec_col).alias("qvec")).collect())
+    qvec = [float(x) for x in q[0]["qvec"]]
+
+    def _sq(off: int, cs: list[float]) -> float:
+        acc = (qvec[off] - cs[0]) * (qvec[off] - cs[0])
+        for j in range(1, len(cs)):
+            d = qvec[off + j] - cs[j]
+            acc = acc + d * d
+        return acc
+
+    dt = [[_sq(s * dsub, book[s][c]) for c in range(ksub)]
+          for s in range(m)]
     # explicit left-to-right s-ascending fold, same order the oracle's
     # s-keyed join feeds its sum — bit-stable across partitionings
     # because every term lives in the same row
-    adc = F.element_at(F.col("dt_0"), F.col("code_0").cast("int") + 1)
+    adc = F.element_at(F.array(*[F.lit(v) for v in dt[0]]),
+                       F.col("code_0").cast("int") + 1)
     for s in range(1, m):
-        adc = adc + F.element_at(F.col(f"dt_{s}"),
+        adc = adc + F.element_at(F.array(*[F.lit(v) for v in dt[s]]),
                                  F.col(f"code_{s}").cast("int") + 1)
     scored = (
         assign.filter(F.col(id_col) != query_id)
-        .crossJoin(F.broadcast(dtable))
         .select(F.col(id_col), F.round(adc, 4).alias("adc_dist"))
     )
     order = [F.col("adc_dist").asc(), F.col(id_col).asc()]
