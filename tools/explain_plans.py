@@ -268,11 +268,16 @@ def main() -> int:
     p = plan_of(CL._assign_to_centroids(
         emb, {c: [0.01 * (c + j) for j in range(64)] for c in range(8)},
         "vec_id", "embedding"))
-    sections.append(("k-means assignment (columnized argmax)", p))
-    checks.append(("kmeans assign: no join/exchange, pure projection",
-                   "Join" not in p and "Exchange" not in p, p))
-    checks.append(("kmeans assign: no Python eval",
-                   "BatchEvalPython" not in p and "ArrowEval" not in p, p))
+    sections.append(("k-means assignment (vectorized Arrow crossing)", p))
+    # r6: assignment moved from the O(k·dim) literal-chain projection to
+    # one MapInPandas crossing (bit-identical, no huge-method codegen);
+    # still row-local — no join — and the only exchange is the
+    # round-robin spread of the unsplittable scan
+    checks.append(("kmeans assign: no join (row-local assignment)",
+                   "Join" not in p, p))
+    checks.append(("kmeans assign: vectorized Arrow crossing, "
+                   "no row-at-a-time Python",
+                   "MapInPandas" in p and "BatchEvalPython" not in p, p))
 
     # corpus-curation additions (round 3)
     # decontaminate: the benchmark gram side must broadcast so the
@@ -357,20 +362,23 @@ def main() -> int:
     checks.append(("chunking: no Python eval",
                    "BatchEvalPython" not in p and "ArrowEval" not in p, p))
 
-    # PQ-ADC: the one-row wide distance table must broadcast onto a
-    # MAP-ONLY scoring scan (no explode, no equi-join, no shuffle);
-    # the final top-k must be TakeOrderedAndProject, not a global sort
+    # PQ-ADC: the query's distance table is a function of ONE row — r6
+    # inlines it as array literals (1-row collect), so the scoring scan
+    # has NO join at all; codes come from the vectorized MapInPandas
+    # assignment; the final top-k must be TakeOrderedAndProject, not a
+    # global sort
     p = plan_of(Q.q_ann_topk_pq(spark, SF))
     sections.append(("ann_topk_pq (PQ-ADC top-k)", p))
-    checks.append(("pq adc: distance table is broadcast (nested-loop on 1 row)",
-                   "BroadcastNestedLoopJoin" in p, p))
+    checks.append(("pq adc: distance table inlined as literals (no join)",
+                   "Join" not in p, p))
     checks.append(("pq adc: scoring is map-only (no shuffle exchange)",
                    "Exchange hashpartitioning" not in p
                    and "Exchange rangepartitioning" not in p, p))
     checks.append(("pq adc: top-k is TakeOrderedAndProject",
                    "TakeOrderedAndProject" in p, p))
-    checks.append(("pq adc: no Python eval",
-                   "BatchEvalPython" not in p and "ArrowEval" not in p, p))
+    checks.append(("pq adc: codes via vectorized Arrow crossing, "
+                   "no row-at-a-time Python",
+                   "MapInPandas" in p and "BatchEvalPython" not in p, p))
 
     # sequence packing: the running offset must be a PARTITIONED window
     # (per-shard streams), never a global single-partition sort
