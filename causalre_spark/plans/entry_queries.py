@@ -4717,7 +4717,46 @@ _DRIVER_CHECKED = frozenset({
     "ptron_full_eval_custom", "range_join_errors", "sample_hash",
     "sample_stratified", "skew_salted_agg", "tfidf_topk", "tpch_q3_topk",
     "tpch_q5_local_supplier", "url_canon_dedup", "zorder_key",
+    # r5 green rows (CORRECTNESS_r05.json, 50/50 rows+schema+hash) —
+    # closes the last two never-driver-checked oracles:
+    "ptron_full_eval_conll04", "causal_triples_seeded",
 })
+
+# Round-6 OPTIMIZATION: these queries' physical plans / operator
+# internals changed this round (spread exchanges, once-per-row token
+# materialization, Generate-barrier pair scoring, Arrow
+# k-means/PQ assignment, adaptive CC, window-min doc-graph edges).
+# Values are oracle-identical (my full sf0.01 sweep: 111/111 green),
+# but CORRECTNESS_r06 should RE-PROVE them on driver infrastructure —
+# subtracting them from the checked set moves them to the front of the
+# driver's sampled prefix (VERDICT r5 next-round #2 mechanism; pure
+# iteration-order permutation, no value changes).
+_R6_PLAN_CHANGED = frozenset({
+    # span-lattice family (spread before the explode)
+    "p1_valid_span_counts", "t1_topk_spans", "t3_dedup_max",
+    "j1_pair_gen", "t5_hanging_prune", "a2_loose_match", "a2_loose_rels",
+    "a3_lost_rels", "a7_iou_binning", "p6_label_alignment",
+    "f3_sigmoid_decode", "n12_typed_decode", "f1_span_text",
+    "f2_iou_pairs",
+    # word-shingle / simhash / substring dedup family
+    "dedup_minhash_lsh", "dedup_near_clusters", "dedup_compaction",
+    "dedup_ngram_jaccard", "dedup_blocking_recall", "dedup_crossdoc",
+    "decontaminate", "dedup_simhash", "dedup_simhash_wide",
+    "dedup_substrings",
+    # text featurization
+    "text_quality", "text_repetition", "quality_percentile",
+    "lm_perplexity", "chunk_documents", "curation_verdict",
+    # clustering / similarity
+    "kmeans_clusters", "semantic_dedup", "dedup_cosine",
+    "ann_pq_assign", "ann_topk_pq", "ann_recall",
+    # doc-graph family (window-min edges, adaptive CC)
+    "cc_components", "cc_size_stats", "kg_2hop", "kg_pagerank",
+    "kg_triangles", "kg_degree_stats", "kg_communities",
+    "kg_negative_samples",
+    # UDF pipeline (spread before extraction; batched NMS)
+    "pipeline_spans", "causal_triples",
+})
+_DRIVER_CHECKED = _DRIVER_CHECKED - _R6_PLAN_CHANGED
 QUERIES = {
     **{k: v for k, v in QUERIES.items() if k not in _DRIVER_CHECKED},
     **{k: v for k, v in QUERIES.items() if k in _DRIVER_CHECKED},
